@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced to full materialization via a count-collect (no
+driver-side row transfer beyond the final small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+if HERE not in sys.path:
+    sys.path.insert(0, HERE)
+
+# Headline set: the queries that exercise the engine's core shapes —
+# fact-table agg, multi-way join, window sequencing, dedup, similarity.
+HEADLINE = [
+    "A1_pricing_summary",
+    "J6_hierarchy_revenue",
+    "J1_batch_key_resolution",
+    "W1_sequence_positions",
+    "W4_latest_event_per_user",
+    "A2_grouped_distinct_counts",
+    "J11_multi_assignment_check",
+    "D8_exact_dedup",
+    "D16_minhash_lsh_near_dup",
+    "X2_cosine_topk_bruteforce",
+    "T1_token_stats",
+    "G1_connected_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from oc_meta_spark.session import get_spark
+    from oc_meta_spark.plans.registry import load_all
+
+    spark = get_spark("oc-meta-spark-bench")
+    queries = load_all()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    for n in names[:1]:
+        queries[n].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for n in names:
+        t0 = time.perf_counter()
+        df = queries[n].builder(spark, sf_dir)
+        df.collect()
+        timings[n] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Query registry: every operator from SURVEY.md §2 that we implement gets a
+named entry here with (a) a Spark builder ``(spark, sf_dir) -> DataFrame`` and
+(b) an equivalent ANSI-SQL oracle string for DuckDB, unless the operator is
+genuinely non-SQL-expressible (iterative algorithms) in which case the oracle
+is ``None`` and the driver records a rows-only check.
+
+Determinism contract (both engines must produce *bitwise identical* values):
+
+- money/quantity aggregation goes through ``DECIMAL(18,4)`` — exact,
+  order-independent — and is cast to ``DOUBLE`` only on output (≤15
+  significant digits, so the decimal→double conversion is exact);
+- averages are computed as ``CAST(exact_decimal_sum AS DOUBLE) / count`` so
+  a single IEEE division produces the same bits in both engines;
+- timestamps are projected as formatted strings, never raw timestamps;
+- hashing uses ``md5`` hex strings (identical in Spark and DuckDB) rather
+  than engine-native hash functions;
+- ties in any top-k / row_number are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class OracleQuery:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL over views region..embeddings; None → rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, OracleQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        QUERIES[name] = OracleQuery(name=name, builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, OracleQuery]:
+    """Import every plan module so their @register decorators run."""
+    import oc_meta_spark.plans.analytics  # noqa: F401
+    import oc_meta_spark.plans.dedup_queries  # noqa: F401
+    import oc_meta_spark.plans.graph_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.similarity_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+
+    return QUERIES

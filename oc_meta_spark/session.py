@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the config block is written so the same
+session options hold on a real multi-executor cluster: AQE on (runtime
+coalescing, skew-join splitting), adaptive broadcast detection, Arrow for the
+pandas-UDF surface, and a shuffle-partition default that AQE coalesces down
+at small scale but that fans out on big inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes (100 TB target):
+
+    - AQE is the load-bearing setting: it re-plans shuffles at runtime, so a
+      plan authored at sf0.01 still picks sane partition counts and converts
+      sort-merge joins to broadcast when a post-filter side turns out small.
+    - ``spark.sql.adaptive.skewJoin`` splits skewed partitions — the engine's
+      resolution joins key on identifier values where a handful of hubs
+      (big venues / prolific authors in the reference's domain) dominate.
+    - Arrow execution for every pandas UDF; row-at-a-time Python UDFs are
+      banned in the hot path (SURVEY §2.10).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return builder.master(f"local[{cpus}]").getOrCreate()

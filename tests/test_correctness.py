@@ -1,0 +1,34 @@
+"""Run every registered query against its DuckDB oracle (driver-gate replica)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oc_meta_spark.plans.registry import load_all
+from tests.oracle_harness import compare_query
+
+_QUERIES = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = _QUERIES[name]
+    compare_query(spark, name, q.builder, q.oracle, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(osql) <= set(qs)
