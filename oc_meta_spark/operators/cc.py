@@ -1,0 +1,77 @@
+"""Connected components as a reusable DataFrame operator.
+
+Replaces the reference's in-memory union-find (`EntityStore`,
+oc_meta/lib/merge_registry.py:8-264; UnionFind in
+oc_meta/run/find/duplicated_entities.py:24-52) with distributed min-label
+propagation + pointer jumping:
+
+- every node starts labeled with itself;
+- each round, a node takes the min label over itself and its neighbors
+  (one shuffle on the symmetrized edge list);
+- a pointer-jumping step (label := label's label) then compresses paths,
+  giving O(log diameter) convergence instead of O(diameter);
+- lineage is truncated every round with ``localCheckpoint`` so the plan
+  doesn't grow unboundedly — mandatory for iterative DataFrame algorithms.
+
+At 100 TB scale the shuffle key is the node id; skewed hub nodes are handled
+by AQE skew-join splitting (enabled in the session factory).  The driver-side
+loop only ever collects a single aggregate (the convergence count), never
+data rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = min node id in the
+    weakly-connected component.  Edges are treated as undirected.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .dropDuplicates()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .dropDuplicates()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Min over own label and neighbors' labels (one shuffle).
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "comp")
+        )
+        new_labels = (
+            neighbor_labels.union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jumping: comp := comp's comp (path compression).
+        mapping = new_labels.select(F.col("node").alias("m_node"), F.col("comp").alias("m_comp"))
+        new_labels = (
+            new_labels.join(mapping, new_labels.comp == mapping.m_node, "left")
+            .select("node", F.coalesce("m_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

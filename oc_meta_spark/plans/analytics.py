@@ -186,14 +186,17 @@ def j3_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_mktsegment AS segment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     ORDER BY custkey
     """,
     doc="left_anti join as set-difference (SURVEY SO3/SO4, F5).",
 )
 def so3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select(

@@ -1,1 +1,452 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication & entity-resolution plans (SURVEY §2.4) plus the
+training-data-pipeline dedup family (MinHash-LSH / SimHash / n-gram Jaccard).
+
+Cross-engine determinism: every hash is an ``md5`` hex string (identical in
+Spark and DuckDB); set sizes and int arithmetic are exact; ratios are single
+IEEE divisions of exact ints.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# D8 — full-row dedup (reference: global seen_rows set,
+# oc_meta/run/meta/preprocess_input.py:150-153 → Spark dropDuplicates).
+# ---------------------------------------------------------------------------
+@register(
+    "D8_exact_dedup",
+    """
+    SELECT o_orderpriority AS priority, o_orderstatus AS status, COUNT(*) AS n_distinct_custs
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus, o_custkey FROM orders)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="dropDuplicates as hash-aggregate exact dedup (SURVEY D8).",
+)
+def d8_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", "o_orderstatus", "o_custkey")
+        .dropDuplicates()
+        .groupBy(F.col("o_orderpriority").alias("priority"), F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_custs"))
+        .orderBy("priority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 — duplicate-key finder: keys held by >1 entity, with the full sorted
+# group (reference: duplicated_ids.py groupBy (scheme, literal) →
+# collect_set, oc_meta/run/find/duplicated_ids.py:22-155).
+# ---------------------------------------------------------------------------
+@register(
+    "D9_duplicate_key_groups",
+    """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           COUNT(*) AS n_lines,
+           array_to_string(list_sort(list(l_orderkey)), ',') AS orderkeys
+    FROM lineitem
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    ORDER BY 1, 2
+    """,
+    doc="Duplicate-key grouping with deterministic sorted member list (SURVEY D9/D10 input).",
+)
+def d9_duplicate_key_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("l_orderkey")), lambda v: v.cast("string")), ","
+            ).alias("orderkeys"),
+        )
+        .filter(F.col("n_lines") > 1)
+        .orderBy("partkey", "suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — the resolution decision kernel: per input row, aggregate the candidate
+# set from the catalog join and classify new / existing / conflict
+# (reference: id_worker, oc_meta/core/curator.py:1167-1304 — priority
+# cascade; >1 distinct match ⇒ conflict).  Catalog = every 7th document,
+# keyed by (lang, n_chars); batch = remaining documents.
+# ---------------------------------------------------------------------------
+@register(
+    "D2_resolution_decision",
+    """
+    WITH catalog AS (
+      SELECT doc_id AS cat_id, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT b.doc_id,
+           COUNT(c.cat_id) AS n_candidates,
+           CASE WHEN COUNT(c.cat_id) = 0 THEN 'new'
+                WHEN COUNT(DISTINCT c.cat_id) = 1 THEN 'existing'
+                ELSE 'conflict' END AS decision,
+           MIN(c.cat_id) AS resolved_id
+    FROM batch b LEFT JOIN catalog c ON b.lang = c.lang AND b.n_chars = c.n_chars
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="id_worker candidate-set cascade: new/existing/conflict (SURVEY D2/A7).",
+)
+def d2_resolution_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    catalog = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("cat_id"), F.col("lang").alias("c_lang"), F.col("n_chars").alias("c_n")
+    )
+    batch = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "lang", "n_chars")
+    joined = batch.join(
+        F.broadcast(catalog), (batch.lang == catalog.c_lang) & (batch.n_chars == catalog.c_n), "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("cat_id").alias("n_candidates"),
+            F.when(F.count("cat_id") == 0, "new")
+            .when(F.countDistinct("cat_id") == 1, "existing")
+            .otherwise("conflict")
+            .alias("decision"),
+            F.min("cat_id").alias("resolved_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D14 — disambiguation key: countDistinct over a conditional key
+# (reference: venue key = lower(name) if only-OMID else OMID,
+# oc_meta/run/count/meta_entities.py:25-44).
+# ---------------------------------------------------------------------------
+@register(
+    "D14_conditional_distinct_key",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN lower(c_name) ELSE CAST(c_custkey AS VARCHAR) END) AS n_entities
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    doc="Conditional disambiguation key + distinct count (SURVEY D14/A1).",
+)
+def d14_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    key = F.when(F.col("c_acctbal") < 0, F.lower("c_name")).otherwise(F.col("c_custkey").cast("string"))
+    return (
+        cust.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.countDistinct(key).alias("n_entities"))
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D15 — weighted fuzzy bibliographic match (reference: Levenshtein-based
+# score 7·author + 14·title + 5·source, threshold 25 —
+# oc_meta/lib/bibliographic_matching.py:185-259).  Generic analog: weighted
+# similarity between customer and supplier names within a nation.
+# ---------------------------------------------------------------------------
+@register(
+    "D15_fuzzy_weighted_match",
+    """
+    SELECT s_suppkey AS suppkey, c_custkey AS custkey, score
+    FROM (
+      SELECT s.s_suppkey, c.c_custkey,
+             7.0 * (1.0 - CAST(levenshtein(c.c_name, s.s_name) AS DOUBLE)
+                          / CAST(greatest(length(c.c_name), length(s.s_name)) AS DOUBLE))
+             + 5.0 * (CASE WHEN c.c_nationkey = s.s_nationkey THEN 1.0 ELSE 0.0 END) AS score,
+             ROW_NUMBER() OVER (PARTITION BY s.s_suppkey
+                                ORDER BY levenshtein(c.c_name, s.s_name), c.c_custkey) AS rn
+      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+      WHERE s.s_suppkey <= 100
+    ) WHERE rn = 1
+    ORDER BY suppkey
+    """,
+    doc="Weighted Levenshtein similarity + deterministic argmin (SURVEY D15/C13).",
+)
+def d15_fuzzy_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    cust = _t(spark, sf_dir, "customer")
+    lev = F.levenshtein("c_name", "s_name")
+    score = (
+        F.lit(7.0) * (F.lit(1.0) - lev.cast("double") / F.greatest(F.length("c_name"), F.length("s_name")).cast("double"))
+        + F.lit(5.0) * F.when(F.col("c_nationkey") == F.col("s_nationkey"), 1.0).otherwise(0.0)
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(lev, F.col("c_custkey"))
+    return (
+        supp.join(cust, supp.s_nationkey == cust.c_nationkey)
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("c_custkey").alias("custkey"), "score")
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE fragments for the text-dedup family.
+# ---------------------------------------------------------------------------
+_WORDS_SQL = """
+    words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )
+"""
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .dropDuplicates(["doc_id", "w"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# D16 — MinHash + LSH near-dup detection over 3-word shingles.  k=8 hash
+# functions realized as md5(shingle || '#' || k); signature = per-k min;
+# 2 bands of 4 rows; candidate pairs share a band bucket.  Word-salad docs
+# share vocabulary, so single-word sets would candidate nearly all pairs —
+# shingling restores discrimination (the planted near-dups have shingle
+# Jaccard ≈0.99, everything else ≈0).  (Training-data dedup extension; same
+# shape as the reference's shared-id duplicate finder D10 but on content.)
+# ---------------------------------------------------------------------------
+_SHINGLES_SQL = """
+    shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    )
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)), "
+        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(sh).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
+@register(
+    "D16_minhash_lsh_near_dup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 4 AS band, md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM mh GROUP BY doc_id, k // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash over 3-word shingles + banded LSH candidate pairs (training-data dedup; SURVEY M6).",
+)
+def d16_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shingles = _shingles(docs)
+    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
+    mh = (
+        shingles.crossJoin(F.broadcast(ks))
+        .select("doc_id", "k", F.md5(F.concat(F.col("s"), F.lit("#"), F.col("k").cast("string"))).alias("h"))
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("h"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr("k div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "h"))), lambda s: s["h"]), "|")
+            ).alias("bucket")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D17 — SimHash: 64-bit signature from word-md5 bit votes, expressed fully
+# in relational algebra (explode words × 16 hex positions; ±1 votes per bit;
+# sign → signature hex).  No UDFs, identical in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "D17_simhash_signature",
+    f"""
+    WITH {_WORDS_SQL},
+    wh AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM words),
+    bits AS (
+      SELECT doc_id, i, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 1, 1)) - 1) >> CAST(j AS INT)) & 1 AS bit
+      FROM wh
+      CROSS JOIN (SELECT unnest(range(16)) AS i)
+      CROSS JOIN (SELECT unnest(range(4)) AS j)
+    ),
+    votes AS (
+      SELECT doc_id, i, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, i, j
+    ),
+    nibbles AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN v > 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS nib
+      FROM votes GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY i) AS simhash
+    FROM nibbles GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="SimHash 64-bit signatures via relational bit votes (training-data dedup).",
+)
+def d17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(docs)
+    wh = words.select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
+    pos_i = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    pos_j = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        wh.crossJoin(F.broadcast(pos_i))
+        .crossJoin(F.broadcast(pos_j))
+        .select(
+            "doc_id",
+            "i",
+            "j",
+            F.expr("shiftright(instr('0123456789abcdef', substr(h, i + 1, 1)) - 1, j) & 1").alias("bit"),
+        )
+    )
+    votes = bits.groupBy("doc_id", "i", "j").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v")
+    )
+    nibbles = votes.groupBy("doc_id", "i").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1, j)")).otherwise(0)).alias("nib")
+    )
+    return (
+        nibbles.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "nib"))),
+                    lambda s: F.substring(F.lit("0123456789abcdef"), s["nib"].cast("int") + 1, 1),
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D18 — n-gram/word-set Jaccard similarity join within blocking buckets
+# (blocking by `source` bounds the candidate space — the scale path at
+# 100 TB is block + verify, never all-pairs).
+# ---------------------------------------------------------------------------
+@register(
+    "D18_jaccard_similarity_join",
+    f"""
+    WITH {_WORDS_SQL},
+    ws AS (SELECT doc_id, list_sort(list(w)) AS wset, COUNT(*) AS n FROM words GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(wa.wset, wb.wset)) AS inter,
+             wa.n + wb.n - len(list_intersect(wa.wset, wb.wset)) AS uni
+      FROM documents a
+      JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+      JOIN ws wa ON wa.doc_id = a.doc_id
+      JOIN ws wb ON wb.doc_id = b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, uni,
+           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE inter * 2 > uni
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Blocked Jaccard similarity join with exact int set arithmetic (training-data dedup).",
+)
+def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(docs)
+    ws = words.groupBy("doc_id").agg(F.array_sort(F.collect_list("w")).alias("wset"), F.count(F.lit(1)).alias("n"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    pairs = a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wset_a"), F.col("n").alias("n_a"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wset_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("wset_a", "wset_b")).cast("bigint"))
+        .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("bigint"))
+        .filter(F.col("inter") * 2 > F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "uni",
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A8 — processing report: global conditional tallies with percentages
+# (reference: preprocess report, oc_meta/run/meta/preprocess_input.py:211-266).
+# ---------------------------------------------------------------------------
+@register(
+    "A8_processing_report",
+    """
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pct_en,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+    doc="Single-row conditional tally report (SURVEY A8/A6).",
+)
+def a8_processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_en = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_en.cast("bigint").alias("n_en"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0)).cast("bigint").alias("n_long"),
+        (n_en.cast("double") / F.count(F.lit(1))).alias("pct_en"),
+        F.countDistinct("source").alias("n_sources"),
+    )

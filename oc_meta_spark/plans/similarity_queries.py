@@ -1,1 +1,197 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search plans over the embedding table (training-data pipeline
+extension; SURVEY §7.2 M6): brute-force cosine top-k as the correctness
+baseline, sign-bit LSH bucketing as the scale path.
+
+Engine-exact float math: every dot product / norm is a *sequential left
+fold* over the vector — ``F.aggregate`` in Spark, ``list_reduce`` in DuckDB —
+with each float32 cast to double first.  IEEE addition in identical order ⇒
+bitwise-identical cosines, so even threshold predicates agree exactly.
+
+Scale notes: brute-force is O(Q·N·d) and only sane for small Q (broadcast
+the queries).  The bucketed variant is the 100 TB shape: hash every vector
+into a sign-bit bucket (one narrow map), then self-join per bucket — the
+shuffle keys on the bucket id, and candidate generation never leaves the
+bucket.  More bits ⇒ smaller buckets ⇒ higher recall loss; this is the
+standard LSH trade, tested here with 4 bits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+# DuckDB fragments ----------------------------------------------------------
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
+_BUCKET = (
+    "(CASE WHEN CAST({a}[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN CAST({a}[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN CAST({a}[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN CAST({a}[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)"
+)
+
+
+# Spark fragments -----------------------------------------------------------
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _bucket(a: str) -> Column:
+    c = F.col(a)
+    out = F.lit(0)
+    for i in range(4):
+        out = out + F.when(c.getItem(i).cast("double") > 0, 2**i).otherwise(0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X1 — vector norms (sanity + the shared normalization stage).
+# ---------------------------------------------------------------------------
+@register(
+    "X1_vector_norms",
+    f"""
+    SELECT vec_id, label, {_NORM.format(a='embedding')} AS norm, len(embedding) AS dim
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="L2 norms via sequential fold — engine-exact float math (similarity base).",
+)
+def x1_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id", "label", _norm("embedding").alias("norm"), F.size("embedding").cast("bigint").alias("dim")
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# X2 — brute-force cosine top-k: query set broadcast against all vectors
+# (the correctness baseline for ANN; deterministic (cos desc, vec_id) rank).
+# ---------------------------------------------------------------------------
+@register(
+    "X2_cosine_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             {_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_NORM.format(a='q.qe')} * {_NORM.format(a='e.embedding')}) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+    doc="Brute-force cosine top-k with broadcast query side (similarity baseline).",
+)
+def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dot("qe", "embedding") / (_norm("qe") * _norm("embedding"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — sign-bit LSH bucketed nearest neighbor: per-vector top-1 within its
+# 4-bit bucket (the 100 TB ANN shape: bucket id is the shuffle key).
+# ---------------------------------------------------------------------------
+@register(
+    "X3_lsh_bucketed_nn",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET.format(a='embedding')} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.bucket, x.vec_id AS nn,
+             {_DOT.format(a='a.embedding', b='x.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) AS cosine
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+    )
+    SELECT vec_id, bucket, nn, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn) AS rn FROM pairs
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="LSH sign-bit bucketed ANN: bucket-local top-1 neighbor (similarity scale path).",
+)
+def x3_lsh_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    b = emb.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"), "bucket")
+    x = b.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ex"), F.col("bucket").alias("bx"))
+    pairs = a.join(x, (F.col("bucket") == F.col("bx")) & (F.col("vid") != F.col("nn"))).select(
+        F.col("vid").alias("vec_id"),
+        "bucket",
+        "nn",
+        (_dot("ea", "ex") / (_norm("ea") * _norm("ex"))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bucket", "nn", "cosine")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — embedding-cosine near-duplicate pairs above a threshold, bucketed
+# (the embedding leg of the dedup family; threshold membership is stable
+# because cosines are bitwise identical across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "X4_embedding_neardup_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET.format(a='embedding')} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+           {_DOT.format(a='a.embedding', b='x.embedding')}
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) AS cosine
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE {_DOT.format(a='a.embedding', b='x.embedding')}
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) > 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Bucketed cosine-threshold near-dup pairs (embedding dedup).",
+)
+def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    b = emb.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    x = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ex"), F.col("bucket").alias("bx"))
+    cos = _dot("ea", "ex") / (_norm("ea") * _norm("ex"))
+    return (
+        a.join(x, (F.col("bucket") == F.col("bx")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
