@@ -16,6 +16,32 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``oc_meta_spark`` importable on executor Python workers.
+
+    Pandas UDFs are pickled by module reference; a session whose driver was
+    launched outside the repo (or a real cluster) needs the package shipped.
+    ``addPyFile`` with a package zip works on any live session, so this is
+    callable lazily from every UDF-bearing entry point.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_oc_meta_pkg_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "oc_meta_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    sc._oc_meta_pkg_added = True
+
+
 def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 

@@ -1,0 +1,204 @@
+"""End-to-end tests of the curation pipeline (SURVEY §3.1) — fresh-load and
+update scenarios modeled on the reference's golden-testcase strategy
+(SURVEY §5) with OMID-stable assertions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oc_meta_spark.plans.curation import EntityCatalog, curate
+from oc_meta_spark.schemas import META_INPUT_COLUMNS
+
+
+def _input(spark, rows):
+    data = [tuple(r.get(c, "") for c in META_INPUT_COLUMNS) for r in rows]
+    return spark.createDataFrame(data, META_INPUT_COLUMNS)
+
+
+ROWS_BATCH1 = [
+    {
+        "id": "doi:10.1162/qss_a_00292",
+        "title": "THE OPENCITATIONS META STORY",
+        "author": "Massari, Arcangelo [orcid:0000-0002-1825-0097]; Peroni, Silvio",
+        "pub_date": "2024-01-22",
+        "venue": "Quantitative Science Studies [issn:2641-3337]",
+        "volume": "5",
+        "issue": "1",
+        "page": "50-75",
+        "type": "journal article",
+        "publisher": "MIT Press",
+    },
+    # Same DOI in dirty form → must unify with row 1 (in-batch dedup D3/D4).
+    {
+        "id": "doi:https://doi.org/10.1162/QSS_a_00292 pmid:99887766",
+        "title": "",
+        "pub_date": "2024",
+        "type": "journal article",
+    },
+    # Distinct work, same venue+volume → shares minted venue/volume BRs.
+    {
+        "id": "doi:10.1162/qss_a_00999",
+        "title": "Another Article",
+        "author": "Doe, Jane",
+        "pub_date": "2024-02",
+        "venue": "Quantitative Science Studies [issn:2641-3337]",
+        "volume": "5",
+        "issue": "2",
+        "type": "journal article",
+    },
+    # Invalid date day + invalid issn (checksum) → degraded/dropped.
+    {
+        "id": "issn:0028-0837 doi:10.1000/valid1",
+        "title": "Bad Ids Row",
+        "pub_date": "2020-02-30",
+        "type": "journal article",
+    },
+    # No ids, title present → new entity.
+    {
+        "title": "An Id-less Report",
+        "pub_date": "2019",
+        "type": "report",
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return curate(_input(spark, ROWS_BATCH1), None, prefix="060")
+
+
+class TestFreshLoad:
+    def test_entity_unification(self, result):
+        curated = {r["row_id"]: r for r in result.curated.collect()}
+        # rows 1 and 2 share the DOI → same entity: only one curated row
+        # carries the DOI, and 4 work rows come out of 5 inputs.
+        assert len(curated) == 4
+        dois = [r for r in curated.values() if "doi:10.1162/qss_a_00292" in r["id"]]
+        assert len(dois) == 1
+        # canonical row carries the union of ids (pmid from the dup row)
+        assert "pmid:99887766" in dois[0]["id"]
+        # and exactly one omid token
+        assert dois[0]["id"].count("omid:br/") == 1
+
+    def test_title_and_date_cleaning(self, result):
+        rows = result.curated.collect()
+        r1 = next(r for r in rows if "doi:10.1162/qss_a_00292" in r["id"])
+        # ALL-CAPS title cleaned; canonical (first) row's title propagated
+        assert r1["title"] == "The Opencitations Meta Story"
+        assert r1["pub_date"] == "2024-01-22"
+        bad = next(r for r in rows if "doi:10.1000/valid1" in r["id"])
+        assert bad["pub_date"] == "2020-02"  # invalid day degraded
+        assert "issn:0028-0837" not in bad["id"]  # bad checksum dropped
+
+    def test_venue_hierarchy(self, result, spark):
+        br = {r["omid"]: r for r in result.br_new.collect()}
+        journals = [r for r in br.values() if r["type"] == "journal"]
+        volumes = [r for r in br.values() if r["type"] == "journal volume"]
+        issues = [r for r in br.values() if r["type"] == "journal issue"]
+        assert len(journals) == 1  # one shared venue
+        assert len(volumes) == 1  # volume 5 shared by both articles
+        assert {i["seq_id"] for i in issues} == {"1", "2"}
+        vol = volumes[0]
+        assert vol["seq_id"] == "5" and vol["part_of"] == journals[0]["omid"]
+        for i in issues:
+            assert i["part_of"] == vol["omid"]
+        # articles point at their issue
+        arts = [r for r in br.values() if r["type"] == "journal article" and r["part_of"]]
+        assert all(br[a["part_of"]]["type"] == "journal issue" for a in arts)
+
+    def test_agents_and_positions(self, result):
+        ars = result.ar_new.collect()
+        by_role = {}
+        for a in ars:
+            by_role.setdefault((a["br_omid"], a["role"]), []).append(a)
+        # the two-author article has positions 1,2 in input order
+        two = [v for v in by_role.values() if len(v) == 2 and v[0]["role"] == "author"]
+        assert len(two) == 1
+        poss = sorted(a["pos"] for a in two[0])
+        assert poss == [1, 2]
+        ras = {r["omid"]: r for r in result.ra_new.collect()}
+        ordered = sorted(two[0], key=lambda a: a["pos"])
+        assert ras[ordered[0]["ra_omid"]]["family"] == "Massari"
+        assert ras[ordered[1]["ra_omid"]]["family"] == "Peroni"
+
+    def test_re_pages(self, result):
+        res = result.re_new.collect()
+        assert len(res) == 1
+        assert (res[0]["start_page"], res[0]["end_page"]) == ("50", "75")
+
+    def test_prov_snapshots(self, result):
+        prov = result.prov_new.collect()
+        created = [p for p in prov if p["description"] == "entity created"]
+        # every minted entity has exactly one snapshot-1
+        n_minted = (
+            result.br_new.count()
+            + result.ra_new.count()
+            + result.id_new.count()
+            + result.ar_new.count()
+            + result.re_new.count()
+        )
+        assert len(created) == n_minted
+        assert all(p["snapshot"] == 1 for p in created)
+
+    def test_indexes(self, result):
+        idx = {r["id"]: r["meta"] for r in result.index_id_br.collect()}
+        assert "doi:10.1162/qss_a_00292" in idx
+        assert all(m.startswith("id/") for m in idx.values())
+        ar_idx = result.index_ar.collect()
+        assert all(r["meta"].startswith("br/") for r in ar_idx)
+
+
+class TestUpdateScenario:
+    def test_resolution_against_catalog(self, spark, result):
+        catalog = EntityCatalog.empty(spark).union(result)
+        batch2 = _input(
+            spark,
+            [
+                # same DOI → resolves to the existing entity, no new BR
+                {
+                    "id": "doi:10.1162/qss_a_00292 arxiv:2401.00001",
+                    "title": "Ignored Title",
+                    "pub_date": "2023",
+                    "type": "journal article",
+                },
+                # genuinely new work
+                {
+                    "id": "doi:10.1000/new_one",
+                    "title": "Brand New",
+                    "pub_date": "2025",
+                    "type": "journal article",
+                },
+            ],
+        )
+        r2 = curate(batch2, catalog, prefix="060")
+        curated = r2.curated.collect()
+        known = {r["omid"]: r for r in result.br_new.collect()}
+        resolved_row = next(r for r in curated if "doi:10.1162/qss_a_00292" in r["id"])
+        tok = [t for t in resolved_row["id"].split() if t.startswith("omid:br/")]
+        assert len(tok) == 1 and tok[0].removeprefix("omid:") in known
+        # D5 equalizer: catalog title/date take precedence over batch values
+        assert resolved_row["title"] == "The Opencitations Meta Story"
+        assert resolved_row["pub_date"] == "2024-01-22"
+        # only ONE new BR minted (row 2), and its counter continues
+        new_brs = [r for r in r2.br_new.collect() if r["type"] == "journal article"]
+        assert len(new_brs) == 1
+        # the arxiv id was added to the existing entity → modification prov
+        mods = [p for p in r2.prov_new.collect() if "modified" in p["description"]]
+        assert any(p["entity_omid"] in known for p in mods)
+        assert all(len(p["derived_from"]) >= 1 for p in mods)
+        # no re-minting of already-known identifier tokens
+        known_ids = {(r["schema"], r["value"]) for r in result.id_new.collect()}
+        new_ids = {(r["schema"], r["value"]) for r in r2.id_new.collect()}
+        assert known_ids.isdisjoint(new_ids)
+
+    def test_omid_counters_continue(self, spark, result):
+        catalog = EntityCatalog.empty(spark).union(result)
+        r2 = curate(
+            _input(spark, [{"id": "doi:10.1000/x2", "title": "T", "pub_date": "2020", "type": "journal article"}]),
+            catalog,
+            prefix="060",
+        )
+        old_max = max(int(r["omid"].split("/060")[1]) for r in result.br_new.collect())
+        new_ns = [int(r["omid"].split("/060")[1]) for r in r2.br_new.collect()]
+        assert min(new_ns) == old_max + 1
