@@ -1,0 +1,185 @@
+"""Export sinks: curated CSV, JSON-LD entity export, N-Quads (SURVEY S2/S3/
+S9/S10).
+
+Reference sinks: quoted CSV writer (lib/file_manager.py:128-148), chunked
+CSV every 3000 rows (run/meta/preprocess_input.py:196-242), JSON-LD files in
+``{kind}/{prefix}/{dir_split}/{n}.zip`` layout (run/meta_process.py:290-330,
+layout doc docs/02-configuration.md "File organization"), N-Quads stream
+with 10M lines/file (run/migration/stream_nquads.py:37-131).
+
+Spark-native: ``maxRecordsPerFile`` replaces hand-rolled chunking; the
+dir-split layout becomes a computed partition column; N-Quads are built with
+``format_string`` (JVM-side) and written with ``df.write.text``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oc_meta_spark.plans.curation import EntityCatalog
+
+OCDM = {
+    "br": "https://w3id.org/oc/meta/br/",
+    "ra": "https://w3id.org/oc/meta/ra/",
+    "id": "https://w3id.org/oc/meta/id/",
+    "ar": "https://w3id.org/oc/meta/ar/",
+    "re": "https://w3id.org/oc/meta/re/",
+}
+
+
+def write_curated_csv(df: DataFrame, path: str, rows_per_file: int = 3000) -> None:
+    """Chunked, fully-quoted curated CSV (S2/S3).
+
+    ``maxRecordsPerFile`` gives the reference's 3000-row chunking without a
+    driver-side buffer; quoteAll mirrors QUOTE_NONNUMERIC on an all-string
+    schema.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("maxRecordsPerFile", rows_per_file)
+        .csv(path)
+    )
+
+
+def _uri(kind_col: F.Column, omid_col: F.Column) -> F.Column:
+    # omid 'br/0601' → https://w3id.org/oc/meta/br/0601
+    return F.concat(F.lit("https://w3id.org/oc/meta/"), omid_col)
+
+
+def entity_jsonld_rows(catalog: EntityCatalog) -> DataFrame:
+    """Entity tables → one JSON-LD row per entity (S9).
+
+    The JSON document is assembled from nested structs with ``to_json`` —
+    deterministic, JVM-side, no Python serialization.  File layout keys
+    (kind, dir_split, file_n) are computed columns so a partitioned write
+    reproduces the reference's ``{kind}/{dir_split}/{n}`` fan-out.
+    """
+    br = catalog.br.select(
+        F.col("omid"),
+        F.to_json(
+            F.struct(
+                _uri(F.lit("br"), F.col("omid")).alias("@id"),
+                F.col("type").alias("fabio:type"),
+                F.col("title").alias("dcterms:title"),
+                F.col("pub_date").alias("prism:publicationDate"),
+                F.col("seq_id").alias("fabio:hasSequenceIdentifier"),
+                F.when(F.col("part_of").isNotNull(), _uri(F.lit("br"), F.col("part_of"))).alias("frbr:partOf"),
+                F.when(F.col("embodiment").isNotNull(), _uri(F.lit("re"), F.col("embodiment"))).alias(
+                    "frbr:embodiment"
+                ),
+            ),
+            options={"ignoreNullFields": "true"},
+        ).alias("jsonld"),
+    )
+    ra = catalog.ra.select(
+        "omid",
+        F.to_json(
+            F.struct(
+                _uri(F.lit("ra"), F.col("omid")).alias("@id"),
+                F.col("name").alias("foaf:name"),
+                F.col("family").alias("foaf:familyName"),
+                F.col("given").alias("foaf:givenName"),
+            ),
+            options={"ignoreNullFields": "true"},
+        ).alias("jsonld"),
+    )
+    id_rows = catalog.id.select(
+        "omid",
+        F.to_json(
+            F.struct(
+                _uri(F.lit("id"), F.col("omid")).alias("@id"),
+                F.col("schema").alias("datacite:usesIdentifierScheme"),
+                F.col("value").alias("literal:hasLiteralValue"),
+            )
+        ).alias("jsonld"),
+    )
+    ar = catalog.ar.select(
+        "omid",
+        F.to_json(
+            F.struct(
+                _uri(F.lit("ar"), F.col("omid")).alias("@id"),
+                F.col("role").alias("pro:withRole"),
+                _uri(F.lit("ra"), F.col("ra_omid")).alias("pro:isHeldBy"),
+                _uri(F.lit("br"), F.col("br_omid")).alias("pro:isDocumentContextFor"),
+                F.col("pos").alias("oc:position"),
+            )
+        ).alias("jsonld"),
+    )
+    re_rows = catalog.re.select(
+        "omid",
+        F.to_json(
+            F.struct(
+                _uri(F.lit("re"), F.col("omid")).alias("@id"),
+                F.col("start_page").alias("prism:startingPage"),
+                F.col("end_page").alias("prism:endingPage"),
+            ),
+            options={"ignoreNullFields": "true"},
+        ).alias("jsonld"),
+    )
+    out = br.unionByName(ra).unionByName(id_rows).unionByName(ar).unionByName(re_rows)
+    n = F.regexp_extract("omid", r"(\d+)$", 1).cast("long")
+    return out.select(
+        F.regexp_extract("omid", r"^([a-z]+)/", 1).alias("kind"),
+        (F.floor((n - 1) / 10000) * 10000 + 10000).alias("dir_split"),
+        (F.floor((n - 1) / 1000) * 1000 + 1000).alias("file_n"),
+        "omid",
+        "jsonld",
+    )
+
+
+def write_jsonld(catalog: EntityCatalog, path: str) -> None:
+    """Partitioned JSON-LD export mirroring the reference dir layout
+    (kind/dir_split/file_n — the computed-column replacement for
+    dir_split_number/items_per_file)."""
+    (
+        entity_jsonld_rows(catalog)
+        .select("kind", "dir_split", "file_n", "jsonld")
+        .repartition("kind", "dir_split")
+        .write.mode("overwrite")
+        .partitionBy("kind", "dir_split", "file_n")
+        .json(path)
+    )
+
+
+def _nq_escape(col: F.Column) -> F.Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r"\\\""), "\n", r"\\n"
+    )
+
+
+def nquads_rows(catalog: EntityCatalog, graph: str = "https://w3id.org/oc/meta/br/") -> DataFrame:
+    """Entity tables → N-Quads lines (S10), built JVM-side."""
+    uri = lambda omid: F.concat(F.lit("<https://w3id.org/oc/meta/"), omid, F.lit(">"))
+    g = F.lit(f"<{graph}>")
+
+    def triples(df: DataFrame, pred: str, obj: F.Column) -> DataFrame:
+        return df.filter(obj.isNotNull()).select(
+            F.format_string(
+                "%s <%s> %s %s .",
+                uri(F.col("omid")),
+                F.lit(pred),
+                obj,
+                g,
+            ).alias("line")
+        )
+
+    lit = lambda c: F.concat(F.lit('"'), _nq_escape(c), F.lit('"'))
+    parts = [
+        triples(catalog.br, "http://purl.org/dc/terms/title", lit(F.col("title"))),
+        triples(catalog.br, "http://prismstandard.org/namespaces/basic/2.0/publicationDate", lit(F.col("pub_date"))),
+        triples(catalog.br, "http://purl.org/vocab/frbr/core#partOf", F.when(F.col("part_of").isNotNull(), uri(F.col("part_of")))),
+        triples(catalog.id, "http://www.essepuntato.it/2010/06/literalreification/hasLiteralValue", lit(F.col("value"))),
+        triples(catalog.ra, "http://xmlns.com/foaf/0.1/familyName", lit(F.col("family"))),
+        triples(catalog.ar, "http://purl.org/spar/pro/isHeldBy", uri(F.col("ra_omid"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_nquads(catalog: EntityCatalog, path: str, lines_per_file: int = 10_000_000) -> None:
+    nquads_rows(catalog).write.mode("overwrite").option("maxRecordsPerFile", lines_per_file).text(path)
