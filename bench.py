@@ -24,15 +24,19 @@ HEADLINE = [
     "A1_pricing_summary",
     "J6_hierarchy_revenue",
     "J1_batch_key_resolution",
+    "J8_citation_resolution",
     "W1_sequence_positions",
     "W4_latest_event_per_user",
     "A2_grouped_distinct_counts",
     "J11_multi_assignment_check",
     "D8_exact_dedup",
     "D16_minhash_lsh_near_dup",
+    "D18_jaccard_similarity_join",
     "X2_cosine_topk_bruteforce",
+    "X3_lsh_bucketed_nn",
     "T1_token_stats",
     "G1_connected_components",
+    "CUR1_curation_end_to_end",
 ]
 
 

@@ -38,6 +38,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .dropDuplicates()
+        # Materialize once: every iteration joins against sym; without this
+        # the whole upstream plan (scan + union + distinct) re-executes per
+        # round.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("node"))

@@ -1,1 +1,301 @@
-"""Placeholder — filled in as operators land."""
+"""Gate entries for the remaining SURVEY §2 operators: citation resolution
+(J8), publisher inheritance (J7), merge-neighborhood discovery (J9),
+counting ops (A3/A4), array set operations (SO1/SO2), and the end-to-end
+curation pipeline itself (rows-only check — its per-operator pieces are
+oracle-checked individually across the registry).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# J8 — citation-id → OMID mapping with orphan accounting (reference
+# convert_citations, oc_meta/run/meta/convert_citations.py:33-108).
+# Citations are synthesized from lineitem (order cites part); the part-side
+# mapping is deliberately partial so orphans exist.
+# ---------------------------------------------------------------------------
+@register(
+    "J8_citation_resolution",
+    """
+    WITH citations AS (
+      SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS citing_id,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS cited_id
+      FROM lineitem
+    ),
+    map_citing AS (
+      SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS id_key,
+             'br/' || CAST(o_orderkey AS VARCHAR) AS omid
+      FROM orders
+    ),
+    map_cited AS (
+      SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS id_key,
+             'br/p' || CAST(p_partkey AS VARCHAR) AS omid
+      FROM part WHERE p_partkey % 4 <> 0
+    ),
+    joined AS (
+      SELECT c.citing_id, c.cited_id, mc.omid AS citing_omid, md.omid AS cited_omid
+      FROM citations c
+      LEFT JOIN map_citing mc ON c.citing_id = mc.id_key
+      LEFT JOIN map_cited md ON c.cited_id = md.id_key
+    )
+    SELECT COUNT(*) AS n_citations,
+           CAST(SUM(CASE WHEN citing_omid IS NOT NULL AND cited_omid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+           CAST(SUM(CASE WHEN citing_omid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_citing,
+           CAST(SUM(CASE WHEN cited_omid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_cited
+    FROM joined
+    """,
+    doc="Citation OMID mapping ×2 + anti-join orphan report (SURVEY J8).",
+)
+def j8_citation_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    citations = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("citing_id"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("cited_id"),
+    ).dropDuplicates()
+    mc = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("citing_id"),
+        F.concat(F.lit("br/"), F.col("o_orderkey").cast("string")).alias("citing_omid"),
+    )
+    md = part.filter(F.col("p_partkey") % 4 != 0).select(
+        F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("cited_id"),
+        F.concat(F.lit("br/p"), F.col("p_partkey").cast("string")).alias("cited_omid"),
+    )
+    joined = citations.join(mc, "citing_id", "left").join(md, "cited_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_citations"),
+        F.sum(F.when(F.col("citing_omid").isNotNull() & F.col("cited_omid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resolved"),
+        F.sum(F.when(F.col("citing_omid").isNull(), 1).otherwise(0)).cast("bigint").alias("n_orphan_citing"),
+        F.sum(F.when(F.col("cited_omid").isNull(), 1).otherwise(0)).cast("bigint").alias("n_orphan_cited"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — publisher inheritance: value looked up on the entity AND its two
+# ancestor containers, nearest wins (reference lib/finder.py:560-599).
+# Analog chain: order → customer → nation with deliberately sparse
+# order/customer-level values.
+# ---------------------------------------------------------------------------
+@register(
+    "J7_publisher_inheritance",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           COALESCE(CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_orderpriority END,
+                    CASE WHEN c.c_custkey % 2 = 0 THEN c.c_mktsegment END,
+                    n.n_name) AS inherited,
+           CASE WHEN o.o_orderkey % 3 = 0 THEN 'self'
+                WHEN c.c_custkey % 2 = 0 THEN 'parent'
+                ELSE 'grandparent' END AS source_level
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey <= 2000
+    ORDER BY orderkey
+    """,
+    doc="Nearest-ancestor attribute inheritance through the containment chain (SURVEY J7).",
+)
+def j7_publisher_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    self_v = F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority"))
+    parent_v = F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.coalesce(self_v, parent_v, F.col("n_name")).alias("inherited"),
+            F.when(F.col("o_orderkey") % 3 == 0, "self")
+            .when(F.col("c_custkey") % 2 == 0, "parent")
+            .otherwise("grandparent")
+            .alias("source_level"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — merge-related-entity discovery: all entities ≤1 hop from the merge
+# targets, both edge directions (reference core/editor.py:195-242).
+# ---------------------------------------------------------------------------
+@register(
+    "J9_merge_neighborhood",
+    """
+    WITH edges AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      WHERE a.c_custkey % 10 <> 0
+      UNION ALL
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 5
+      WHERE a.c_custkey % 20 = 3
+    ),
+    seeds AS (SELECT c_custkey AS seed FROM customer WHERE c_custkey % 97 = 0)
+    SELECT DISTINCT s.seed AS seed, n.neighbor, n.direction FROM seeds s
+    JOIN (
+      SELECT u AS seed, v AS neighbor, 'out' AS direction FROM edges
+      UNION ALL
+      SELECT v AS seed, u AS neighbor, 'in' AS direction FROM edges
+    ) n ON n.seed = s.seed
+    ORDER BY seed, neighbor, direction
+    """,
+    doc="1-hop neighborhood in both directions from merge targets (SURVEY J9).",
+)
+def j9_merge_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.graph_queries import _edges
+
+    cust = _t(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(F.col("c_custkey").alias("seed"))
+    e = _edges(spark, sf_dir)
+    out = e.select(F.col("u").alias("seed"), F.col("v").alias("neighbor"), F.lit("out").alias("direction"))
+    inc = e.select(F.col("v").alias("seed"), F.col("u").alias("neighbor"), F.lit("in").alias("direction"))
+    return (
+        F.broadcast(seeds)
+        .join(out.unionByName(inc), "seed")
+        .dropDuplicates()
+        .orderBy("seed", "neighbor", "direction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — structural counting + max-counter aggregation (reference
+# run/count/triples.py, run/infodir/gen.py).
+# ---------------------------------------------------------------------------
+@register(
+    "A3_table_counts",
+    """
+    SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    ORDER BY tbl
+    """,
+    doc="Per-source structural counts (SURVEY A3).",
+)
+def a3_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl in ("lineitem", "orders", "customer", "events"):
+        part = _t(spark, sf_dir, tbl).agg(F.count(F.lit(1)).alias("n")).select(F.lit(tbl).alias("tbl"), "n")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("tbl")
+
+
+@register(
+    "A4_max_counter_per_kind",
+    """
+    SELECT event_type AS kind, MAX(event_id) AS max_counter, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY kind
+    """,
+    doc="Max entity counter per kind — the counter-reconciliation aggregate (SURVEY A4/W4).",
+)
+def a4_max_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("kind"))
+        .agg(F.max("event_id").alias("max_counter"), F.count(F.lit(1)).alias("n"))
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SO1/SO2 — id-set union / intersection-then-union-or-replace semantics as
+# array algebra (reference merge_registry.py:150-198, curator.py:1433-1446).
+# ---------------------------------------------------------------------------
+@register(
+    "SO1_idset_algebra",
+    """
+    WITH pos AS (
+      SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS a
+      FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+    ),
+    neg AS (
+      SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS b
+      FROM customer WHERE c_acctbal <= 0 GROUP BY c_nationkey
+    )
+    SELECT p.c_nationkey AS nationkey,
+           array_to_string(p.a, ',') AS set_a,
+           COALESCE(array_to_string(n.b, ','), '') AS set_b,
+           len(list_intersect(p.a, COALESCE(n.b, []))) AS n_intersect,
+           array_to_string(list_sort(list_distinct(p.a || COALESCE(n.b, []))), ',') AS set_union,
+           CASE WHEN len(list_intersect(p.a, COALESCE(n.b, []))) > 0
+                THEN array_to_string(list_sort(list_distinct(p.a || COALESCE(n.b, []))), ',')
+                ELSE COALESCE(array_to_string(n.b, ','), '') END AS merged_or_replaced
+    FROM pos p LEFT JOIN neg n ON p.c_nationkey = n.c_nationkey
+    ORDER BY nationkey
+    """,
+    doc="array_union / array_intersect id-set algebra incl. overlap-then-union-else-replace (SURVEY SO1/SO2).",
+)
+def so1_idset_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("a"))
+    )
+    neg = (
+        cust.filter(F.col("c_acctbal") <= 0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("b"))
+    )
+    j = pos.join(neg, pos.c_nationkey == neg.nk, "left").withColumn(
+        "b", F.coalesce("b", F.array().cast("array<string>"))
+    )
+    inter = F.array_intersect("a", "b")
+    uni = F.array_sort(F.array_union("a", "b"))
+    return j.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.array_join("a", ",").alias("set_a"),
+        F.array_join("b", ",").alias("set_b"),
+        F.size(inter).cast("bigint").alias("n_intersect"),
+        F.array_join(uni, ",").alias("set_union"),
+        F.when(F.size(inter) > 0, F.array_join(uni, ",")).otherwise(F.array_join("b", ",")).alias(
+            "merged_or_replaced"
+        ),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# CUR1 — the full curation pipeline end-to-end on synthesized metadata rows
+# (rows-only check: the oracle cannot express the whole pipeline in one SQL
+# statement; its component operators are oracle-checked individually as
+# D1/D2/D3/D4/D5/C1-C10/W1/J1/J3 entries).
+# ---------------------------------------------------------------------------
+@register(
+    "CUR1_curation_end_to_end",
+    None,
+    doc="Full curate(): parse→resolve→mint→hierarchy→agents→prov on synthetic metadata (SURVEY §3.1).",
+)
+def cur1_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import curate
+    from oc_meta_spark.schemas import META_INPUT_SCHEMA
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    meta = part.select(
+        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/p"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
+        F.lit("2024-01").alias("pub_date"),
+        F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]")).alias("venue"),
+        (F.col("p_size") % 5 + 1).cast("string").alias("volume"),
+        F.lit("").alias("issue"),
+        F.lit("").alias("page"),
+        F.lit("journal article").alias("type"),
+        F.col("p_brand").alias("publisher"),
+        F.lit("").alias("editor"),
+    )
+    result = curate(meta)
+    return result.curated.drop("row_id").orderBy("id")

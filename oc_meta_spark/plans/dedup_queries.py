@@ -398,19 +398,30 @@ def d17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Blocked Jaccard similarity join with exact int set arithmetic (training-data dedup).",
 )
 def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index formulation: pairs materialize ONLY through shared
+    # (source, word) postings — a pair with zero common words never exists,
+    # and a pair with inter=0 cannot pass inter*2 > uni, so this is exactly
+    # equivalent to the all-pairs oracle while scaling as O(sum of posting-
+    # list squares) instead of O(block² · |doc|).  This is the 100 TB shape:
+    # the shuffle keys on (source, word), AQE splits skewed hub words.
     docs = _t(spark, sf_dir, "documents")
-    words = _words(docs)
-    ws = words.groupBy("doc_id").agg(F.array_sort(F.collect_list("w")).alias("wset"), F.count(F.lit(1)).alias("n"))
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    pairs = a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wset_a"), F.col("n").alias("n_a"))
-    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wset_b"), F.col("n").alias("n_b"))
-    out = (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("wset_a", "wset_b")).cast("bigint"))
+    words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w", "source")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w", "source")
+    inter = (
+        wa.join(wb, ["w", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("bigint"))
+        .withColumn("inter", F.col("inter").cast("bigint"))
         .filter(F.col("inter") * 2 > F.col("uni"))
         .select(
             "doc_a",
@@ -421,7 +432,6 @@ def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
