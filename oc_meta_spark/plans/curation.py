@@ -48,6 +48,7 @@ from oc_meta_spark.functions.parsing import (
 )
 from oc_meta_spark.functions.volume_issue import repair_vi_udf
 from oc_meta_spark.operators.cc import connected_components
+from oc_meta_spark.operators.minting import mint_omids
 from oc_meta_spark.schemas import (
     CONTAINER_EDITOR_TYPES,
     ENTITY_TABLES,
@@ -219,7 +220,7 @@ def _max_counter(cat_df: DataFrame, kind: str, prefix: str) -> int:
     return int(row["max_n"] or 0)
 
 
-def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str) -> DataFrame:
+def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str, small: bool = False) -> DataFrame:
     """Per row: decide existing / new / conflict and assign a br omid.
 
     Returns (row_id, br_omid, is_new, component, decision).
@@ -307,15 +308,10 @@ def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str) -> DataF
 
     # Mint new omids for new/conflict components, ordered by min row_id.
     comp_order = row_comp.groupBy("component").agg(F.min("row_id").alias("first_row"))
-    need_mint = (
-        comp_cands.filter(F.col("decision") != "existing")
-        .join(comp_order, "component")
-        .withColumn("mint_rank", F.row_number().over(Window.orderBy("first_row")))
-    )
+    need_mint = comp_cands.filter(F.col("decision") != "existing").join(comp_order, "component")
     offset = _max_counter(catalog.br, "br", prefix)
-    minted = need_mint.select(
-        "component",
-        F.concat(F.lit(f"br/{prefix}"), (F.col("mint_rank") + offset).cast("string")).alias("minted_omid"),
+    minted = mint_omids(need_mint, ["first_row"], "br", prefix, offset, "minted_omid", small=small).select(
+        "component", "minted_omid"
     )
 
     decisions = (
@@ -351,7 +347,11 @@ def curate(
         catalog = EntityCatalog.empty(spark)
 
     staged = stage_parse(input_df).localCheckpoint(eager=True)
-    resolution = resolve_brs(staged, catalog, prefix).localCheckpoint(eager=True)
+    # Physical-plan switch: micro-batches mint via a zero-extra-job window;
+    # big batches use the fully-distributed rank assignment.  Same omids
+    # either way (operators/minting.py).
+    small = staged.count() <= 200_000
+    resolution = resolve_brs(staged, catalog, prefix, small).localCheckpoint(eager=True)
     rows = staged.join(resolution.select("row_id", "br_omid", "is_new", "decision"), "row_id")
 
     # --- D4/W5: propagate canonical values within each entity group -------
@@ -392,17 +392,16 @@ def curate(
         .dropDuplicates(["schema", "value", "br_omid"])
     )
     id_offset = _max_counter(catalog.id, "id", prefix)
-    new_tokens = (
+    new_tokens = mint_omids(
         toks.select("schema", "value")
         .dropDuplicates()
-        .join(catalog.id.select("schema", "value"), ["schema", "value"], "left_anti")
-        .withColumn(
-            "id_omid",
-            F.concat(
-                F.lit(f"id/{prefix}"),
-                (F.row_number().over(Window.orderBy("schema", "value")) + id_offset).cast("string"),
-            ),
-        )
+        .join(catalog.id.select("schema", "value"), ["schema", "value"], "left_anti"),
+        ["schema", "value"],
+        "id",
+        prefix,
+        id_offset,
+        "id_omid",
+        small=small,
     ).localCheckpoint(eager=True)
     id_new = new_tokens.select(F.col("id_omid").alias("omid"), "schema", "value")
     all_id_omids = catalog.id.unionByName(id_new)
@@ -450,13 +449,9 @@ def curate(
         .agg(F.min("v_name").alias("v_name"))
     )
     br_offset_2 = _max_counter(catalog.br, "br", prefix) + resolve_count(resolution)
-    new_venues = new_venues.withColumn(
-        "venue_omid",
-        F.concat(
-            F.lit(f"br/{prefix}"),
-            (F.row_number().over(Window.orderBy("v_key")) + br_offset_2).cast("string"),
-        ),
-    ).localCheckpoint(eager=True)
+    new_venues = mint_omids(new_venues, ["v_key"], "br", prefix, br_offset_2, "venue_omid", small=small).localCheckpoint(
+        eager=True
+    )
     venues = (
         venues.withColumn("v_key", F.lower("v_name"))
         .join(new_venues.select("v_key", "venue_omid"), "v_key", "left")
@@ -471,12 +466,14 @@ def curate(
             F.col("part_of").alias(parent_col), F.col("seq_id").alias(seq_col), F.col("omid").alias("child_omid")
         )
         resolved = need.join(cat_children, [parent_col, seq_col], "left")
-        new = resolved.filter(F.col("child_omid").isNull()).withColumn(
+        new = mint_omids(
+            resolved.filter(F.col("child_omid").isNull()).drop("child_omid"),
+            [parent_col, seq_col],
+            "br",
+            prefix,
+            offset,
             "child_omid",
-            F.concat(
-                F.lit(f"br/{prefix}"),
-                (F.row_number().over(Window.orderBy(parent_col, seq_col)) + offset).cast("string"),
-            ),
+            small=small,
         )
         return resolved.filter(F.col("child_omid").isNotNull()).unionByName(new).localCheckpoint(eager=True)
 
@@ -537,13 +534,7 @@ def curate(
         F.regexp_extract(F.translate(F.col("page"), "‐‑‒–—―−﹘﹣－", "----------"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 2).alias("end_page"),
     )
     re_offset = _max_counter(catalog.re, "re", prefix)
-    re_new = pages.withColumn(
-        "omid",
-        F.concat(
-            F.lit(f"re/{prefix}"),
-            (F.row_number().over(Window.orderBy("br_omid")) + re_offset).cast("string"),
-        ),
-    ).localCheckpoint(eager=True)
+    re_new = mint_omids(pages, ["br_omid"], "re", prefix, re_offset, small=small).localCheckpoint(eager=True)
 
     # --- agents (D6/D7): RA resolution + AR chains with pos ---------------
     agents = None
@@ -620,14 +611,10 @@ def curate(
             F.min("given").alias("given"),
             F.min("org_name").alias("org_name"),
         )
-        .withColumn(
-            "ra_omid",
-            F.concat(
-                F.lit(f"ra/{prefix}"),
-                (F.row_number().over(Window.orderBy("first_key")) + ra_offset).cast("string"),
-            ),
-        )
-    ).localCheckpoint(eager=True)
+    )
+    new_ra_comps = mint_omids(new_ra_comps, ["first_key"], "ra", prefix, ra_offset, "ra_omid", small=small).localCheckpoint(
+        eager=True
+    )
     agents = (
         agents.join(new_ra_comps.select("a_component", "ra_omid"), "a_component", "left")
         .withColumn("ra_omid", F.coalesce("comp_ra_existing", "ra_omid"))
@@ -646,13 +633,9 @@ def curate(
     ar_new = (
         agents.join(existing_max, ["br_omid", "role"], "left")
         .withColumn("pos_final", (F.coalesce(F.col("base_pos"), F.lit(0)) + F.col("pos")).cast("int"))
-        .withColumn(
-            "omid",
-            F.concat(
-                F.lit(f"ar/{prefix}"),
-                (F.row_number().over(Window.orderBy("br_omid", "role", "pos_final")) + ar_offset).cast("string"),
-            ),
-        )
+    )
+    ar_new = (
+        mint_omids(ar_new, ["br_omid", "role", "pos_final"], "ar", prefix, ar_offset, small=small)
         .select("omid", "br_omid", "role", "ra_omid", F.col("pos_final").alias("pos"))
     ).localCheckpoint(eager=True)
 
@@ -667,23 +650,46 @@ def curate(
         ra_tok.select("schema", "value")
         .dropDuplicates()
         .join(all_id_omids.select("schema", "value"), ["schema", "value"], "left_anti")
-        .withColumn(
-            "omid",
-            F.concat(
-                F.lit(f"id/{prefix}"),
-                (
-                    F.row_number().over(Window.orderBy("schema", "value"))
-                    + id_offset
-                    + id_new.count()
-                ).cast("string"),
-            ),
-        )
+    )
+    ra_id_new_tokens = (
+        mint_omids(ra_id_new_tokens, ["schema", "value"], "id", prefix, id_offset + id_new.count(), small=small)
         .select("omid", "schema", "value")
     ).localCheckpoint(eager=True)
     id_new = id_new.unionByName(ra_id_new_tokens)
     all_id_omids = all_id_omids.unionByName(ra_id_new_tokens)
     entity_id_new = entity_id_new.unionByName(
         ra_tok.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
+        .select("entity_omid", "id_omid")
+        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
+        .dropDuplicates()
+    )
+
+    # Venue identifier links: minted venue entities carry the issn/etc ids
+    # that named them (closes the resolution loop for future batches).
+    ven_tok = (
+        v_tok.filter(F.col("schema").isNotNull() & (F.col("schema") != "omid"))
+        .join(venues.select("br_omid", "venue_omid"), "br_omid")
+        .filter(F.col("venue_omid").isNotNull())
+        .select("schema", "value", F.col("venue_omid").alias("entity_omid"))
+        .dropDuplicates()
+    )
+    ven_new_tokens = (
+        mint_omids(
+            ven_tok.select("schema", "value")
+            .dropDuplicates()
+            .join(all_id_omids.select("schema", "value"), ["schema", "value"], "left_anti"),
+            ["schema", "value"],
+            "id",
+            prefix,
+            id_offset + id_new.count(),
+            small=small,
+        )
+        .select("omid", "schema", "value")
+    ).localCheckpoint(eager=True)
+    id_new = id_new.unionByName(ven_new_tokens)
+    all_id_omids = all_id_omids.unionByName(ven_new_tokens)
+    entity_id_new = entity_id_new.unionByName(
+        ven_tok.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
         .select("entity_omid", "id_omid")
         .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
         .dropDuplicates()
@@ -832,7 +838,7 @@ def curate(
             ).otherwise("").alias("venue"),
             F.col("volume_clean").alias("volume"),
             F.col("issue_clean").alias("issue"),
-            F.coalesce("page", F.lit("")).alias("page"),
+            F.translate(F.coalesce("page", F.lit("")), "\u2010\u2011\u2012\u2013\u2014\u2015\u2212\ufe58\ufe63\uff0d", "----------").alias("page"),
             F.col("type_f").alias("type"),
             F.coalesce("publisher_str", F.lit("")).alias("publisher"),
             F.coalesce("editor_str", F.lit("")).alias("editor"),

@@ -192,6 +192,32 @@ class TestUpdateScenario:
         new_ids = {(r["schema"], r["value"]) for r in r2.id_new.collect()}
         assert known_ids.isdisjoint(new_ids)
 
+    def test_venue_resolution_by_issn_in_later_batch(self, spark, result):
+        """Minted venues carry their identifier links, so a later batch
+        naming the venue by issn (even under a different name) resolves to
+        the existing journal instead of minting a new one."""
+        catalog = EntityCatalog.empty(spark).union(result)
+        batch = _input(
+            spark,
+            [
+                {
+                    "id": "doi:10.1000/venue_probe",
+                    "title": "Venue Probe",
+                    "pub_date": "2025",
+                    "venue": "QSS Renamed [issn:2641-3337]",
+                    "volume": "5",
+                    "issue": "1",
+                    "type": "journal article",
+                }
+            ],
+        )
+        r = curate(batch, catalog, prefix="060")
+        new_journals = [x for x in r.br_new.collect() if x["type"] in ("journal", "journal volume", "journal issue")]
+        assert new_journals == []  # venue, volume 5 AND issue 1 all resolved
+        known_venue = next(x for x in result.br_new.collect() if x["type"] == "journal")
+        curated = r.curated.first()
+        assert f"omid:{known_venue['omid']}" in curated["venue"]
+
     def test_omid_counters_continue(self, spark, result):
         catalog = EntityCatalog.empty(spark).union(result)
         r2 = curate(

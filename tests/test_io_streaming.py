@@ -132,3 +132,29 @@ def test_multimodal_features_and_dedup(spark):
 
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image/png")
+
+
+def test_orcid_xml_extraction(spark):
+    from oc_meta_spark.sources.orcid_xml import parse_orcid_summaries
+
+    xml = """<record:record>
+      <common:orcid-identifier>
+        <common:path>0000-0002-1825-0097</common:path>
+      </common:orcid-identifier>
+      <person:name>
+        <personal-details:given-names>Josiah</personal-details:given-names>
+        <personal-details:family-name>Carberry</personal-details:family-name>
+      </person:name>
+      <activities:works>
+        <common:external-id-type>doi</common:external-id-type>
+        <common:external-id-value>10.5555/12345678</common:external-id-value>
+        <common:external-id-type>doi</common:external-id-type>
+        <common:external-id-value>10.5555/87654321</common:external-id-value>
+      </activities:works>
+    </record:record>"""
+    df = spark.createDataFrame([(xml,), ("<record:record>no orcid</record:record>",)], ["xml"])
+    rows = sorted(parse_orcid_summaries(df).collect(), key=lambda r: r["doi"])
+    assert len(rows) == 2
+    assert all(r["orcid"] == "0000-0002-1825-0097" for r in rows)
+    assert rows[0]["given"] == "Josiah" and rows[0]["family"] == "Carberry"
+    assert [r["doi"] for r in rows] == ["10.5555/12345678", "10.5555/87654321"]
