@@ -25,15 +25,52 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find for small edge sets — the same adaptive
+    physical-plan choice as a broadcast join: identical (node, min-node)
+    output, none of the per-iteration job overhead.  Only entered below
+    ``local_threshold`` edges, so driver memory is bounded.
+    """
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges.select(src, dst).collect():
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = [(n, find(n)) for n in parent]
+    schema = edges.select(F.col(src).alias("node"), F.col(src).alias("comp")).schema
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the
     weakly-connected component.  Edges are treated as undirected.
+
+    Below ``local_threshold`` edges the computation runs as driver-side
+    union-find (identical result, no iterative shuffles); pass
+    ``local_threshold=0`` to force the distributed loop.
     """
+    if local_threshold:
+        edges = edges.localCheckpoint(eager=True)
+        if edges.limit(local_threshold + 1).count() <= local_threshold:
+            return _local_union_find(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -66,7 +66,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Connected components via iterative min-label + pointer jumping (SURVEY D3/D10).",
 )
 def g1_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = connected_components(_edges(spark, sf_dir), src="u", dst="v")
+    # local_threshold=0 forces the distributed min-label loop — this entry
+    # exists to verify the scale path, not the small-graph fast path.
+    labels = connected_components(_edges(spark, sf_dir), src="u", dst="v", local_threshold=0)
     return labels.select("node", F.col("comp").alias("component")).orderBy("node")
 
 
