@@ -586,6 +586,33 @@ def curate(
         .groupBy("agent_key")
         .agg(F.min("entity_omid").alias("ra_existing"))
     )
+
+    # D7 name fallback: agents without an id match resolve by exact name
+    # against the BR's EXISTING agent chain (reference clean_ra,
+    # oc_meta/core/curator.py:575-742 — chain-scoped, not catalog-wide).
+    chain = catalog.ar.select(
+        F.col("br_omid").alias("c_br"), F.col("role").alias("c_role"), F.col("ra_omid").alias("c_ra")
+    ).join(
+        catalog.ra.select(
+            F.col("omid").alias("c_ra"),
+            F.col("name").alias("c_name"),
+            F.col("family").alias("c_family"),
+            F.col("given").alias("c_given"),
+        ),
+        "c_ra",
+    )
+    name_match = (
+        agents.join(
+            chain,
+            (F.col("br_omid") == F.col("c_br"))
+            & (F.col("role") == F.col("c_role"))
+            & F.col("family").eqNullSafe(F.col("c_family"))
+            & F.col("given").eqNullSafe(F.col("c_given"))
+            & F.col("org_name").eqNullSafe(F.col("c_name")),
+        )
+        .groupBy("agent_key")
+        .agg(F.min("c_ra").alias("ra_name_match"))
+    )
     a_edges = a_tok_clean.select(
         F.concat(F.lit("a:"), F.col("agent_key")).alias("src"),
         F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
@@ -598,8 +625,12 @@ def curate(
         agents.join(agent_comp, "agent_key", "left")
         .withColumn("a_component", F.coalesce("a_component", F.concat(F.lit("solo:"), F.col("agent_key"))))
         .join(ra_match, "agent_key", "left")
+        .join(name_match, "agent_key", "left")
     )
-    comp_ra = agents.groupBy("a_component").agg(F.min("ra_existing").alias("comp_ra_existing"))
+    # Priority per unified component: id match > chain name match > new RA.
+    comp_ra = agents.groupBy("a_component").agg(
+        F.coalesce(F.min("ra_existing"), F.min("ra_name_match")).alias("comp_ra_existing")
+    )
     agents = agents.join(comp_ra, "a_component")
     ra_offset = _max_counter(catalog.ra, "ra", prefix)
     new_ra_comps = (
@@ -628,11 +659,22 @@ def curate(
     )
 
     # AR rows: positions continue any existing chain (max pos per br+role).
+    # Agents resolving to an RA already present in the BR's chain get NO new
+    # AR (the reference keeps the survivor chain; re-curation is a no-op).
     existing_max = catalog.ar.groupBy(F.col("br_omid"), F.col("role")).agg(F.max("pos").alias("base_pos"))
     ar_offset = _max_counter(catalog.ar, "ar", prefix)
+    new_ar_agents = agents.join(
+        catalog.ar.select("br_omid", "role", "ra_omid"), ["br_omid", "role", "ra_omid"], "left_anti"
+    )
+    w_newpos = Window.partitionBy("br_omid", "role").orderBy("pos")
     ar_new = (
-        agents.join(existing_max, ["br_omid", "role"], "left")
-        .withColumn("pos_final", (F.coalesce(F.col("base_pos"), F.lit(0)) + F.col("pos")).cast("int"))
+        new_ar_agents.join(existing_max, ["br_omid", "role"], "left")
+        # chain continues contiguously: rank among NEW agents only, so
+        # agents that matched existing chain slots leave no position gaps
+        .withColumn(
+            "pos_final",
+            (F.coalesce(F.col("base_pos"), F.lit(0)) + F.row_number().over(w_newpos)).cast("int"),
+        )
     )
     ar_new = (
         mint_omids(ar_new, ["br_omid", "role", "pos_final"], "ar", prefix, ar_offset, small=small)

@@ -192,6 +192,31 @@ class TestUpdateScenario:
         new_ids = {(r["schema"], r["value"]) for r in r2.id_new.collect()}
         assert known_ids.isdisjoint(new_ids)
 
+    def test_agent_chain_reuse_and_continuation(self, spark):
+        """Re-curating the same agents is a no-op (id match AND chain-scoped
+        name match); a genuinely new agent appends at the next contiguous
+        position (reference clean_ra semantics, curator.py:575-742)."""
+        base = [
+            {
+                "id": "doi:10.1000/chain1",
+                "title": "T",
+                "author": "Smith, John [orcid:0000-0002-1825-0097]; NoId, Jane",
+                "pub_date": "2020",
+                "type": "journal article",
+            }
+        ]
+        r1 = curate(_input(spark, base), None, prefix="060")
+        catalog = EntityCatalog.empty(spark).union(r1)
+        # exact re-curation → no new ARs or RAs (NoId Jane matches by name)
+        r2 = curate(_input(spark, base), catalog, prefix="060")
+        assert r2.ar_new.count() == 0 and r2.ra_new.count() == 0
+        # one new author → exactly one AR at pos 3 (chain max 2 + 1, no gap)
+        ext = [dict(base[0], author=base[0]["author"] + "; Third, Person")]
+        r3 = curate(_input(spark, ext), catalog, prefix="060")
+        ars = r3.ar_new.collect()
+        assert len(ars) == 1 and ars[0]["pos"] == 3
+        assert r3.ra_new.count() == 1
+
     def test_venue_resolution_by_issn_in_later_batch(self, spark, result):
         """Minted venues carry their identifier links, so a later batch
         naming the venue by issn (even under a different name) resolves to
