@@ -422,6 +422,12 @@ def curate(
             F.col("venue_parsed")["ids"].alias("v_ids"),
             "volume_clean",
             "issue_clean",
+            # C14 venue-type inference: journal-content rows imply a journal
+            # container, chapter-like rows a book (reference creator.py
+            # venue-class dispatch, core/creator.py:393-431).
+            F.when(
+                F.col("type_f").isin(*sorted(SEQ_TYPES)), "journal"
+            ).otherwise("book").alias("v_type_hint"),
         )
     )
     v_tok = venues.select("br_omid", F.explode_outer("v_ids").alias("t")).select(
@@ -433,7 +439,7 @@ def curate(
     v_match = (
         v_tok.join(cat_ids_all, ["schema", "value"])
         .join(
-            catalog.br.filter(F.col("type") == "journal").select(F.col("omid").alias("entity_omid")),
+            catalog.br.filter(F.col("type").isin("journal", "book")).select(F.col("omid").alias("entity_omid")),
             "entity_omid",
             "left_semi",
         )
@@ -444,9 +450,9 @@ def curate(
     # unresolved venues dedup by lowercase name within the batch
     new_venues = (
         venues.filter(F.col("venue_existing").isNull())
-        .select(F.lower("v_name").alias("v_key"), F.col("v_name"))
+        .select(F.lower("v_name").alias("v_key"), F.col("v_name"), F.col("v_type_hint"))
         .groupBy("v_key")
-        .agg(F.min("v_name").alias("v_name"))
+        .agg(F.min("v_name").alias("v_name"), F.max("v_type_hint").alias("v_type"))
     )
     br_offset_2 = _max_counter(catalog.br, "br", prefix) + resolve_count(resolution)
     new_venues = mint_omids(new_venues, ["v_key"], "br", prefix, br_offset_2, "venue_omid", small=small).localCheckpoint(
@@ -540,8 +546,25 @@ def curate(
     agents = None
     for role, col in (("author", "authors"), ("editor", "editors"), ("publisher", "publishers")):
         part = entity_rows.select(
-            "br_omid", F.lit(role).alias("role"), F.explode(col).alias("a")
+            "br_omid", "type_f", F.lit(role).alias("role"), F.explode(col).alias("a")
         )
+        if role == "editor":
+            # Editors of chapter-like types belong to the CONTAINER BR
+            # (reference get_edited_br_metaid, core/curator.py:1538-1546;
+            # CONTAINER_EDITOR_TYPES constants.py:60-68).
+            part = (
+                part.join(container.select("br_omid", "venue_omid"), "br_omid", "left")
+                .withColumn(
+                    "br_omid",
+                    F.when(
+                        F.col("type_f").isin(*sorted(CONTAINER_EDITOR_TYPES))
+                        & F.col("venue_omid").isNotNull(),
+                        F.col("venue_omid"),
+                    ).otherwise(F.col("br_omid")),
+                )
+                .drop("venue_omid")
+            )
+        part = part.drop("type_f")
         agents = part if agents is None else agents.unionByName(part)
     agents = (
         agents.select(
@@ -753,7 +776,7 @@ def curate(
     br_new = br_new.unionByName(
         new_venues.select(
             F.col("venue_omid").alias("omid"),
-            F.lit("journal").alias("type"),
+            F.col("v_type").alias("type"),
             F.col("v_name").alias("title"),
             F.lit(None).cast("string").alias("pub_date"),
             F.lit(None).cast("string").alias("seq_id"),

@@ -243,6 +243,31 @@ class TestUpdateScenario:
         curated = r.curated.first()
         assert f"omid:{known_venue['omid']}" in curated["venue"]
 
+    def test_editor_on_container_and_book_venue(self, spark):
+        """Chapter-like types: venue minted as a book and the editor AR
+        attaches to the container BR, not the chapter (reference
+        CONTAINER_EDITOR_TYPES / get_edited_br_metaid)."""
+        rows = [
+            {
+                "id": "doi:10.1000/chap1",
+                "title": "A Chapter",
+                "author": "Writer, Wendy",
+                "editor": "Editor, Ed [orcid:0000-0002-1825-0097]",
+                "venue": "Big Handbook [isbn:9780306406157]",
+                "pub_date": "2019",
+                "type": "book chapter",
+            }
+        ]
+        r = curate(_input(spark, rows), None, prefix="060")
+        brs = {x["omid"]: x for x in r.br_new.collect()}
+        chapter = next(x for x in brs.values() if x["type"] == "book chapter")
+        book = next(x for x in brs.values() if x["type"] == "book")
+        assert chapter["part_of"] == book["omid"]
+        ars = {(a["role"], a["br_omid"]) for a in r.ar_new.collect()}
+        assert ("author", chapter["omid"]) in ars
+        assert ("editor", book["omid"]) in ars
+        assert ("editor", chapter["omid"]) not in ars
+
     def test_omid_counters_continue(self, spark, result):
         catalog = EntityCatalog.empty(spark).union(result)
         r2 = curate(
