@@ -78,9 +78,15 @@ class EntityCatalog:
 
     def union(self, delta: "CurationResult") -> "EntityCatalog":
         """Catalog after applying a batch's deltas (append-only tables)."""
+        upd = delta.ra_updates.withColumnRenamed("omid", "u_omid").withColumnRenamed("given", "u_given")
+        ra = (
+            self.ra.join(upd, self.ra.omid == upd.u_omid, "left")
+            .withColumn("given", F.coalesce(F.nullif("given", F.lit("")), "u_given"))
+            .drop("u_omid", "u_given")
+        )
         return EntityCatalog(
             br=self.br.unionByName(delta.br_new),
-            ra=self.ra.unionByName(delta.ra_new),
+            ra=ra.unionByName(delta.ra_new),
             id=self.id.unionByName(delta.id_new),
             entity_id=self.entity_id.unionByName(delta.entity_id_new),
             ar=self.ar.unionByName(delta.ar_new),
@@ -94,6 +100,7 @@ class CurationResult:
     curated: DataFrame
     br_new: DataFrame
     ra_new: DataFrame
+    ra_updates: DataFrame  # (omid, given) — given-name enrichment of existing RAs
     id_new: DataFrame
     entity_id_new: DataFrame
     ar_new: DataFrame
@@ -545,9 +552,11 @@ def curate(
     # --- agents (D6/D7): RA resolution + AR chains with pos ---------------
     agents = None
     for role, col in (("author", "authors"), ("editor", "editors"), ("publisher", "publishers")):
+        # display_br = the input row's entity (curated-CSV attribution);
+        # br_omid may be retargeted to the container for the GRAPH (ARs).
         part = entity_rows.select(
             "br_omid", "type_f", F.lit(role).alias("role"), F.explode(col).alias("a")
-        )
+        ).withColumn("display_br", F.col("br_omid"))
         if role == "editor":
             # Editors of chapter-like types belong to the CONTAINER BR
             # (reference get_edited_br_metaid, core/curator.py:1538-1546;
@@ -569,6 +578,7 @@ def curate(
     agents = (
         agents.select(
             "br_omid",
+            "display_br",
             "role",
             F.col("a")["family"].alias("family"),
             F.col("a")["given"].alias("given"),
@@ -672,6 +682,24 @@ def curate(
     agents = (
         agents.join(new_ra_comps.select("a_component", "ra_omid"), "a_component", "left")
         .withColumn("ra_omid", F.coalesce("comp_ra_existing", "ra_omid"))
+    ).localCheckpoint(eager=True)
+
+    # Given-name enrichment (reference name_check, core/curator.py:1013-1022):
+    # an id-matched agent supplying a given name fills a catalog RA that has
+    # only 'Family,'.
+    cat_ra_names = catalog.ra.select(
+        F.col("omid").alias("ra_omid"),
+        F.col("family").alias("cat_family"),
+        F.col("given").alias("cat_given"),
+    )
+    ra_updates = (
+        agents.filter(F.col("given").isNotNull() & (F.col("given") != ""))
+        .join(cat_ra_names, "ra_omid")
+        .filter(F.col("cat_given").isNull() | (F.col("cat_given") == ""))
+        .filter(F.col("cat_family").isNotNull() & (F.col("cat_family") == F.col("family")))
+        .groupBy("ra_omid")
+        .agg(F.min("given").alias("given"))
+        .select(F.col("ra_omid").alias("omid"), "given")
     ).localCheckpoint(eager=True)
 
     ra_new = new_ra_comps.select(
@@ -828,6 +856,7 @@ def curate(
         .dropDuplicates()
         .join(created.withColumnRenamed("omid", "entity_omid"), "entity_omid", "left_anti")
     )
+    modified = modified.unionByName(ra_updates.select(F.col("omid").alias("entity_omid")))
     prov_new = prov_new.unionByName(
         modified.join(prev_max, "entity_omid", "left")
         .select(
@@ -838,7 +867,7 @@ def curate(
             F.array(F.col("entity_omid")).cast("array<string>").alias("derived_from"),
             F.lit(resp_agent).alias("resp_agent"),
             F.lit(None).cast("string").alias("primary_source"),
-            F.lit("entity modified: identifiers added").alias("description"),
+            F.lit("entity modified").alias("description"),
             F.lit(None).cast("string").alias("update_query"),
         )
     )
@@ -868,7 +897,7 @@ def curate(
             F.concat(F.lit("omid:"), F.col("ra_omid")),
         )
         .withColumn("entry", F.concat(F.col("display"), F.lit(" ["), F.col("ids_str"), F.lit("]")))
-        .groupBy("br_omid", "role")
+        .groupBy(F.col("display_br").alias("br_omid"), F.col("role"))
         .agg(
             F.array_join(
                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "entry"))), lambda s: s["entry"]),
@@ -948,6 +977,7 @@ def curate(
         curated=curated,
         br_new=br_new,
         ra_new=ra_new,
+        ra_updates=ra_updates,
         id_new=id_new,
         entity_id_new=entity_id_new,
         ar_new=ar_new,

@@ -39,6 +39,22 @@ def load_catalog(spark: SparkSession, store_dir: str) -> EntityCatalog:
 
 
 def append_result(result, store_dir: str) -> None:
+    # Given-name enrichment mutates existing RA rows: read-modify-overwrite
+    # (localCheckpoint first — we read and rewrite the same path).
+    ra_path = os.path.join(store_dir, "ra")
+    import pyspark.sql.functions as F
+
+    if os.path.isdir(ra_path) and result.ra_updates.take(1):
+        spark = result.ra_updates.sparkSession
+        upd = result.ra_updates.withColumnRenamed("omid", "u_omid").withColumnRenamed("given", "u_given")
+        merged = (
+            spark.read.parquet(ra_path)
+            .join(upd, F.col("omid") == F.col("u_omid"), "left")
+            .withColumn("given", F.coalesce(F.nullif("given", F.lit("")), "u_given"))
+            .drop("u_omid", "u_given")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(ra_path)
     deltas = {
         "br": result.br_new,
         "ra": result.ra_new,

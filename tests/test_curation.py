@@ -243,6 +243,42 @@ class TestUpdateScenario:
         curated = r.curated.first()
         assert f"omid:{known_venue['omid']}" in curated["venue"]
 
+    def test_given_name_enrichment(self, spark):
+        """An id-matched agent supplying a given name fills a catalog RA
+        that has only 'Family,' (reference name_check)."""
+        b1 = [
+            {
+                "id": "doi:10.1000/enr1",
+                "title": "T",
+                "author": "Soloist, [orcid:0000-0002-1825-0097]",
+                "pub_date": "2020",
+                "type": "journal article",
+            }
+        ]
+        r1 = curate(_input(spark, b1), None, prefix="060")
+        ra1 = r1.ra_new.first()
+        assert ra1["family"] == "Soloist" and not ra1["given"]
+        catalog = EntityCatalog.empty(spark).union(r1)
+        b2 = [
+            {
+                "id": "doi:10.1000/enr2",
+                "title": "T2",
+                "author": "Soloist, Sam [orcid:0000-0002-1825-0097]",
+                "pub_date": "2021",
+                "type": "journal article",
+            }
+        ]
+        r2 = curate(_input(spark, b2), catalog, prefix="060")
+        upd = r2.ra_updates.collect()
+        assert len(upd) == 1 and upd[0]["omid"] == ra1["omid"] and upd[0]["given"] == "Sam"
+        assert r2.ra_new.count() == 0  # resolved, not re-minted
+        # applying the delta updates the catalog row
+        cat2 = catalog.union(r2)
+        row = next(r for r in cat2.ra.collect() if r["omid"] == ra1["omid"])
+        assert row["given"] == "Sam"
+        # and the enrichment is provenance-tracked
+        assert any(p["entity_omid"] == ra1["omid"] and "modified" in p["description"] for p in r2.prov_new.collect())
+
     def test_editor_on_container_and_book_venue(self, spark):
         """Chapter-like types: venue minted as a book and the editor AR
         attaches to the container BR, not the chapter (reference
@@ -267,6 +303,10 @@ class TestUpdateScenario:
         assert ("author", chapter["omid"]) in ars
         assert ("editor", book["omid"]) in ars
         assert ("editor", chapter["omid"]) not in ars
+        # curated CSV keeps the editor on the chapter ROW (display) even
+        # though the graph attaches it to the container
+        c = r.curated.first()
+        assert c["editor"].startswith("Editor, Ed [omid:ra/")
 
     def test_omid_counters_continue(self, spark, result):
         catalog = EntityCatalog.empty(spark).union(result)
