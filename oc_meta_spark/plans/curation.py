@@ -25,10 +25,10 @@ Design-for-scale notes:
 - Partial dates are strings end-to-end (SURVEY hard part §7.4.3).
 
 Deliberate simplifications vs the reference (documented, not hidden):
-- the "silencer" (skip role-additions on preexisting entities,
-  run/meta_process.py:127-159) is not modeled;
-- agent chain-scoped name matching falls back to catalog-wide exact
-  (family, given) matching only for rows resolved to an existing BR.
+- C9 implements the repair-strategy cascade with a representative pattern
+  subset, not all ~40 reference regexes;
+- the streaming store applies RA updates by parquet rewrite — a production
+  deployment would use a Delta MERGE.
 """
 
 from __future__ import annotations
@@ -344,6 +344,7 @@ def curate(
     prefix: str = "060",
     resp_agent: str = "oc_meta_spark",
     batch_ts: str = "1970-01-01T00:00:00Z",
+    silencer: bool = False,
 ) -> CurationResult:
     """Run the full curation batch.  ``batch_ts`` is injected (never wall
     clock) so results are reproducible — the reference's counters give it
@@ -717,6 +718,12 @@ def curate(
     new_ar_agents = agents.join(
         catalog.ar.select("br_omid", "role", "ra_omid"), ["br_omid", "role", "ra_omid"], "left_anti"
     )
+    if silencer:
+        # Silencer mode (reference run/meta_process.py:127-159): suppress
+        # agent-role ADDITIONS on preexisting entities — modifications of
+        # other fields still apply; new entities get their chains normally.
+        preexisting = catalog.br.select("omid").withColumnRenamed("omid", "br_omid")
+        new_ar_agents = new_ar_agents.join(preexisting, "br_omid", "left_anti")
     w_newpos = Window.partitionBy("br_omid", "role").orderBy("pos")
     ar_new = (
         new_ar_agents.join(existing_max, ["br_omid", "role"], "left")

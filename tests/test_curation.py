@@ -243,6 +243,30 @@ class TestUpdateScenario:
         curated = r.curated.first()
         assert f"omid:{known_venue['omid']}" in curated["venue"]
 
+    def test_silencer_suppresses_additions_on_preexisting(self, spark):
+        """silencer=True: no agent-role additions on preexisting BRs; new
+        entities still get their chains (reference silencer semantics)."""
+        r1 = curate(
+            _input(spark, [{"id": "doi:10.1000/sil1", "title": "T", "author": "First, F", "pub_date": "2020", "type": "journal article"}]),
+            None,
+            prefix="060",
+        )
+        catalog = EntityCatalog.empty(spark).union(r1)
+        b2 = _input(
+            spark,
+            [
+                {"id": "doi:10.1000/sil1", "title": "T", "author": "First, F; Second, S", "pub_date": "2020", "type": "journal article"},
+                {"id": "doi:10.1000/sil2", "title": "New", "author": "Third, T", "pub_date": "2021", "type": "journal article"},
+            ],
+        )
+        on = curate(b2, catalog, prefix="060", silencer=True)
+        ars_on = {(a["br_omid"], a["role"]) for a in on.ar_new.collect()}
+        existing_br = r1.br_new.first()["omid"]
+        assert all(br != existing_br for br, _ in ars_on)
+        assert len(ars_on) == 1  # only the new work's author
+        off = curate(b2, catalog, prefix="060", silencer=False)
+        assert any(a["br_omid"] == existing_br for a in off.ar_new.collect())
+
     def test_given_name_enrichment(self, spark):
         """An id-matched agent supplying a given name fills a catalog RA
         that has only 'Family,' (reference name_check)."""
