@@ -64,7 +64,12 @@ def remove_ascii(col: Column) -> Column:
 
 def clean_title_py(title: str) -> str:
     """ALL-CAPS titles are lowercased first; then every word is title-cased
-    unless it carries an inner capital (acronym preservation).
+    (``str.title``) unless it carries ANY capital (acronym preservation).
+
+    Matches reference clean_title (oc_meta/lib/cleaner.py:162-180) exactly:
+    the acronym check looks at the whole word (not just the tail) and the
+    re-case uses ``str.title()`` (so "don't" → "Don'T", as the reference
+    does).
     """
     title = title.strip()
     if not title:
@@ -74,10 +79,10 @@ def clean_title_py(title: str) -> str:
     words = title.split()
     out = []
     for w in words:
-        if any(c.isupper() for c in w[1:]):
+        if any(c.isupper() for c in w):
             out.append(w)  # FaBiO, CiTO, mRNA — keep as-is
         else:
-            out.append(w[0].upper() + w[1:] if w else w)
+            out.append(w.title())
     return " ".join(out)
 
 
@@ -94,15 +99,70 @@ def clean_title(col: Column) -> Column:
 
 _DATE_RE = re.compile(r"^\s*(\d{1,4})(?:-(\d{1,2}))?(?:-(\d{1,2}))?\s*$")
 
+try:  # python-dateutil ships with pandas; gate the import anyway
+    from dateutil.parser import parse as _dateutil_parse
+    from datetime import datetime as _dt
+
+    def _parse_free_form(date: str) -> str:
+        """Reference _date_parse_hack (oc_meta/lib/cleaner.py:183-195):
+        parse twice with different defaults — components that CHANGE were
+        defaulted (absent), so the output precision keeps only the
+        components the string actually specifies."""
+        a = _dateutil_parse(date, default=_dt(2001, 1, 1))
+        b = _dateutil_parse(date, default=_dt(2002, 2, 2))
+        if (a.year, a.month, a.day) == (b.year, b.month, b.day):
+            return a.strftime("%Y-%m-%d")
+        if (a.year, a.month) == (b.year, b.month):
+            return a.strftime("%Y-%m")
+        if a.year == b.year:
+            return a.strftime("%Y")
+        return ""
+
+except ImportError:  # pragma: no cover
+    _parse_free_form = None
+
 
 def clean_date_py(date: str) -> str:
-    """Parse YYYY[-MM[-DD]] keeping only the components that are present and
-    valid: invalid day degrades to YYYY-MM, invalid month to YYYY,
-    unparsable to '' (reference clean_date, oc_meta/lib/cleaner.py:183-239).
+    """Free-form date → partial ISO string, with per-component degradation:
+    invalid day degrades to YYYY-MM, invalid month to YYYY, unparsable to ''
+    (reference clean_date, oc_meta/lib/cleaner.py:198-239 — dateutil parse
+    with the two-defaults trick, then suffix-trim retries).
     """
     if date is None:
         return ""
-    m = _DATE_RE.match(normalize_hyphens_py(str(date)))
+    date = normalize_hyphens_py(str(date)).strip()
+    if not date:
+        return ""
+    if _parse_free_form is not None:
+        try:
+            return _parse_free_form(date)
+        except (ValueError, OverflowError):
+            # Reference retry ladder: ISO-shaped strings with an invalid
+            # day (len 10) retry as YYYY-MM then YYYY; YYYY-MM (len 7)
+            # retries as YYYY; anything else is discarded.
+            try:
+                if len(date) == 10:
+                    try:
+                        return _parse_free_form(date[:-3])
+                    except (ValueError, OverflowError):
+                        try:
+                            return _parse_free_form(date[:-6])
+                        except (ValueError, OverflowError):
+                            return ""
+                elif len(date) == 7:
+                    try:
+                        return _parse_free_form(date[:-3])
+                    except (ValueError, OverflowError):
+                        return ""
+                return ""
+            except (ValueError, OverflowError):
+                return ""
+    return _clean_date_numeric(date)
+
+
+def _clean_date_numeric(date: str) -> str:
+    """Numeric-only fallback used when dateutil is unavailable."""
+    m = _DATE_RE.match(date)
     if not m:
         return ""
     y, mo, d = m.group(1), m.group(2), m.group(3)
@@ -138,33 +198,22 @@ def clean_date(col: Column) -> Column:
 
 
 def clean_name_py(name: str) -> str:
-    """'family, given' → title-case both parts; no comma ⇒ org-style name
-    cleaned only; empty family ⇒ '' (reference clean_name,
-    oc_meta/lib/cleaner.py:242-265).
+    """'family, given' → clean_title each word of both parts; no comma ⇒
+    word-wise clean_title; empty family ⇒ '' (reference clean_name,
+    oc_meta/lib/cleaner.py:242-265 — note the reference splits on EVERY
+    comma and keeps only the first two parts, and a family-only name
+    yields 'Family, ' with a trailing space).
     """
     if name is None:
         return ""
-    name = re.sub(r"\s+", " ", name).strip()
-    if "," not in name:
-        return clean_agent_name_py(name)
-    family, _, given = name.partition(",")
-    family = family.strip()
-    given = given.strip()
-    if not family:
+    if "," in name:
+        parts = re.split(r"\s*,\s*", name)
+        given = " ".join(clean_title_py(w) for w in parts[1].split())
+        family = " ".join(clean_title_py(w) for w in parts[0].split())
+        if family:
+            return f"{family}, {given}"
         return ""
-    family = " ".join(_title_word(w) for w in family.split())
-    if given:
-        given = " ".join(_title_word(w) for w in given.split())
-        return f"{family}, {given}"
-    return f"{family},"
-
-
-def _title_word(w: str) -> str:
-    # Preserve inner capitals (McDonald, O'Brien keeps O'); plain words
-    # are capitalized.
-    if any(c.isupper() for c in w[1:]):
-        return w[0].upper() + w[1:] if w else w
-    return w.capitalize()
+    return " ".join(clean_title_py(w) for w in name.split())
 
 
 # --- C6: agent-name cleaning ----------------------------------------------
@@ -189,9 +238,30 @@ _NOT_AVAILABLE = re.compile(r"^\s*not\s+available\s*$", re.I)
 
 
 def normalize_ra_name_py(name: str) -> str:
-    if name is None or _NOT_AVAILABLE.match(name):
+    """Reference _normalize_ra_name (oc_meta/lib/cleaner.py:293-317):
+    '' for absent / 'Not Available' names; 'Last, First' / 'Last, ' for
+    comma names ('Not Available' parts dropped, missing surname ⇒ '');
+    bare names run through clean_agent_name."""
+    if name is None:
         return ""
-    return clean_name_py(name)
+    name = name.strip()
+    if not name:
+        return ""
+    if "," in name:
+        last, _, first = name.partition(",")
+        last = last.strip()
+        first = first.strip()
+        if last.lower() == "not available":
+            last = ""
+        if first.lower() == "not available":
+            first = ""
+        if not last:
+            return ""
+        return f"{last}, {first}" if first else f"{last}, "
+    cleaned = clean_agent_name_py(name)
+    if cleaned.lower() == "not available":
+        return ""
+    return cleaned
 
 
 @pandas_udf(T.StringType())

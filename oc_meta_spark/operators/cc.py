@@ -25,13 +25,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _local_union_find_rows(spark, edge_rows, edges: DataFrame, src: str) -> DataFrame:
     """Driver-side union-find for small edge sets — the same adaptive
     physical-plan choice as a broadcast join: identical (node, min-node)
     output, none of the per-iteration job overhead.  Only entered below
     ``local_threshold`` edges, so driver memory is bounded.
     """
-    spark = edges.sparkSession
     parent: dict = {}
 
     def find(x):
@@ -42,7 +41,7 @@ def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in edges.select(src, dst).collect():
+    for u, v in edge_rows:
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -51,6 +50,13 @@ def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     rows = [(n, find(n)) for n in parent]
     schema = edges.select(F.col(src).alias("node"), F.col(src).alias("comp")).schema
     return spark.createDataFrame(rows, schema)
+
+
+def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Back-compat wrapper: collect then solve on the driver."""
+    return _local_union_find_rows(
+        edges.sparkSession, edges.select(src, dst).collect(), edges, src
+    )
 
 
 def connected_components(
@@ -68,9 +74,11 @@ def connected_components(
     ``local_threshold=0`` to force the distributed loop.
     """
     if local_threshold:
-        edges = edges.localCheckpoint(eager=True)
-        if edges.limit(local_threshold + 1).count() <= local_threshold:
-            return _local_union_find(edges, src, dst)
+        # ONE job decides the path AND fetches the edges: collect up to
+        # threshold+1 rows — if we got them all, solve on the driver.
+        head = edges.select(src, dst).limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _local_union_find_rows(edges.sparkSession, head, edges, src)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

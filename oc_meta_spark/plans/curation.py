@@ -1,34 +1,50 @@
 """The curation pipeline — Spark-native equivalent of the reference Curator
 (oc_meta/core/curator.py; lifecycle SURVEY §3.1).
 
-One batch = one job:
+One batch = one job, staged exactly like the reference's phases
+(curator.py:253-333):
 
-    parse cells → clean/validate (F1-F4, C1-C9) → resolve ids against the
-    catalog (J1/D2) → unify in-batch duplicates via connected components
-    over the row↔id bipartite graph (D3/D4) → mint OMIDs deterministically
-    (row_number + catalog counter offset) → equalize with catalog values
-    (D5) → agent sequences with explicit pos (D6/D7/W1) → venue/volume/
-    issue hierarchy (J3/J6) → entity-table deltas + curated CSV rows +
-    index tables + provenance snapshots.
+    pre-pass + validity (curator.py:130-140, 1468-1535) → parse + clean
+    (C1-C11) → resolve ids against the catalog (clean_id / id_worker,
+    curator.py:344-397, 1167-1304) → equalize resolved rows with catalog
+    values (equalizer, curator.py:1402-1449) → collapse in-batch duplicate
+    rows (merge_duplicate_entities, curator.py:1355-1389 + the final
+    last-wins dedup curator.py:333) → venue/volume/issue graph (clean_vvi,
+    curator.py:420-567) → agent chains (clean_ra, curator.py:575-742) →
+    mint OMIDs → entity-table deltas + curated CSV rows + index tables +
+    provenance snapshots (meta_maker/enrich/indexer, curator.py:904-1101).
 
 Design-for-scale notes:
 
-- The catalog side of every resolution join is the big side; the batch is
-  broadcast (the reference's VALUES-batched SPARQL, lib/finder.py:765-833,
-  becomes one broadcast hash join).
-- Connected components runs on the *batch's* row↔token bipartite graph —
-  size O(batch), never O(catalog).
-- Minting is the only serialized step: a deterministic row_number over the
-  component canonicals plus a per-kind max-counter offset read from the
-  catalog (reference FilesystemCounterHandler, run/meta_process.py:162-168).
-  Single-writer per (kind, prefix) by construction.
+- The catalog side of every resolution join is the big side; no broadcast
+  hints are placed on catalog tables — AQE picks the strategy, and the
+  batch side is the naturally-small probe (the reference's VALUES-batched
+  SPARQL, lib/finder.py:765-833, becomes a hash join).
+- Connected components runs on the *batch's* mention↔token bipartite
+  graph — size O(batch), never O(catalog).
+- All new entities of a kind are minted in ONE contiguous-rank pass
+  (operators/minting.py) with a kind-priority sort key — works, venues,
+  volumes and issues share a single br counter read; no per-stage counts.
+- Counters come from the persisted ``counters`` table (one collect of
+  ≤5 rows — the reference's FilesystemCounterHandler,
+  run/meta_process.py:162-168); a full-catalog scan happens only as a
+  fallback for hand-built catalogs with no counter table.
+- Checkpoints are LAZY (``localCheckpoint(eager=False)``): they cut
+  lineage and guarantee single evaluation of shared stages without
+  serializing the batch into a chain of blocking driver jobs.
 - Partial dates are strings end-to-end (SURVEY hard part §7.4.3).
 
 Deliberate simplifications vs the reference (documented, not hidden):
-- C9 implements the repair-strategy cascade with a representative pattern
-  subset, not all ~40 reference regexes;
-- the streaming store applies RA updates by parquet rewrite — a production
-  deployment would use a Delta MERGE.
+- merge-history hops for dangling explicit OMIDs
+  (retrieve_metaid_from_merged_entity, curator.py:1199-1205) are not
+  replayed inside curate(); plans/merge.py owns merge-chain resolution;
+- rows merged into an entity via the (venue, seq) volume/issue path do
+  not receive equalizer field overrides (the reference skips them too —
+  equalizer runs only for id-resolved rows);
+- orphan wannabe entities (duplicate-row venue mentions that the
+  reference numbers but never materializes) are not minted, so raw
+  counter values can differ from the reference by the orphan count —
+  OMID-normalized comparisons are unaffected.
 """
 
 from __future__ import annotations
@@ -38,26 +54,74 @@ from dataclasses import dataclass, fields
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from oc_meta_spark.functions.cleaning import clean_date_udf, clean_title_udf
-from oc_meta_spark.functions.ids import clean_id_cell_udf
-from oc_meta_spark.functions.parsing import (
-    build_name_ids_string,
-    parse_agent_cell,
-    parse_id_cell,
-    split_name_and_ids,
+from oc_meta_spark.functions.cleaning import (
+    clean_date_udf,
+    clean_title_udf,
+    normalize_hyphens,
 )
-from oc_meta_spark.functions.volume_issue import repair_vi_udf
+from oc_meta_spark.functions.ids import clean_id_cell_udf
+from oc_meta_spark.functions.parsing import parse_agent_cell_udf
+from oc_meta_spark.functions.volume_issue import repair_vi_full_udf
 from oc_meta_spark.operators.cc import connected_components
 from oc_meta_spark.operators.minting import mint_omids
 from oc_meta_spark.schemas import (
     CONTAINER_EDITOR_TYPES,
+    COUNTER_SCHEMA,
     ENTITY_TABLES,
     TYPE_ALIASES,
     VALID_TYPES,
+    VENUE_TYPES,
 )
 
-SEQ_TYPES = {"journal article", "journal issue", "journal volume", "journal editorial"}
+# F4: only journal content carries volume/issue (reference clean_vvi,
+# curator.py:439-446 — 'journal editorial' is NOT in this set).
+SEQ_TYPES = {"journal article", "journal issue", "journal volume"}
 ROLES = ("author", "editor", "publisher")
+# AR minting order follows the reference's per-row clean_ra call order:
+# author, publisher, editor (curator.py:310-314).
+ROLE_RANK = {"author": 0, "publisher": 1, "editor": 2}
+
+SMALL_BATCH_ROWS = 200_000
+
+
+import os
+import time as _time
+
+_CP_MODE = os.environ.get("OCMS_CP_MODE", "eager")
+_DBG = bool(os.environ.get("OCMS_CURATE_DEBUG"))
+_T0 = [0.0]
+
+
+def _mark(label: str) -> None:
+    if _DBG:
+        now = _time.time()
+        print(f"CURATE[{label}] +{now - _T0[0]:.1f}s", flush=True)
+        _T0[0] = now
+
+
+def _cp(df: DataFrame) -> DataFrame:
+    """Lineage cut at stage boundaries.
+
+    ``localCheckpoint`` alone is NOT enough: it carries the child plan's
+    size-in-bytes estimate forward as the new LogicalRDD's origin stats.
+    Join-size estimates MULTIPLY, so across checkpoint generations the
+    BigInt digit count compounds geometrically and Catalyst ends up doing
+    Toom-Cook multiplications on numbers with millions of digits (minutes
+    of driver CPU per plan).  Rebuilding the frame as a fresh LogicalRDD
+    over the already-checkpointed InternalRow RDD resets the stats to the
+    bounded default; AQE still sees the REAL sizes at runtime, so join
+    strategy selection is unaffected."""
+    if _CP_MODE == "none":
+        return df
+    cp = df.localCheckpoint(eager=_CP_MODE == "eager")
+    try:
+        spark = cp.sparkSession
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            cp._jdf.queryExecution().toRdd(), cp._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover — fall back on any internal-API drift
+        return cp
 
 
 @dataclass
@@ -71,10 +135,17 @@ class EntityCatalog:
     ar: DataFrame
     re: DataFrame
     prov: DataFrame
+    counters: DataFrame | None = None
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "EntityCatalog":
-        return cls(**{f.name: spark.createDataFrame([], ENTITY_TABLES[f.name]) for f in fields(cls)})
+        kwargs = {
+            f.name: spark.createDataFrame([], ENTITY_TABLES[f.name])
+            for f in fields(cls)
+            if f.name != "counters"
+        }
+        kwargs["counters"] = spark.createDataFrame([], COUNTER_SCHEMA)
+        return cls(**kwargs)
 
     def union(self, delta: "CurationResult") -> "EntityCatalog":
         """Catalog after applying a batch's deltas (append-only tables)."""
@@ -92,7 +163,37 @@ class EntityCatalog:
             ar=self.ar.unionByName(delta.ar_new),
             re=self.re.unionByName(delta.re_new),
             prov=self.prov.unionByName(delta.prov_new),
+            counters=delta.counters_new,
         )
+
+
+def _plan_is_leaf(df: DataFrame) -> bool:
+    """True when the logical plan is a single relation (parquet scan,
+    LocalRelation, checkpointed RDD) — cutting those would only cost."""
+    try:
+        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:  # pragma: no cover — any classic/connect drift
+        return False
+    return name in {"LogicalRelation", "LogicalRDD", "LocalRelation", "Range"}
+
+
+def _normalize_catalog(catalog: EntityCatalog) -> EntityCatalog:
+    """Cut non-leaf catalog plans ONCE per batch.
+
+    curate() references every catalog table many times; when the catalog
+    is an in-session union chain (tests, EntityCatalog.union across
+    micro-batches) each reference re-embeds the whole lineage and Catalyst
+    analysis goes quadratic.  A leaf relation (the production case — a
+    parquet table) is left untouched so filter/column pushdown still
+    reaches the scan."""
+    kwargs = {}
+    for f in fields(EntityCatalog):
+        df = getattr(catalog, f.name)
+        if df is not None and not _plan_is_leaf(df):
+            df = _cp(df)
+        kwargs[f.name] = df
+    return EntityCatalog(**kwargs)
+
 
 
 @dataclass
@@ -110,153 +211,294 @@ class CurationResult:
     index_id_ra: DataFrame
     index_ar: DataFrame
     index_re: DataFrame
+    counters_new: DataFrame  # post-batch (kind, max_n) — persist with the catalog
 
 
 # ---------------------------------------------------------------------------
-# Stage 1 — parse + clean + validate
+# Counters
+# ---------------------------------------------------------------------------
+
+_KINDS = ("br", "ra", "id", "ar", "re")
+
+
+def _read_counters(catalog: EntityCatalog, prefix: str) -> dict[str, int]:
+    """Per-kind mint offsets.  Primary source: the persisted counters table
+    (≤5 rows, one tiny collect).  Fallback for hand-built catalogs without
+    counters: ONE unioned scan over the five omid columns (not five)."""
+    if catalog.counters is not None:
+        rows = catalog.counters.collect()
+        if rows:
+            got = {r["kind"]: int(r["max_n"]) for r in rows}
+            return {k: got.get(k, 0) for k in _KINDS}
+    pat = rf"^[a-z_]+/{prefix}(\d+)$"
+    scans = []
+    for kind, df in (
+        ("br", catalog.br),
+        ("ra", catalog.ra),
+        ("id", catalog.id),
+        ("ar", catalog.ar),
+        ("re", catalog.re),
+    ):
+        scans.append(
+            df.select(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract("omid", pat, 1).cast("long").alias("n"),
+            )
+        )
+    unioned = scans[0]
+    for s in scans[1:]:
+        unioned = unioned.unionByName(s)
+    got = {
+        r["kind"]: int(r["max_n"] or 0)
+        for r in unioned.groupBy("kind").agg(F.max("n").alias("max_n")).collect()
+    }
+    return {k: got.get(k, 0) for k in _KINDS}
+
+
+def _counters_new(
+    spark: SparkSession, offsets: dict[str, int], minted: dict[str, DataFrame], prefix: str
+) -> DataFrame:
+    """Lazy post-batch counter rows: offset + number minted per kind."""
+    parts = []
+    for kind in _KINDS:
+        df = minted.get(kind)
+        base = offsets[kind]
+        if df is None:
+            parts.append(
+                spark.createDataFrame([(kind, base)], COUNTER_SCHEMA)
+            )
+        else:
+            n = F.regexp_extract("minted_omid", rf"^[a-z_]+/{prefix}(\d+)$", 1).cast("long")
+            parts.append(
+                df.select(n.alias("n")).agg(
+                    F.lit(kind).alias("kind"),
+                    F.coalesce(F.max("n"), F.lit(base)).cast("long").alias("max_n"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage 0 — row ids
 # ---------------------------------------------------------------------------
 
 
-def with_row_ids(df: DataFrame) -> DataFrame:
-    """Deterministic per-batch row ids (the reference's file order).
+def with_row_ids(df: DataFrame, small: bool = True) -> DataFrame:
+    """Deterministic per-batch row ids (the reference's file order when the
+    caller provides none).  Small batches use a plain window (zero extra
+    jobs); big batches use the distributed contiguous-rank assignment so no
+    single task ever holds the whole input (operators/minting.py)."""
+    if "row_id" in df.columns:
+        return df
+    cols = [F.col(c) for c in df.columns]
+    if small:
+        w = Window.orderBy(*cols)
+        return df.withColumn("row_id", F.row_number().over(w).cast("long"))
+    from oc_meta_spark.operators.minting import assign_contiguous_ranks
 
-    Stable because the window orders by every input column; ties (exact
-    duplicate rows) are interchangeable by definition.
-    """
-    w = Window.orderBy(*[F.col(c) for c in df.columns])
-    return df.withColumn("row_id", F.row_number().over(w).cast("long"))
+    return assign_contiguous_ranks(df, df.columns, "row_id")
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — pre-pass, validity, parse, clean (curator.py:130-140, 398-419,
+# 420-470, 1468-1535; cleaner.py C1-C11)
+# ---------------------------------------------------------------------------
 
 
 def _alias_type(col: F.Column) -> F.Column:
+    """lower + collapse spaces, alias the five known forms, '' if invalid
+    (reference clean_metadata_without_id, curator.py:398-419)."""
     t = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
     expr = t
     for alias, target in TYPE_ALIASES.items():
         expr = F.when(t == alias, target).otherwise(expr)
-    return F.when(expr.isin(*sorted(VALID_TYPES)), expr).otherwise(F.lit(None))
+    return F.when(expr.isin(*sorted(VALID_TYPES)), expr).otherwise(F.lit(""))
+
+
+_GROUP_A = {
+    "",
+    "book",
+    "data file",
+    "dataset",
+    "dissertation",
+    "edited book",
+    "journal article",
+    "monograph",
+    "other",
+    "peer review",
+    "posted content",
+    "web content",
+    "proceedings article",
+    "report",
+    "reference book",
+}
+_GROUP_B = {"book chapter", "book part", "book section", "book track", "component", "reference entry"}
+_GROUP_C = {
+    "book series",
+    "book set",
+    "journal",
+    "proceedings",
+    "proceedings series",
+    "report series",
+    "standard",
+    "standard series",
+}
 
 
 def stage_parse(input_df: DataFrame) -> DataFrame:
     """11 string columns → typed nested columns, cleaned + validated.
 
-    Implements F1-F4 (validity predicates, type aliasing, semantic
-    invalidation) and C1-C10 (normalizers) as one declarative projection.
+    Implements the reference's pre-pass (curator.py:130-140), the full
+    per-type validity tables (is_a_valid_row, curator.py:1468-1535), type
+    aliasing, the complete C9 vol/issue repair machine (with its type
+    retyping and year extraction), and the agent-cell grammar with
+    clean_ra_list semantics — as one declarative projection.
     """
     from oc_meta_spark.session import ensure_worker_imports
 
     ensure_worker_imports(input_df.sparkSession)
     df = input_df
-    if "row_id" not in df.columns:
-        df = with_row_ids(df)
+    c = lambda name: F.coalesce(F.col(name), F.lit(""))
 
-    # D1: in-cell id dedup + validation (drops bad checksums).  The whole
-    # cell goes through one Arrow-batched pandas UDF (a Python UDF cannot
-    # appear inside a higher-order lambda), then tokens are structified
-    # natively.
+    # --- pre-pass (raw values, before any cleaning) ----------------------
+    has_id = c("id") != ""
+    raw_vi = (c("volume") != "") | (c("issue") != "")
+    no_venue = c("venue") == ""
+    df = (
+        df.withColumn("volume0", F.when(has_id & raw_vi & no_venue, "").otherwise(c("volume")))
+        .withColumn("issue0", F.when(has_id & raw_vi & no_venue, "").otherwise(c("issue")))
+        .withColumn(
+            "type0",
+            F.when(has_id & raw_vi & (c("type") == ""), "journal article").otherwise(c("type")),
+        )
+    )
+
+    # --- F1: per-type validity tables (on pre-pass, unstripped values) ---
+    t_low = F.lower(F.regexp_replace(F.trim(F.col("type0")), r"\s+", " "))
+    vi0 = (F.col("volume0") != "") | (F.col("issue0") != "")
+    all_empty = (
+        (c("id") == "") & (c("title") == "") & (c("author") == "") & (c("pub_date") == "")
+        & (c("venue") == "") & (F.col("volume0") == "") & (F.col("issue0") == "")
+        & (c("page") == "") & (F.col("type0") == "") & (c("publisher") == "") & (c("editor") == "")
+    )
+    has_title = c("title") != ""
+    has_venue_raw = c("venue") != ""
+    has_ae = (c("author") != "") | (c("editor") != "")
+    has_date = c("pub_date") != ""
+    valid = F.when(
+        has_id, ~(vi0 & ((t_low == "") | ~has_venue_raw))
+    ).otherwise(
+        F.when(all_empty, F.lit(False))
+        .when(t_low.isin(*sorted(_GROUP_A)), has_title & has_date & has_ae)
+        .when(t_low.isin(*sorted(_GROUP_B)), has_title & has_venue_raw)
+        .when(t_low.isin(*sorted(_GROUP_C)), has_title)
+        .when(t_low == "journal volume", has_venue_raw & ((F.col("volume0") != "") | has_title))
+        .when(t_low == "journal issue", has_venue_raw & ((F.col("issue0") != "") | has_title))
+        .otherwise(F.lit(False))
+    )
+    df = df.filter(valid)
+
+    # --- strip + clean ----------------------------------------------------
     ids = F.transform(
-        clean_id_cell_udf(F.coalesce(F.col("id"), F.lit(""))),
+        clean_id_cell_udf(F.trim(c("id"))),
         lambda t: F.struct(
             F.regexp_extract(t, r"^([^:]*):", 1).alias("schema"),
             F.regexp_extract(t, r"^[^:]*:(.*)$", 1).alias("value"),
         ),
     )
-
-    vi = repair_vi_udf(F.coalesce(F.col("volume"), F.lit("")), F.coalesce(F.col("issue"), F.lit("")))
+    venue_trim = F.trim(c("venue"))
+    v_name_raw = F.trim(F.regexp_extract(venue_trim, r"^\s*(.*?)\s*(?:\[\s*(.*?)\s*\])?\s*$", 1))
+    v_ids_str = F.regexp_extract(venue_trim, r"^\s*(.*?)\s*(?:\[\s*(.*?)\s*\])?\s*$", 2)
 
     df = (
         df.withColumn("ids", ids)
-        .withColumn("title_clean", clean_title_udf(F.coalesce(F.col("title"), F.lit(""))))
-        .withColumn("pub_date_clean", clean_date_udf(F.coalesce(F.col("pub_date"), F.lit(""))))
-        .withColumn("type_clean", _alias_type(F.coalesce(F.col("type"), F.lit(""))))
-        .withColumn("venue_parsed", split_name_and_ids(F.coalesce(F.col("venue"), F.lit(""))))
-        .withColumn("vi", vi)
-        .withColumn("authors", parse_agent_cell(F.coalesce(F.col("author"), F.lit(""))))
-        .withColumn("editors", parse_agent_cell(F.coalesce(F.col("editor"), F.lit(""))))
-        .withColumn("publishers", parse_agent_cell(F.coalesce(F.col("publisher"), F.lit(""))))
-    )
-
-    # F2: default type when ids are present; F4: vol/issue only for journal
-    # content with a venue (otherwise cleared).
-    has_ids = F.size("ids") > 0
-    df = df.withColumn(
-        "type_clean",
-        F.when(F.col("type_clean").isNull() & has_ids, "journal article").otherwise(F.col("type_clean")),
-    )
-    journal_content = F.col("type_clean").isin(*sorted(SEQ_TYPES))
-    has_venue = F.col("venue_parsed")["name"] != ""
-    df = (
-        df.withColumn("volume_clean", F.when(journal_content & has_venue, F.col("vi")["volume"]).otherwise(F.lit("")))
-        .withColumn("issue_clean", F.when(journal_content & has_venue, F.col("vi")["issue"]).otherwise(F.lit("")))
-    )
-
-    # F1: validity — with ids: vol/issue types need venue; without ids:
-    # a title (or venue + seq number for volume/issue rows) is required.
-    is_vi_type = F.col("type_clean").isin("journal volume", "journal issue")
-    valid = F.when(
-        has_ids,
-        ~(is_vi_type & ~has_venue),
-    ).otherwise(
-        (F.col("title_clean") != "")
-        | (is_vi_type & has_venue & ((F.col("vi")["volume"] != "") | (F.col("vi")["issue"] != "")))
-    )
-    return df.withColumn("valid", valid).filter(F.col("valid"))
-
-
-# ---------------------------------------------------------------------------
-# Stage 2 — resolution + in-batch dedup (the id_worker / wannabe machinery)
-# ---------------------------------------------------------------------------
-
-
-def _mint(order_col: str, kind: str, prefix: str, offset_df: DataFrame) -> F.Column:
-    """omid = kind/prefix{offset + row_number over deterministic order}."""
-    w = Window.orderBy(order_col)
-    return F.concat(
-        F.lit(f"{kind}/{prefix}"),
-        (F.row_number().over(w) + F.coalesce(F.broadcast(offset_df).first()["max_n"], F.lit(0))).cast("string"),
-    )
-
-
-def _max_counter(cat_df: DataFrame, kind: str, prefix: str) -> int:
-    """Max minted counter for a kind under a prefix (the counter table)."""
-    row = (
-        cat_df.select(
-            F.regexp_extract("omid", rf"^{kind}/{prefix}(\d+)$", 1).cast("long").alias("n")
+        .withColumn("title_clean", clean_title_udf(F.trim(c("title"))))
+        .withColumn("date_clean", clean_date_udf(F.trim(c("pub_date"))))
+        .withColumn("type_alias", _alias_type(F.col("type0")))
+        .withColumn("venue_present_raw", venue_trim != "")
+        .withColumn("v_name", clean_title_udf(v_name_raw))
+        .withColumn(
+            "v_ids",
+            F.transform(
+                clean_id_cell_udf(v_ids_str),
+                lambda t: F.struct(
+                    F.regexp_extract(t, r"^([^:]*):", 1).alias("schema"),
+                    F.regexp_extract(t, r"^[^:]*:(.*)$", 1).alias("value"),
+                ),
+            ),
         )
-        .agg(F.max("n").alias("max_n"))
-        .first()
+        .withColumn("page_clean", normalize_hyphens(F.trim(c("page"))))
+        .withColumn("authors", parse_agent_cell_udf(F.trim(c("author"))))
+        .withColumn("editors", parse_agent_cell_udf(F.trim(c("editor"))))
+        .withColumn("publishers", parse_agent_cell_udf(F.trim(c("publisher"))))
     )
-    return int(row["max_n"] or 0)
+
+    # --- F4 + C9: vol/issue gate, then the full repair machine -----------
+    keep_vi = F.col("type_alias").isin(*sorted(SEQ_TYPES))
+    vol1 = F.when(keep_vi, F.trim(F.col("volume0"))).otherwise(F.lit(""))
+    iss1 = F.when(keep_vi, F.trim(F.col("issue0"))).otherwise(F.lit(""))
+    df = df.withColumn("vi", repair_vi_full_udf(vol1, iss1, F.col("type_alias")))
+    df = (
+        df.withColumn("type_row", F.col("vi")["type"])
+        .withColumn(
+            "date_row",
+            F.when(F.col("date_clean") == "", F.coalesce(F.col("vi")["date"], F.lit(""))).otherwise(
+                F.col("date_clean")
+            ),
+        )
+    )
+    # journal-volume row that also carries an issue → both invalidated
+    # (curator.py:531-535)
+    jv_both = (
+        (F.col("type_row") == "journal volume")
+        & (F.col("vi")["volume"] != "")
+        & (F.col("vi")["issue"] != "")
+    )
+    df = (
+        df.withColumn("vol2", F.when(jv_both, "").otherwise(F.col("vi")["volume"]))
+        .withColumn("iss2", F.when(jv_both, "").otherwise(F.col("vi")["issue"]))
+    )
+    # no venue ⇒ no volume/issue (clean_vvi else-branch, curator.py:565-567)
+    df = (
+        df.withColumn("volume_clean", F.when(F.col("venue_present_raw"), F.col("vol2")).otherwise(""))
+        .withColumn("issue_clean", F.when(F.col("venue_present_raw"), F.col("iss2")).otherwise(""))
+        .drop("vi", "vol2", "iss2", "volume0", "issue0", "type0")
+    )
+    return df
 
 
-def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str, small: bool = False) -> DataFrame:
-    """Per row: decide existing / new / conflict and assign a br omid.
+# ---------------------------------------------------------------------------
+# Stage 2 — BR resolution (clean_id / id_worker / wannabe CC)
+# ---------------------------------------------------------------------------
 
-    Returns (row_id, br_omid, is_new, component, decision).
 
-    - explicit ``omid:br/...`` tokens win when present in the catalog
-      (reference priority: explicit OMID > matches, curator id_worker);
-    - otherwise (schema, value) joins against id ⋈ entity_id pick matches;
-    - rows sharing any id token unify transitively (CC over the bipartite
-      row↔token graph — the reference's wannabe union-find, D3);
+def resolve_rows(staged: DataFrame, catalog: EntityCatalog) -> DataFrame:
+    """Per row: (row_id, component, decision, resolved, first_row).
+
+    - verified explicit ``omid:br/...`` tokens win (id_worker metaval
+      branch, curator.py:1179-1205); unverified ones are dropped and do
+      NOT unify rows (clean_id_list discards a dangling metaval);
+    - (schema, value) joins against id ⋈ entity_id pick matches;
+    - rows sharing any external id token unify transitively (CC over the
+      row↔token bipartite graph — the wannabe union-find, D3);
     - a component matching >1 distinct catalog entity is a conflict ⇒ a
-    	new entity is minted holding the ids (curator.py `conflict`).
+      new entity is minted holding the ids (curator.py conflict).
     """
-    spark = staged.sparkSession
-    tok = staged.select(
-        "row_id", F.explode_outer("ids").alias("t")
-    ).select(
+    tok = staged.select("row_id", F.explode_outer("ids").alias("t")).select(
         "row_id",
         F.col("t")["schema"].alias("schema"),
         F.col("t")["value"].alias("value"),
     )
 
-    # Explicit OMIDs verified against the catalog.
     explicit = (
         tok.filter((F.col("schema") == "omid") & F.col("value").startswith("br/"))
         .join(catalog.br.select(F.col("omid").alias("value")), "value", "left_semi")
         .select("row_id", F.col("value").alias("cand"))
     )
 
-    # (schema, value) → catalog entity (only br entities).
     ext = tok.filter((F.col("schema") != "omid") & F.col("schema").isNotNull())
     cat_ids = catalog.id.join(
         catalog.entity_id, catalog.id.omid == catalog.entity_id.id_omid
@@ -266,31 +508,22 @@ def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str, small: b
         .select("row_id", F.col("entity_omid").alias("cand"))
     )
 
-    # CC over the row↔token bipartite graph (omid tokens included: two rows
-    # naming the same explicit omid also unify).
-    edges = (
-        tok.filter(F.col("schema").isNotNull())
-        .select(
-            F.concat(F.lit("r:"), F.lpad(F.col("row_id").cast("string"), 12, "0")).alias("src"),
-            F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
-        )
+    # CC over EXTERNAL tokens only: dangling omids must not unify rows.
+    edges = ext.select(
+        F.concat(F.lit("r:"), F.lpad(F.col("row_id").cast("string"), 12, "0")).alias("src"),
+        F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
     )
     comp = connected_components(edges, "src", "dst")
-    row_comp = (
-        comp.filter(F.col("node").startswith("r:"))
-        .select(
-            F.regexp_extract("node", r"^r:0*(\d+)$", 1).cast("long").alias("row_id"),
-            F.col("comp").alias("component"),
-        )
+    row_comp = comp.filter(F.col("node").startswith("r:")).select(
+        F.regexp_extract("node", r"^r:0*(\d+)$", 1).cast("long").alias("row_id"),
+        F.col("comp").alias("component"),
     )
-    # Rows with no ids form singleton components.
     all_rows = staged.select("row_id")
     row_comp = all_rows.join(row_comp, "row_id", "left").withColumn(
         "component",
         F.coalesce(F.col("component"), F.concat(F.lit("solo:"), F.col("row_id").cast("string"))),
     )
 
-    # Candidates per component; explicit omids take priority.
     cands = explicit.withColumn("prio", F.lit(0)).unionByName(matched.withColumn("prio", F.lit(1)))
     comp_cands = (
         row_comp.join(cands, "row_id", "left")
@@ -299,6 +532,7 @@ def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str, small: b
             F.countDistinct("cand").alias("n_cand"),
             F.min(F.when(F.col("prio") == 0, F.col("cand"))).alias("explicit_cand"),
             F.min("cand").alias("any_cand"),
+            F.min("row_id").alias("first_row"),
         )
         .withColumn(
             "decision",
@@ -312,25 +546,80 @@ def resolve_brs(staged: DataFrame, catalog: EntityCatalog, prefix: str, small: b
             F.when(F.col("decision") == "existing", F.coalesce("explicit_cand", "any_cand")),
         )
     )
+    return row_comp.join(comp_cands, "component")
 
-    # Mint new omids for new/conflict components, ordered by min row_id.
-    comp_order = row_comp.groupBy("component").agg(F.min("row_id").alias("first_row"))
-    need_mint = comp_cands.filter(F.col("decision") != "existing").join(comp_order, "component")
-    offset = _max_counter(catalog.br, "br", prefix)
-    minted = mint_omids(need_mint, ["first_row"], "br", prefix, offset, "minted_omid", small=small).select(
-        "component", "minted_omid"
+
+# ---------------------------------------------------------------------------
+# Aggregation helpers (hash aggregates — no windows)
+# ---------------------------------------------------------------------------
+
+
+def _first_nonempty(col: str) -> F.Column:
+    """First non-empty value in row_id order, '' if none."""
+    return F.coalesce(
+        F.min(
+            F.when(
+                (F.col(col).isNotNull()) & (F.col(col) != ""),
+                F.struct(F.col("row_id").alias("r"), F.col(col).alias("v")),
+            )
+        )["v"],
+        F.lit(""),
     )
 
-    decisions = (
-        comp_cands.join(minted, "component", "left")
-        .select(
-            "component",
-            "decision",
-            F.coalesce("resolved", "minted_omid").alias("br_omid"),
-            (F.col("decision") != "existing").alias("is_new"),
+
+def _last_value(col: str) -> F.Column:
+    """Value carried by the last row (max row_id), even if empty."""
+    return F.coalesce(
+        F.max(F.struct(F.col("row_id").alias("r"), F.col(col).alias("v")))["v"], F.lit("")
+    )
+
+
+def _venue_type_expr(br_type: F.Column, schemas: F.Column) -> F.Column:
+    """get_venue_type with the ISBN/ISSN scheme-evidence override
+    (reference core/creator.py:393-431).  ``schemas`` is the array of
+    non-omid id schemas on the venue mention."""
+    base = (
+        F.when(br_type.isin("journal article", "journal volume", "journal issue"), "journal")
+        .when(br_type.isin("book chapter", "book part", "book section", "book track"), "book")
+        .when(br_type.isin("book", "edited book", "monograph", "reference book"), "book series")
+        .when(br_type == "proceedings article", "proceedings")
+        .when(br_type.isin("proceedings", "report", "standard", "series"), "series")
+        .when(br_type == "reference entry", "reference book")
+        .when(br_type == "report series", "report series")
+        .otherwise("")
+    )
+    has_ext = F.size(schemas) > 0
+    has_isbn = F.array_contains(schemas, "isbn")
+    has_issn = F.array_contains(schemas, "issn")
+    return (
+        F.when(
+            has_ext & base.isin("journal", "book series", "series", "report series"),
+            F.when(has_isbn | ~has_issn, "").otherwise(base),
         )
+        .when(
+            has_ext & base.isin("book", "proceedings"),
+            F.when(has_issn | ~has_isbn, "").otherwise(base),
+        )
+        .when(
+            has_ext & (base == "reference book"),
+            F.when(has_isbn & ~has_issn, "reference book")
+            .when(has_issn & ~has_isbn, "journal")
+            .otherwise(""),
+        )
+        .otherwise(base)
     )
-    return row_comp.join(decisions, "component")
+
+
+_TOK_STR = lambda t: F.concat_ws(":", t["schema"], t["value"])
+
+
+def _mint_map(
+    df: DataFrame, order_cols: list, kind: str, prefix: str, offset: int, small: bool
+) -> DataFrame:
+    """(key → minted_omid) map; one contiguous-rank pass per kind."""
+    return _cp(
+        mint_omids(df, order_cols, kind, prefix, offset, "minted_omid", small=small)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -344,506 +633,1162 @@ def curate(
     prefix: str = "060",
     resp_agent: str = "oc_meta_spark",
     batch_ts: str = "1970-01-01T00:00:00Z",
-    silencer: bool = False,
+    silencer=False,
 ) -> CurationResult:
     """Run the full curation batch.  ``batch_ts`` is injected (never wall
-    clock) so results are reproducible — the reference's counters give it
-    the same property.
+    clock) so results are reproducible.  ``silencer`` mirrors the
+    reference's list-of-roles switch (run/meta_process.py:127-159 +
+    curator.py:663-664): True ⇒ all roles; an iterable ⇒ those roles;
+    a silenced role adds NO new agent-role rows wherever a chain already
+    exists (catalog chain, or an earlier row of the same batch entity).
     """
     spark = input_df.sparkSession
     if catalog is None:
         catalog = EntityCatalog.empty(spark)
+    catalog = _normalize_catalog(catalog)
+    silenced_roles = set(ROLES) if silencer is True else set(silencer or ())
+    counters = _read_counters(catalog, prefix)
 
-    staged = stage_parse(input_df).localCheckpoint(eager=True)
-    # Physical-plan switch: micro-batches mint via a zero-extra-job window;
-    # big batches use the fully-distributed rank assignment.  Same omids
-    # either way (operators/minting.py).
-    small = staged.count() <= 200_000
-    resolution = resolve_brs(staged, catalog, prefix, small).localCheckpoint(eager=True)
-    rows = staged.join(resolution.select("row_id", "br_omid", "is_new", "decision"), "row_id")
+    _mark("start")
+    n_input = input_df.count()
+    small = n_input <= SMALL_BATCH_ROWS
+    staged = _cp(stage_parse(with_row_ids(input_df, small)))
+    _mark("staged")
+    res = _cp(resolve_rows(staged, catalog))
 
-    # --- D4/W5: propagate canonical values within each entity group -------
-    wg = Window.partitionBy("br_omid").orderBy("row_id")
-    first_nonempty = lambda c: F.first(F.when(F.col(c) != "", F.col(c)), ignorenulls=True).over(
-        wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    rows = (
-        rows.withColumn("title_g", F.coalesce(first_nonempty("title_clean"), F.lit("")))
-        .withColumn("date_g", F.coalesce(first_nonempty("pub_date_clean"), F.lit("")))
-        .withColumn("rn_in_entity", F.row_number().over(wg))
+    _mark("resolve")
+    rows = staged.join(res.select("row_id", "component", "decision", "resolved"), "row_id")
+    rows = rows.withColumn(
+        "ekey0", F.coalesce(F.col("resolved"), F.concat(F.lit("NB:"), F.col("component")))
     )
 
-    # One output row per entity (last-wins dedup by id, curator.py:333).
-    entity_rows = rows.filter(F.col("rn_in_entity") == 1).drop("rn_in_entity")
-
-    # --- D5 equalizer: catalog values take precedence ---------------------
-    cat_br = catalog.br.select(
-        F.col("omid").alias("br_omid"),
-        F.col("title").alias("cat_title"),
-        F.col("pub_date").alias("cat_date"),
-        F.col("type").alias("cat_type"),
-        F.col("embodiment").alias("cat_embodiment"),
+    # --- equalizer store lookups (id-resolved entities only) --------------
+    resolved_set = res.filter(F.col("resolved").isNotNull()).select(
+        F.col("resolved").alias("omid")
+    ).dropDuplicates()
+    cat_br_info = _cp(
+        catalog.br.join(resolved_set, "omid", "left_semi").select(
+            F.col("omid").alias("ekey0"),
+            F.col("title").alias("cat_title"),
+            F.col("pub_date").alias("cat_date"),
+            F.col("type").alias("cat_type"),
+            F.col("part_of").alias("cat_part_of"),
+            F.col("embodiment").alias("cat_embodiment"),
+        )
     )
-    entity_rows = (
-        entity_rows.join(F.broadcast(cat_br), "br_omid", "left")
-        .withColumn("title_f", F.coalesce(F.nullif("cat_title", F.lit("")), F.nullif("title_g", F.lit("")), F.lit("")))
-        .withColumn("date_f", F.coalesce(F.nullif("cat_date", F.lit("")), F.nullif("date_g", F.lit("")), F.lit("")))
-        .withColumn("type_f", F.coalesce(F.nullif("cat_type", F.lit("")), F.col("type_clean")))
-    ).localCheckpoint(eager=True)
-
-    # --- identifier entities: mint id/ omids for tokens new to the catalog
-    toks = (
-        staged.select("row_id", F.explode("ids").alias("t"))
-        .join(resolution.select("row_id", "br_omid"), "row_id")
-        .select(F.col("t")["schema"].alias("schema"), F.col("t")["value"].alias("value"), "br_omid")
-        .filter(F.col("schema") != "omid")
-        .dropDuplicates(["schema", "value", "br_omid"])
+    # container chain of resolved works: up to venue through issue/volume
+    # (finder retrieve_br_info_from_meta — volume/issue seq + venue).
+    anc = catalog.br.select(
+        F.col("omid").alias("a_omid"),
+        F.col("type").alias("a_type"),
+        F.col("seq_id").alias("a_seq"),
+        F.col("part_of").alias("a_part_of"),
     )
-    id_offset = _max_counter(catalog.id, "id", prefix)
-    new_tokens = mint_omids(
-        toks.select("schema", "value")
+    chain1 = cat_br_info.join(anc, cat_br_info.cat_part_of == anc.a_omid, "left")
+    chain1 = chain1.select(
+        "ekey0",
+        F.when(F.col("a_type") == "journal issue", F.col("a_seq")).alias("s_iss"),
+        F.when(F.col("a_type") == "journal volume", F.col("a_seq")).alias("s_vol1"),
+        F.when(~F.col("a_type").isin("journal issue", "journal volume"), F.col("a_omid")).alias(
+            "s_venue1"
+        ),
+        F.when(F.col("a_type").isin("journal issue", "journal volume"), F.col("a_part_of")).alias(
+            "up1"
+        ),
+    )
+    anc2 = anc.select(
+        F.col("a_omid").alias("b_omid"),
+        F.col("a_type").alias("b_type"),
+        F.col("a_seq").alias("b_seq"),
+        F.col("a_part_of").alias("b_part_of"),
+    )
+    chain2 = chain1.join(anc2, chain1.up1 == anc2.b_omid, "left").select(
+        "ekey0",
+        "s_iss",
+        F.coalesce(
+            "s_vol1", F.when(F.col("b_type") == "journal volume", F.col("b_seq"))
+        ).alias("s_vol"),
+        F.coalesce(
+            "s_venue1",
+            F.when(~F.coalesce(F.col("b_type"), F.lit("")).isin("journal issue", "journal volume"), F.col("b_omid")),
+        ).alias("s_venue2"),
+        F.when(F.col("b_type") == "journal volume", F.col("b_part_of")).alias("up2"),
+    )
+    store_chain = _cp(
+        chain2.withColumn("s_venue", F.coalesce("s_venue2", "up2"))
+        .select("ekey0", "s_iss", "s_vol", "s_venue")
+    )
+    # store venue name + ids
+    cat_ids_all = catalog.id.join(
+        catalog.entity_id, catalog.id.omid == catalog.entity_id.id_omid
+    ).select("schema", "value", "entity_omid")
+    sv_ids = (
+        store_chain.select(F.col("s_venue").alias("entity_omid"))
         .dropDuplicates()
-        .join(catalog.id.select("schema", "value"), ["schema", "value"], "left_anti"),
-        ["schema", "value"],
-        "id",
-        prefix,
-        id_offset,
-        "id_omid",
-        small=small,
-    ).localCheckpoint(eager=True)
-    id_new = new_tokens.select(F.col("id_omid").alias("omid"), "schema", "value")
-    all_id_omids = catalog.id.unionByName(id_new)
-
-    entity_id_new = (
-        toks.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
-        .select(F.col("br_omid").alias("entity_omid"), "id_omid")
-        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
-        .dropDuplicates()
+        .join(cat_ids_all, "entity_omid")
+        .groupBy("entity_omid")
+        .agg(F.collect_list(F.struct("schema", "value")).alias("sv_ids"))
     )
-
-    # --- venue / volume / issue hierarchy (J3) ----------------------------
-    venues = (
-        entity_rows.filter(F.col("venue_parsed")["name"] != "")
-        .select(
-            "br_omid",
-            F.col("venue_parsed")["name"].alias("v_name"),
-            F.col("venue_parsed")["ids"].alias("v_ids"),
-            "volume_clean",
-            "issue_clean",
-            # C14 venue-type inference: journal-content rows imply a journal
-            # container, chapter-like rows a book (reference creator.py
-            # venue-class dispatch, core/creator.py:393-431).
-            F.when(
-                F.col("type_f").isin(*sorted(SEQ_TYPES)), "journal"
-            ).otherwise("book").alias("v_type_hint"),
-        )
-    )
-    v_tok = venues.select("br_omid", F.explode_outer("v_ids").alias("t")).select(
-        "br_omid", F.col("t")["schema"].alias("schema"), F.col("t")["value"].alias("value")
-    )
-    cat_ids_all = catalog.id.join(catalog.entity_id, catalog.id.omid == catalog.entity_id.id_omid).select(
-        "schema", "value", "entity_omid"
-    )
-    v_match = (
-        v_tok.join(cat_ids_all, ["schema", "value"])
+    sv = (
+        store_chain.select("ekey0", "s_venue")
         .join(
-            catalog.br.filter(F.col("type").isin("journal", "book")).select(F.col("omid").alias("entity_omid")),
-            "entity_omid",
-            "left_semi",
-        )
-        .groupBy("br_omid")
-        .agg(F.min("entity_omid").alias("venue_existing"))
-    )
-    venues = venues.join(v_match, "br_omid", "left")
-    # unresolved venues dedup by lowercase name within the batch
-    new_venues = (
-        venues.filter(F.col("venue_existing").isNull())
-        .select(F.lower("v_name").alias("v_key"), F.col("v_name"), F.col("v_type_hint"))
-        .groupBy("v_key")
-        .agg(F.min("v_name").alias("v_name"), F.max("v_type_hint").alias("v_type"))
-    )
-    br_offset_2 = _max_counter(catalog.br, "br", prefix) + resolve_count(resolution)
-    new_venues = mint_omids(new_venues, ["v_key"], "br", prefix, br_offset_2, "venue_omid", small=small).localCheckpoint(
-        eager=True
-    )
-    venues = (
-        venues.withColumn("v_key", F.lower("v_name"))
-        .join(new_venues.select("v_key", "venue_omid"), "v_key", "left")
-        .withColumn("venue_omid", F.coalesce("venue_existing", "venue_omid"))
-    ).localCheckpoint(eager=True)
-
-    # volumes / issues as child BRs keyed (venue, seq).  Existing children
-    # come from the catalog (part_of + seq_id); the rest are minted.
-    def _resolve_children(parent_col: str, seq_col: str, kind_type: str, offset: int, src: DataFrame) -> DataFrame:
-        need = src.filter(F.col(seq_col) != "").select(parent_col, seq_col).dropDuplicates()
-        cat_children = catalog.br.filter(F.col("type") == kind_type).select(
-            F.col("part_of").alias(parent_col), F.col("seq_id").alias(seq_col), F.col("omid").alias("child_omid")
-        )
-        resolved = need.join(cat_children, [parent_col, seq_col], "left")
-        new = mint_omids(
-            resolved.filter(F.col("child_omid").isNull()).drop("child_omid"),
-            [parent_col, seq_col],
-            "br",
-            prefix,
-            offset,
-            "child_omid",
-            small=small,
-        )
-        return resolved.filter(F.col("child_omid").isNotNull()).unionByName(new).localCheckpoint(eager=True)
-
-    vol_src = venues.filter(F.col("volume_clean") != "").select(
-        F.col("venue_omid").alias("parent"), F.col("volume_clean").alias("seq")
-    )
-    n_new_venues = new_venues.count()
-    volumes = _resolve_children("parent", "seq", "journal volume", br_offset_2 + n_new_venues, vol_src)
-    n_new_vols = volumes.join(
-        catalog.br.select(F.col("omid").alias("child_omid")), "child_omid", "left_anti"
-    ).count()
-
-    iss_parent = (
-        venues.filter(F.col("issue_clean") != "")
-        .join(
-            volumes.withColumnRenamed("parent", "venue_omid").withColumnRenamed("seq", "volume_clean"),
-            ["venue_omid", "volume_clean"],
+            catalog.br.select(F.col("omid").alias("s_venue"), F.col("title").alias("sv_name")),
+            "s_venue",
             "left",
         )
-        .select(
-            "br_omid",
-            F.coalesce(F.col("child_omid"), F.col("venue_omid")).alias("parent"),
-            F.col("issue_clean").alias("seq"),
-        )
+        .join(sv_ids.withColumnRenamed("entity_omid", "s_venue"), "s_venue", "left")
+        .withColumn("sv_ids", F.coalesce("sv_ids", F.array().cast("array<struct<schema:string,value:string>>")))
     )
-    issues = _resolve_children(
-        "parent", "seq", "journal issue", br_offset_2 + n_new_venues + n_new_vols, iss_parent.select("parent", "seq")
+    # store page (existing RE) of resolved works
+    cat_page = cat_br_info.filter(F.col("cat_embodiment").isNotNull()).join(
+        catalog.re.select(
+            F.col("omid").alias("cat_embodiment"),
+            F.col("start_page"),
+            F.col("end_page"),
+        ),
+        "cat_embodiment",
+    ).select(
+        "ekey0",
+        F.col("cat_embodiment").alias("cat_re"),
+        F.concat_ws("-", F.col("start_page"), F.col("end_page")).alias("cat_page"),
     )
 
-    # article's container: issue > volume > venue
-    vol_of_row = venues.select(
-        "br_omid", "venue_omid", "volume_clean", "issue_clean"
-    ).join(
-        volumes.select(F.col("parent").alias("venue_omid"), F.col("seq").alias("volume_clean"), F.col("child_omid").alias("vol_omid")),
-        ["venue_omid", "volume_clean"],
-        "left",
+    # --- row-level equalized venue (equalizer venue rule, curator:1424-1447)
+    rows = (
+        rows.join(sv.select("ekey0", "s_venue", "sv_name", "sv_ids"), "ekey0", "left")
     )
-    iss_of_row = iss_parent.select("br_omid", "parent", "seq").join(
-        issues.withColumnRenamed("child_omid", "iss_omid"), ["parent", "seq"], "left"
-    ).select("br_omid", "iss_omid")
-    container = (
-        vol_of_row.join(iss_of_row, "br_omid", "left")
+    sv_tokens = F.when(
+        F.col("s_venue").isNotNull(),
+        F.array_union(
+            F.transform(F.col("sv_ids"), _TOK_STR),
+            F.array(F.concat(F.lit("omid:"), F.col("s_venue"))),
+        ),
+    )
+    row_tokens = F.transform(F.col("v_ids"), _TOK_STR)
+    overlap = F.size(F.array_intersect(row_tokens, sv_tokens)) > 0
+    sv_id_structs = F.array_union(
+        F.col("sv_ids"),
+        F.array(F.struct(F.lit("omid").alias("schema"), F.col("s_venue").alias("value"))),
+    )
+    rows = (
+        rows.withColumn(
+            "v_name_eq",
+            F.when(F.col("s_venue").isNotNull(), F.col("sv_name")).otherwise(F.col("v_name")),
+        )
+        .withColumn(
+            "v_ids_eq",
+            F.when(
+                F.col("s_venue").isNotNull() & F.col("venue_present_raw") & overlap,
+                F.array_union(F.col("v_ids"), sv_id_structs),
+            )
+            .when(F.col("s_venue").isNotNull(), sv_id_structs)
+            .otherwise(F.col("v_ids")),
+        )
+        .withColumn(
+            "venue_present",
+            F.col("venue_present_raw") | F.col("s_venue").isNotNull(),
+        )
+        .drop("s_venue", "sv_name", "sv_ids")
+    )
+    rows = _cp(rows)
+
+    _mark("row-equalize")
+    # --- entity-level field selection, pre-alias (ekey0) ------------------
+    # Resolved entities: store value wins, else first non-empty row value
+    # (equalizer overwrite + merge_duplicate_entities propagation).  New
+    # entities: the LAST row's value survives (the reference's final
+    # last-wins dict dedup, curator.py:333).
+    ent0 = rows.groupBy("ekey0").agg(
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+        F.max(F.col("decision") == "existing").alias("is_resolved"),
+        _first_nonempty("title_clean").alias("title_first"),
+        _first_nonempty("date_row").alias("date_first"),
+        _last_value("date_row").alias("date_last"),
+        _first_nonempty("type_row").alias("type_first"),
+        _last_value("type_row").alias("type_last"),
+        _first_nonempty("volume_clean").alias("vol_first"),
+        _last_value("volume_clean").alias("vol_last"),
+        _first_nonempty("issue_clean").alias("iss_first"),
+        _last_value("issue_clean").alias("iss_last"),
+        _first_nonempty("page_clean").alias("page_first"),
+        _last_value("page_clean").alias("page_last"),
+        # venue: first non-empty mention for resolved, last row for new
+        F.min(
+            F.when(
+                F.col("venue_present"),
+                F.struct(
+                    F.col("row_id").alias("r"),
+                    F.col("v_name_eq").alias("n"),
+                    F.col("v_ids_eq").alias("i"),
+                ),
+            )
+        ).alias("ven_first"),
+        F.max(
+            F.struct(
+                F.col("row_id").alias("r"),
+                F.col("venue_present").alias("p"),
+                F.col("v_name_eq").alias("n"),
+                F.col("v_ids_eq").alias("i"),
+            )
+        ).alias("ven_last"),
+    )
+    ent0 = (
+        ent0.join(cat_br_info.select("ekey0", "cat_title", "cat_date", "cat_type"), "ekey0", "left")
+        .join(store_chain, "ekey0", "left")
+        .join(cat_page, "ekey0", "left")
+    )
+    nz = lambda col: F.nullif(col, F.lit(""))
+    pick = lambda store, first, last: F.coalesce(
+        F.when(F.col("is_resolved"), F.coalesce(nz(store), nz(first))).otherwise(nz(last)),
+        F.lit(""),
+    )
+    ent0 = (
+        ent0.withColumn("title_e", F.coalesce(nz(F.col("cat_title")), nz(F.col("title_first")), F.lit("")))
+        .withColumn("date_e", pick(F.col("cat_date"), F.col("date_first"), F.col("date_last")))
+        .withColumn("type_e", pick(F.col("cat_type"), F.col("type_first"), F.col("type_last")))
+        .withColumn("vol_e", pick(F.col("s_vol"), F.col("vol_first"), F.col("vol_last")))
+        .withColumn("iss_e", pick(F.col("s_iss"), F.col("iss_first"), F.col("iss_last")))
+        .withColumn(
+            "page_e",
+            F.coalesce(nz(F.col("cat_page")), nz(F.col("page_first")), F.lit("")),
+        )
+        .withColumn(
+            "ven_name",
+            F.when(F.col("is_resolved"), F.col("ven_first")["n"]).otherwise(
+                F.when(F.col("ven_last")["p"], F.col("ven_last")["n"])
+            ),
+        )
+        .withColumn(
+            "ven_ids",
+            F.when(F.col("is_resolved"), F.col("ven_first")["i"]).otherwise(
+                F.when(F.col("ven_last")["p"], F.col("ven_last")["i"])
+            ),
+        )
+        .withColumn(
+            "has_venue",
+            F.when(F.col("is_resolved"), F.col("ven_first").isNotNull()).otherwise(
+                F.coalesce(F.col("ven_last")["p"], F.lit(False))
+            ),
+        )
+    )
+    ent0 = _cp(
+        ent0.select(
+            "ekey0", "first_row", "last_row", "is_resolved",
+            "title_e", "date_e", "type_e", "vol_e", "iss_e", "page_e",
+            "ven_name", "ven_ids", "has_venue", "cat_re",
+        )
+    )
+
+    _mark("ent0")
+    # --- venue resolution (id_worker with vvi_ent; CC over venue tokens) --
+    mentions = _cp(
+        ent0.filter(F.col("has_venue")).select(
+            "ekey0", "first_row", "type_e", "ven_name",
+            F.coalesce(F.col("ven_ids"), F.array().cast("array<struct<schema:string,value:string>>")).alias("ven_ids"),
+        )
+    )
+    v_tok = mentions.select(
+        "ekey0", F.explode_outer("ven_ids").alias("t")
+    ).select(
+        "ekey0", F.col("t")["schema"].alias("schema"), F.col("t")["value"].alias("value")
+    )
+    v_tok = _cp(v_tok)
+    v_explicit = (
+        v_tok.filter((F.col("schema") == "omid") & F.col("value").startswith("br/"))
+        .join(catalog.br.select(F.col("omid").alias("value")), "value", "left_semi")
+        .select("ekey0", F.col("value").alias("cand"))
+    )
+    v_ext = v_tok.filter((F.col("schema") != "omid") & F.col("schema").isNotNull())
+    v_matched = (
+        v_ext.join(
+            cat_ids_all.join(
+                catalog.br.filter(F.col("type").isin(*sorted(VENUE_TYPES)))
+                .select(F.col("omid").alias("entity_omid")),
+                "entity_omid",
+                "left_semi",
+            ),
+            ["schema", "value"],
+        )
+        .select("ekey0", F.col("entity_omid").alias("cand"))
+    )
+    v_edges = v_ext.select(
+        F.concat(F.lit("v:"), F.col("ekey0")).alias("src"),
+        F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
+    )
+    v_comp_raw = connected_components(v_edges, "src", "dst")
+    v_comp = v_comp_raw.filter(F.col("node").startswith("v:")).select(
+        F.expr("substring(node, 3)").alias("ekey0"), F.col("comp").alias("v_component")
+    )
+    mentions = mentions.join(v_comp, "ekey0", "left").withColumn(
+        "v_component", F.coalesce("v_component", F.concat(F.lit("vsolo:"), F.col("ekey0")))
+    )
+    v_cands = v_explicit.withColumn("prio", F.lit(0)).unionByName(
+        v_matched.withColumn("prio", F.lit(1))
+    )
+    v_decision = (
+        mentions.select("ekey0", "v_component")
+        .join(v_cands, "ekey0", "left")
+        .groupBy("v_component")
+        .agg(
+            F.countDistinct("cand").alias("n_cand"),
+            F.min(F.when(F.col("prio") == 0, F.col("cand"))).alias("explicit_cand"),
+            F.min("cand").alias("any_cand"),
+        )
+        .withColumn(
+            "v_resolved",
+            F.when(F.col("explicit_cand").isNotNull(), F.col("explicit_cand")).when(
+                F.col("n_cand") == 1, F.col("any_cand")
+            ),
+        )
+    )
+    mentions = mentions.join(v_decision.select("v_component", "v_resolved"), "v_component")
+    mentions = _cp(
+        mentions.withColumn(
+            "vkey", F.coalesce(F.col("v_resolved"), F.concat(F.lit("NV:"), F.col("v_component")))
+        )
+    )
+
+    # new venue components: name/type from the first mention
+    new_venues = _cp(
+        mentions.filter(F.col("v_resolved").isNull())
+        .withColumn(
+            "schemas",
+            F.array_distinct(
+                F.transform(
+                    F.filter(F.col("ven_ids"), lambda t: t["schema"] != "omid"),
+                    lambda t: t["schema"],
+                )
+            ),
+        )
+        .withColumn("vtype", _venue_type_expr(F.col("type_e"), F.col("schemas")))
+        .groupBy("vkey")
+        .agg(
+            F.min("first_row").alias("v_first_row"),
+            F.min(
+                F.struct(F.col("first_row").alias("r"), F.col("ven_name").alias("n"), F.col("vtype").alias("t"))
+            ).alias("pick"),
+        )
         .select(
+            "vkey",
+            "v_first_row",
+            F.col("pick")["n"].alias("v_name_new"),
+            F.col("pick")["t"].alias("v_type_new"),
+        )
+    )
+
+    work_venue = mentions.select("ekey0", "vkey")
+
+    _mark("venues")
+    # --- volume/issue (venue, seq) space (clean_vvi + volume_issue,
+    # curator.py:500-567, 1312-1353) ---------------------------------------
+    # Rows typed 'journal volume'/'journal issue' ARE the volume/issue
+    # entity: they claim the (venue, seq) slot; articles and issue rows
+    # demand slots; unclaimed demanded slots become anonymous children.
+    vv = _cp(
+        ent0.select(
+            "ekey0", "first_row", "is_resolved", "type_e", "vol_e", "iss_e"
+        ).join(work_venue, "ekey0")
+    )
+    _mark("vvi:vv")
+    vol_claims = vv.filter((F.col("type_e") == "journal volume") & (F.col("vol_e") != "")).select(
+        "vkey", F.col("vol_e").alias("seq"), "ekey0", "is_resolved", "first_row"
+    )
+    vol_demands = vv.filter(
+        F.col("type_e").isin("journal article", "journal issue") & (F.col("vol_e") != "")
+    ).select("vkey", F.col("vol_e").alias("seq"), "first_row")
+    vol_keys = (
+        vol_claims.select("vkey", "seq", "first_row")
+        .unionByName(vol_demands)
+        .groupBy("vkey", "seq")
+        .agg(F.min("first_row").alias("k_first_row"))
+    )
+    cat_vol = catalog.br.filter(F.col("type") == "journal volume").select(
+        F.col("part_of").alias("vkey"), F.col("seq_id").alias("seq"), F.col("omid").alias("cat_child")
+    )
+    claim_pick = (
+        vol_claims.groupBy("vkey", "seq")
+        .agg(
+            F.min(F.when(F.col("is_resolved"), F.struct(F.col("first_row").alias("r"), F.col("ekey0").alias("k"))))["k"].alias("res_claim"),
+            F.min(F.when(~F.col("is_resolved"), F.struct(F.col("first_row").alias("r"), F.col("ekey0").alias("k"))))["k"].alias("new_claim"),
+        )
+    )
+    _mark("vvi:volkeys")
+    vol_targets = _cp(
+        vol_keys.join(cat_vol, ["vkey", "seq"], "left")
+        .join(claim_pick, ["vkey", "seq"], "left")
+        .withColumn(
+            "target",
+            F.coalesce(
+                "cat_child",
+                "res_claim",
+                "new_claim",
+                F.concat(F.lit("NVOL:"), F.col("vkey"), F.lit("|"), F.col("seq")),
+            ),
+        )
+        .select("vkey", "seq", "target", "k_first_row")
+    )
+    _mark("vvi:voltargets")
+    vol_alias = (
+        vol_claims.filter(~F.col("is_resolved"))
+        .join(vol_targets, ["vkey", "seq"])
+        .filter(F.col("ekey0") != F.col("target"))
+        .select("ekey0", F.col("target").alias("ekey_alias"))
+    )
+
+    # issues: parent = volume target when the row carries a volume, else venue
+    _mark("vvi:volalias")
+    iss_src = vv.filter(
+        F.col("type_e").isin("journal article", "journal issue") & (F.col("iss_e") != "")
+    ).join(
+        vol_targets.select("vkey", F.col("seq").alias("vol_e"), F.col("target").alias("vol_target")),
+        ["vkey", "vol_e"],
+        "left",
+    ).withColumn("parent_key", F.coalesce("vol_target", "vkey"))
+    iss_src = _cp(iss_src)
+    iss_claims = iss_src.filter(F.col("type_e") == "journal issue").select(
+        "parent_key", F.col("iss_e").alias("seq"), "ekey0", "is_resolved", "first_row"
+    )
+    iss_demands = iss_src.filter(F.col("type_e") == "journal article").select(
+        "parent_key", F.col("iss_e").alias("seq"), "first_row"
+    )
+    iss_keys = (
+        iss_claims.select("parent_key", "seq", "first_row")
+        .unionByName(iss_demands)
+        .groupBy("parent_key", "seq")
+        .agg(F.min("first_row").alias("k_first_row"))
+    )
+    cat_iss = catalog.br.filter(F.col("type") == "journal issue").select(
+        F.col("part_of").alias("parent_key"), F.col("seq_id").alias("seq"), F.col("omid").alias("cat_child")
+    )
+    iss_claim_pick = (
+        iss_claims.groupBy("parent_key", "seq")
+        .agg(
+            F.min(F.when(F.col("is_resolved"), F.struct(F.col("first_row").alias("r"), F.col("ekey0").alias("k"))))["k"].alias("res_claim"),
+            F.min(F.when(~F.col("is_resolved"), F.struct(F.col("first_row").alias("r"), F.col("ekey0").alias("k"))))["k"].alias("new_claim"),
+        )
+    )
+    _mark("vvi:isskeys")
+    iss_targets = _cp(
+        iss_keys.join(cat_iss, ["parent_key", "seq"], "left")
+        .join(iss_claim_pick, ["parent_key", "seq"], "left")
+        .withColumn(
+            "target",
+            F.coalesce(
+                "cat_child",
+                "res_claim",
+                "new_claim",
+                F.concat(F.lit("NISS:"), F.col("parent_key"), F.lit("|"), F.col("seq")),
+            ),
+        )
+        .select("parent_key", "seq", "target", "k_first_row")
+    )
+    _mark("vvi:isstargets")
+    iss_alias = (
+        iss_claims.filter(~F.col("is_resolved"))
+        .join(iss_targets, ["parent_key", "seq"])
+        .filter(F.col("ekey0") != F.col("target"))
+        .select("ekey0", F.col("target").alias("ekey_alias"))
+    )
+    _mark("vvi:issalias")
+    alias = _cp(vol_alias.unionByName(iss_alias).dropDuplicates(["ekey0"]))
+
+    _mark("vvi-targets")
+    # --- final entity keys + collapse -------------------------------------
+    rows = _cp(
+        rows.join(alias, "ekey0", "left").withColumn(
+            "ekey", F.coalesce("ekey_alias", "ekey0")
+        ).drop("ekey_alias")
+    )
+    _mark("clp:rowsrekey")
+    ekey_venue = _cp(
+        work_venue.join(alias, "ekey0", "left")
+        .withColumn("ekey", F.coalesce("ekey_alias", "ekey0"))
+        .groupBy("ekey")
+        .agg(F.min("vkey").alias("vkey"))
+    )
+
+    _mark("clp:ekeyvenue")
+    ent = rows.groupBy("ekey").agg(
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+        F.max(F.col("decision") == "existing").alias("is_resolved"),
+        _first_nonempty("title_clean").alias("title_first"),
+        _first_nonempty("date_row").alias("date_first"),
+        _last_value("date_row").alias("date_last"),
+        _first_nonempty("type_row").alias("type_first"),
+        _last_value("type_row").alias("type_last"),
+        _first_nonempty("volume_clean").alias("vol_first"),
+        _last_value("volume_clean").alias("vol_last"),
+        _first_nonempty("issue_clean").alias("iss_first"),
+        _last_value("issue_clean").alias("iss_last"),
+        _first_nonempty("page_clean").alias("page_first"),
+        _last_value("page_clean").alias("page_last"),
+        F.min(
+            F.when(
+                F.col("venue_present"),
+                F.struct(
+                    F.col("row_id").alias("r"),
+                    F.col("v_name_eq").alias("n"),
+                    F.col("v_ids_eq").alias("i"),
+                ),
+            )
+        ).alias("ven_first"),
+        F.max(
+            F.struct(
+                F.col("row_id").alias("r"),
+                F.col("venue_present").alias("p"),
+                F.col("v_name_eq").alias("n"),
+                F.col("v_ids_eq").alias("i"),
+            )
+        ).alias("ven_last"),
+        F.max(F.size(F.coalesce(F.col("authors"), F.array())) > 0).alias("any_author"),
+    )
+    _mark("clp:entagg")
+    # store lookups keyed on ALL existing final keys (id-resolved ∪ alias
+    # targets that are catalog omids)
+    final_existing = ent.filter(~F.col("ekey").startswith("NB:")).select(
+        F.col("ekey").alias("omid")
+    ).dropDuplicates()
+    cat_fin = _cp(
+        catalog.br.join(final_existing, "omid", "left_semi").select(
+            F.col("omid").alias("ekey"),
+            F.col("title").alias("cat_title"),
+            F.col("pub_date").alias("cat_date"),
+            F.col("type").alias("cat_type"),
+            F.col("embodiment").alias("cat_embodiment"),
+        )
+    )
+    _mark("clp:catfin")
+    ent = (
+        ent.join(cat_fin, "ekey", "left")
+        .join(store_chain.withColumnRenamed("ekey0", "ekey"), "ekey", "left")
+        .join(cat_page.withColumnRenamed("ekey0", "ekey"), "ekey", "left")
+        .join(ekey_venue, "ekey", "left")
+    )
+    _mark("clp:entjoin")
+    ent = (
+        ent.withColumn("title_f", F.coalesce(nz(F.col("cat_title")), nz(F.col("title_first")), F.lit("")))
+        .withColumn("date_f", pick(F.col("cat_date"), F.col("date_first"), F.col("date_last")))
+        .withColumn("type_f", pick(F.col("cat_type"), F.col("type_first"), F.col("type_last")))
+        .withColumn("vol_f", pick(F.col("s_vol"), F.col("vol_first"), F.col("vol_last")))
+        .withColumn("iss_f", pick(F.col("s_iss"), F.col("iss_first"), F.col("iss_last")))
+        .withColumn(
+            "page_f",
+            F.coalesce(nz(F.col("cat_page")), nz(F.col("page_first")), F.lit("")),
+        )
+        .withColumn(
+            "ven_name",
+            F.when(F.col("is_resolved"), F.col("ven_first")["n"]).otherwise(
+                F.when(F.col("ven_last")["p"], F.col("ven_last")["n"])
+            ),
+        )
+        .withColumn(
+            "ven_ids",
+            F.when(F.col("is_resolved"), F.col("ven_first")["i"]).otherwise(
+                F.when(F.col("ven_last")["p"], F.col("ven_last")["i"])
+            ),
+        )
+        .withColumn(
+            "has_venue",
+            F.when(F.col("is_resolved"), F.col("ven_first").isNotNull()).otherwise(
+                F.coalesce(F.col("ven_last")["p"], F.lit(False))
+            ),
+        )
+        .withColumn("is_new", F.col("ekey").startswith("NB:"))
+    )
+    _mark("clp:entsel")
+    ent = _cp(
+        ent.select(
+            "ekey", "vkey", "first_row", "last_row", "is_resolved", "is_new",
+            "title_f", "date_f", "type_f", "vol_f", "iss_f", "page_f",
+            "ven_name", "ven_ids", "has_venue", "cat_re", "cat_embodiment", "any_author",
+        )
+    )
+
+    _mark("clp:entcp")
+    _mark("collapse")
+    # --- ONE br mint pass: works → venues → volumes → issues --------------
+    # (meta_maker wannabe numbering, curator.py:904-918, phase-ordered like
+    # the reference's clean_id → clean_vvi stage order)
+    empty_key = F.lit(None).cast("string")
+    mint_src = (
+        ent.filter(F.col("is_new"))
+        .select(
+            F.col("ekey").alias("key"),
+            F.lit(0).alias("kind_rank"),
+            F.col("first_row").alias("ord_row"),
+        )
+        .unionByName(
+            new_venues.select(
+                F.col("vkey").alias("key"),
+                F.lit(1).alias("kind_rank"),
+                F.col("v_first_row").alias("ord_row"),
+            )
+        )
+        .unionByName(
+            vol_targets.filter(F.col("target").startswith("NVOL:")).select(
+                F.col("target").alias("key"),
+                F.lit(2).alias("kind_rank"),
+                F.col("k_first_row").alias("ord_row"),
+            )
+        )
+        .unionByName(
+            iss_targets.filter(F.col("target").startswith("NISS:")).select(
+                F.col("target").alias("key"),
+                F.lit(3).alias("kind_rank"),
+                F.col("k_first_row").alias("ord_row"),
+            )
+        )
+    )
+    br_map = _mint_map(mint_src, ["kind_rank", "ord_row", "key"], "br", prefix, counters["br"], small)
+
+    def _to_omid(df: DataFrame, keycol: str, outcol: str) -> DataFrame:
+        """key → final omid: catalog omids pass through, N* keys map."""
+        m = br_map.select(F.col("key").alias(keycol), F.col("minted_omid").alias("__m"))
+        return (
+            df.join(m, keycol, "left")
+            .withColumn(outcol, F.coalesce("__m", F.col(keycol)))
+            .drop("__m")
+        )
+
+    ent = _cp(_to_omid(ent, "ekey", "br_omid"))
+    venue_omids = _to_omid(
+        ent.filter(F.col("vkey").isNotNull()).select("vkey").dropDuplicates(), "vkey", "venue_omid"
+    )
+    vol_t = _to_omid(vol_targets, "target", "vol_omid")
+    iss_t = _to_omid(iss_targets, "target", "iss_omid")
+
+    # container pointer per entity: issue > volume > venue for articles;
+    # venue for volume rows; volume-or-venue for issue rows
+    # (creator.py vvi_action nesting).
+    ent_c = (
+        ent.filter(F.col("has_venue"))
+        .join(venue_omids, "vkey", "left")
+        .join(
+            vol_t.select("vkey", F.col("seq").alias("vol_f"), "vol_omid"),
+            ["vkey", "vol_f"],
+            "left",
+        )
+        .withColumn("iss_parent_key", F.coalesce(F.col("vol_omid"), F.col("venue_omid")))
+    )
+    iss_by_parent = iss_t.select(
+        F.col("parent_key").alias("iss_parent_key0"), F.col("seq").alias("iss_f"), "iss_omid"
+    )
+    # issue targets are keyed by raw parent KEY (pre-mint); map ent's parent
+    # key space the same way: vol target key (pre-mint) else vkey
+    ent_c = (
+        ent_c.join(
+            vol_targets.select("vkey", F.col("seq").alias("vol_f"), F.col("target").alias("vol_key")),
+            ["vkey", "vol_f"],
+            "left",
+        )
+        .withColumn("iss_parent_raw", F.coalesce(F.col("vol_key"), F.col("vkey")))
+        .join(
+            iss_by_parent.withColumnRenamed("iss_parent_key0", "iss_parent_raw"),
+            ["iss_parent_raw", "iss_f"],
+            "left",
+        )
+    )
+    container = _cp(
+        ent_c.select(
+            "ekey",
             "br_omid",
-            F.coalesce("iss_omid", "vol_omid", "venue_omid").alias("part_of"),
             "venue_omid",
             "vol_omid",
             "iss_omid",
-        )
-    ).localCheckpoint(eager=True)
-
-    # --- RE (pages) -------------------------------------------------------
-    pages = entity_rows.filter(
-        (F.coalesce(F.col("page"), F.lit("")) != "") & F.col("cat_embodiment").isNull()
-    ).select(
-        "br_omid",
-        F.regexp_extract(F.translate(F.col("page"), "‐‑‒–—―−﹘﹣－", "----------"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 1).alias("start_page"),
-        F.regexp_extract(F.translate(F.col("page"), "‐‑‒–—―−﹘﹣－", "----------"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 2).alias("end_page"),
-    )
-    re_offset = _max_counter(catalog.re, "re", prefix)
-    re_new = mint_omids(pages, ["br_omid"], "re", prefix, re_offset, small=small).localCheckpoint(eager=True)
-
-    # --- agents (D6/D7): RA resolution + AR chains with pos ---------------
-    agents = None
-    for role, col in (("author", "authors"), ("editor", "editors"), ("publisher", "publishers")):
-        # display_br = the input row's entity (curated-CSV attribution);
-        # br_omid may be retargeted to the container for the GRAPH (ARs).
-        part = entity_rows.select(
-            "br_omid", "type_f", F.lit(role).alias("role"), F.explode(col).alias("a")
-        ).withColumn("display_br", F.col("br_omid"))
-        if role == "editor":
-            # Editors of chapter-like types belong to the CONTAINER BR
-            # (reference get_edited_br_metaid, core/curator.py:1538-1546;
-            # CONTAINER_EDITOR_TYPES constants.py:60-68).
-            part = (
-                part.join(container.select("br_omid", "venue_omid"), "br_omid", "left")
-                .withColumn(
-                    "br_omid",
-                    F.when(
-                        F.col("type_f").isin(*sorted(CONTAINER_EDITOR_TYPES))
-                        & F.col("venue_omid").isNotNull(),
-                        F.col("venue_omid"),
-                    ).otherwise(F.col("br_omid")),
-                )
-                .drop("venue_omid")
+            F.when(F.col("type_f") == "journal volume", F.col("venue_omid"))
+            .when(
+                F.col("type_f") == "journal issue",
+                F.coalesce(F.col("vol_omid"), F.col("venue_omid")),
             )
-        part = part.drop("type_f")
-        agents = part if agents is None else agents.unionByName(part)
-    agents = (
-        agents.select(
-            "br_omid",
-            "display_br",
-            "role",
-            F.col("a")["family"].alias("family"),
-            F.col("a")["given"].alias("given"),
-            F.col("a")["org_name"].alias("org_name"),
-            F.col("a")["ids"].alias("a_ids"),
-            F.col("a")["pos"].alias("pos"),
-        )
-        # C7: drop Not Available agents
-        .filter(
-            F.lower(F.coalesce(F.col("family"), F.col("org_name"), F.lit(""))) != "not available"
-        )
-        .withColumn("agent_key", F.concat_ws("|", "br_omid", "role", F.col("pos").cast("string")))
-    ).localCheckpoint(eager=True)
-
-    # D6: ids appearing under >1 agent of the same (br, role) are dropped.
-    a_tok = agents.select("agent_key", "br_omid", "role", F.explode_outer("a_ids").alias("t")).select(
-        "agent_key",
-        "br_omid",
-        "role",
-        F.col("t")["schema"].alias("schema"),
-        F.col("t")["value"].alias("value"),
-    )
-    shared = (
-        a_tok.filter(F.col("schema").isNotNull())
-        .groupBy("br_omid", "role", "schema", "value")
-        .agg(F.countDistinct("agent_key").alias("n_agents"))
-        .filter(F.col("n_agents") > 1)
-        .select("br_omid", "role", "schema", "value")
-    )
-    a_tok_clean = a_tok.join(shared, ["br_omid", "role", "schema", "value"], "left_anti").filter(
-        F.col("schema").isNotNull()
-    )
-
-    # RA resolution via ids (catalog) + in-batch unification via shared ids.
-    ra_match = (
-        a_tok_clean.filter(F.col("schema") != "omid")
-        .join(cat_ids_all.filter(F.col("entity_omid").startswith("ra/")), ["schema", "value"])
-        .groupBy("agent_key")
-        .agg(F.min("entity_omid").alias("ra_existing"))
-    )
-
-    # D7 name fallback: agents without an id match resolve by exact name
-    # against the BR's EXISTING agent chain (reference clean_ra,
-    # oc_meta/core/curator.py:575-742 — chain-scoped, not catalog-wide).
-    chain = catalog.ar.select(
-        F.col("br_omid").alias("c_br"), F.col("role").alias("c_role"), F.col("ra_omid").alias("c_ra")
-    ).join(
-        catalog.ra.select(
-            F.col("omid").alias("c_ra"),
-            F.col("name").alias("c_name"),
-            F.col("family").alias("c_family"),
-            F.col("given").alias("c_given"),
-        ),
-        "c_ra",
-    )
-    name_match = (
-        agents.join(
-            chain,
-            (F.col("br_omid") == F.col("c_br"))
-            & (F.col("role") == F.col("c_role"))
-            & F.col("family").eqNullSafe(F.col("c_family"))
-            & F.col("given").eqNullSafe(F.col("c_given"))
-            & F.col("org_name").eqNullSafe(F.col("c_name")),
-        )
-        .groupBy("agent_key")
-        .agg(F.min("c_ra").alias("ra_name_match"))
-    )
-    a_edges = a_tok_clean.select(
-        F.concat(F.lit("a:"), F.col("agent_key")).alias("src"),
-        F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
-    )
-    a_comp = connected_components(a_edges, "src", "dst")
-    agent_comp = a_comp.filter(F.col("node").startswith("a:")).select(
-        F.expr("substring(node, 3)").alias("agent_key"), F.col("comp").alias("a_component")
-    )
-    agents = (
-        agents.join(agent_comp, "agent_key", "left")
-        .withColumn("a_component", F.coalesce("a_component", F.concat(F.lit("solo:"), F.col("agent_key"))))
-        .join(ra_match, "agent_key", "left")
-        .join(name_match, "agent_key", "left")
-    )
-    # Priority per unified component: id match > chain name match > new RA.
-    comp_ra = agents.groupBy("a_component").agg(
-        F.coalesce(F.min("ra_existing"), F.min("ra_name_match")).alias("comp_ra_existing")
-    )
-    agents = agents.join(comp_ra, "a_component")
-    ra_offset = _max_counter(catalog.ra, "ra", prefix)
-    new_ra_comps = (
-        agents.filter(F.col("comp_ra_existing").isNull())
-        .groupBy("a_component")
-        .agg(
-            F.min("agent_key").alias("first_key"),
-            F.min("family").alias("family"),
-            F.min("given").alias("given"),
-            F.min("org_name").alias("org_name"),
+            .otherwise(F.coalesce(F.col("iss_omid"), F.col("vol_omid"), F.col("venue_omid")))
+            .alias("part_of"),
         )
     )
-    new_ra_comps = mint_omids(new_ra_comps, ["first_key"], "ra", prefix, ra_offset, "ra_omid", small=small).localCheckpoint(
-        eager=True
-    )
-    agents = (
-        agents.join(new_ra_comps.select("a_component", "ra_omid"), "a_component", "left")
-        .withColumn("ra_omid", F.coalesce("comp_ra_existing", "ra_omid"))
-    ).localCheckpoint(eager=True)
 
-    # Given-name enrichment (reference name_check, core/curator.py:1013-1022):
-    # an id-matched agent supplying a given name fills a catalog RA that has
-    # only 'Family,'.
-    cat_ra_names = catalog.ra.select(
-        F.col("omid").alias("ra_omid"),
-        F.col("family").alias("cat_family"),
-        F.col("given").alias("cat_given"),
+    _mark("br-mint")
+    # --- RE (pages): existing embodiment wins, else mint ------------------
+    need_re = ent.filter((F.col("page_f") != "") & F.col("cat_re").isNull() & F.col("cat_embodiment").isNull())
+    re_map = _mint_map(
+        need_re.select("ekey", F.col("first_row").alias("ord_row")),
+        ["ord_row", "ekey"],
+        "re",
+        prefix,
+        counters["re"],
+        small,
     )
-    ra_updates = (
-        agents.filter(F.col("given").isNotNull() & (F.col("given") != ""))
-        .join(cat_ra_names, "ra_omid")
-        .filter(F.col("cat_given").isNull() | (F.col("cat_given") == ""))
-        .filter(F.col("cat_family").isNotNull() & (F.col("cat_family") == F.col("family")))
-        .groupBy("ra_omid")
-        .agg(F.min("given").alias("given"))
-        .select(F.col("ra_omid").alias("omid"), "given")
-    ).localCheckpoint(eager=True)
-
-    ra_new = new_ra_comps.select(
-        F.col("ra_omid").alias("omid"),
-        F.col("org_name").alias("name"),
-        "family",
-        "given",
+    page_re = re_map.select("ekey", F.col("minted_omid").alias("re_omid")).unionByName(
+        ent.filter(F.col("cat_re").isNotNull()).select("ekey", F.col("cat_re").alias("re_omid"))
     )
-
-    # AR rows: positions continue any existing chain (max pos per br+role).
-    # Agents resolving to an RA already present in the BR's chain get NO new
-    # AR (the reference keeps the survivor chain; re-curation is a no-op).
-    existing_max = catalog.ar.groupBy(F.col("br_omid"), F.col("role")).agg(F.max("pos").alias("base_pos"))
-    ar_offset = _max_counter(catalog.ar, "ar", prefix)
-    new_ar_agents = agents.join(
-        catalog.ar.select("br_omid", "role", "ra_omid"), ["br_omid", "role", "ra_omid"], "left_anti"
-    )
-    if silencer:
-        # Silencer mode (reference run/meta_process.py:127-159): suppress
-        # agent-role ADDITIONS on preexisting entities — modifications of
-        # other fields still apply; new entities get their chains normally.
-        preexisting = catalog.br.select("omid").withColumnRenamed("omid", "br_omid")
-        new_ar_agents = new_ar_agents.join(preexisting, "br_omid", "left_anti")
-    w_newpos = Window.partitionBy("br_omid", "role").orderBy("pos")
-    ar_new = (
-        new_ar_agents.join(existing_max, ["br_omid", "role"], "left")
-        # chain continues contiguously: rank among NEW agents only, so
-        # agents that matched existing chain slots leave no position gaps
-        .withColumn(
-            "pos_final",
-            (F.coalesce(F.col("base_pos"), F.lit(0)) + F.row_number().over(w_newpos)).cast("int"),
+    _page_start = F.regexp_extract(F.col("page_f"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 1)
+    _page_end = F.regexp_extract(F.col("page_f"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 2)
+    re_new = _cp(
+        need_re.join(re_map.select("ekey", "minted_omid"), "ekey").select(
+            F.col("minted_omid").alias("omid"),
+            _page_start.alias("start_page"),
+            F.nullif(_page_end, F.lit("")).alias("end_page"),
         )
     )
-    ar_new = (
-        mint_omids(ar_new, ["br_omid", "role", "pos_final"], "ar", prefix, ar_offset, small=small)
-        .select("omid", "br_omid", "role", "ra_omid", F.col("pos_final").alias("pos"))
-    ).localCheckpoint(eager=True)
-
-    # RA identifier links.
-    ra_tok = (
-        a_tok_clean.filter(F.col("schema") != "omid")
-        .join(agents.select("agent_key", "ra_omid"), "agent_key")
-        .select("schema", "value", F.col("ra_omid").alias("entity_omid"))
-        .dropDuplicates()
-    )
-    ra_id_new_tokens = (
-        ra_tok.select("schema", "value")
-        .dropDuplicates()
-        .join(all_id_omids.select("schema", "value"), ["schema", "value"], "left_anti")
-    )
-    ra_id_new_tokens = (
-        mint_omids(ra_id_new_tokens, ["schema", "value"], "id", prefix, id_offset + id_new.count(), small=small)
-        .select("omid", "schema", "value")
-    ).localCheckpoint(eager=True)
-    id_new = id_new.unionByName(ra_id_new_tokens)
-    all_id_omids = all_id_omids.unionByName(ra_id_new_tokens)
-    entity_id_new = entity_id_new.unionByName(
-        ra_tok.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
-        .select("entity_omid", "id_omid")
-        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
-        .dropDuplicates()
+    index_re = ent.filter(F.col("page_f") != "").join(page_re, "ekey", "left").select(
+        F.col("br_omid").alias("br"), F.col("re_omid").alias("re")
     )
 
-    # Venue identifier links: minted venue entities carry the issn/etc ids
-    # that named them (closes the resolution loop for future batches).
-    ven_tok = (
-        v_tok.filter(F.col("schema").isNotNull() & (F.col("schema") != "omid"))
-        .join(venues.select("br_omid", "venue_omid"), "br_omid")
-        .filter(F.col("venue_omid").isNotNull())
-        .select("schema", "value", F.col("venue_omid").alias("entity_omid"))
-        .dropDuplicates()
-    )
-    ven_new_tokens = (
-        mint_omids(
-            ven_tok.select("schema", "value")
-            .dropDuplicates()
-            .join(all_id_omids.select("schema", "value"), ["schema", "value"], "left_anti"),
-            ["schema", "value"],
-            "id",
-            prefix,
-            id_offset + id_new.count(),
-            small=small,
+    _mark("re")
+    # --- br_new delta ------------------------------------------------------
+    new_rows_br = (
+        ent.filter(F.col("is_new"))
+        .join(container.select("ekey", "part_of"), "ekey", "left")
+        .join(re_map.select("ekey", F.col("minted_omid").alias("re_omid")), "ekey", "left")
+        .select(
+            F.col("br_omid").alias("omid"),
+            F.nullif("type_f", F.lit("")).alias("type"),
+            F.nullif("title_f", F.lit("")).alias("title"),
+            F.nullif("date_f", F.lit("")).alias("pub_date"),
+            F.when(F.col("type_f") == "journal volume", F.nullif("vol_f", F.lit("")))
+            .when(F.col("type_f") == "journal issue", F.nullif("iss_f", F.lit("")))
+            .alias("seq_id"),
+            F.col("part_of"),
+            F.col("re_omid").alias("embodiment"),
         )
-        .select("omid", "schema", "value")
-    ).localCheckpoint(eager=True)
-    id_new = id_new.unionByName(ven_new_tokens)
-    all_id_omids = all_id_omids.unionByName(ven_new_tokens)
-    entity_id_new = entity_id_new.unionByName(
-        ven_tok.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
-        .select("entity_omid", "id_omid")
-        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
-        .dropDuplicates()
     )
-
-    # --- entity deltas ----------------------------------------------------
-    new_work_rows = entity_rows.filter(F.col("is_new")).join(container, "br_omid", "left").join(
-        re_new.select("br_omid", F.col("omid").alias("re_omid")), "br_omid", "left"
-    )
-    br_new = new_work_rows.select(
-        F.col("br_omid").alias("omid"),
-        F.col("type_f").alias("type"),
-        F.col("title_f").alias("title"),
-        F.col("date_f").alias("pub_date"),
-        F.lit(None).cast("string").alias("seq_id"),
-        F.col("part_of"),
-        F.col("re_omid").alias("embodiment"),
-    )
-    br_new = br_new.unionByName(
-        new_venues.select(
-            F.col("venue_omid").alias("omid"),
-            F.col("v_type").alias("type"),
-            F.col("v_name").alias("title"),
+    new_venue_br = (
+        _to_omid(new_venues, "vkey", "omid")
+        .select(
+            "omid",
+            F.nullif("v_type_new", F.lit("")).alias("type"),
+            F.nullif("v_name_new", F.lit("")).alias("title"),
             F.lit(None).cast("string").alias("pub_date"),
             F.lit(None).cast("string").alias("seq_id"),
             F.lit(None).cast("string").alias("part_of"),
             F.lit(None).cast("string").alias("embodiment"),
         )
     )
-    for child_df, child_type in ((volumes, "journal volume"), (issues, "journal issue")):
-        new_children = child_df.join(
-            catalog.br.select(F.col("omid").alias("child_omid")), "child_omid", "left_anti"
+    anon_vol_br = (
+        vol_t.filter(F.col("target").startswith("NVOL:"))
+        .join(venue_omids, "vkey", "left")
+        .select(
+            F.col("vol_omid").alias("omid"),
+            F.lit("journal volume").alias("type"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("pub_date"),
+            F.col("seq").alias("seq_id"),
+            F.col("venue_omid").alias("part_of"),
+            F.lit(None).cast("string").alias("embodiment"),
         )
-        br_new = br_new.unionByName(
-            new_children.select(
-                F.col("child_omid").alias("omid"),
-                F.lit(child_type).alias("type"),
-                F.lit(None).cast("string").alias("title"),
-                F.lit(None).cast("string").alias("pub_date"),
-                F.col("seq").alias("seq_id"),
-                F.col("parent").alias("part_of"),
-                F.lit(None).cast("string").alias("embodiment"),
+    )
+    parent_omids = _to_omid(
+        iss_t.select(F.col("parent_key")).dropDuplicates(), "parent_key", "parent_omid"
+    )
+    anon_iss_br = (
+        iss_t.filter(F.col("target").startswith("NISS:"))
+        .join(parent_omids, "parent_key", "left")
+        .select(
+            F.col("iss_omid").alias("omid"),
+            F.lit("journal issue").alias("type"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("pub_date"),
+            F.col("seq").alias("seq_id"),
+            F.col("parent_omid").alias("part_of"),
+            F.lit(None).cast("string").alias("embodiment"),
+        )
+    )
+    br_new = _cp(
+        new_rows_br.unionByName(new_venue_br).unionByName(anon_vol_br).unionByName(anon_iss_br)
+    )
+
+    _mark("br_new")
+    # --- agents (clean_ra, curator.py:575-788) ----------------------------
+    # Editors of container-edited types attach to the VENUE entity when the
+    # row has authors + venue (get_edited_br_metaid, curator.py:1538-1546).
+    ent_graph = (
+        ent.join(container.select("ekey", "venue_omid"), "ekey", "left")
+        .withColumn(
+            "editor_graph",
+            F.when(
+                F.col("any_author")
+                & F.col("has_venue")
+                & F.col("type_f").isin(*sorted(CONTAINER_EDITOR_TYPES))
+                & F.col("venue_omid").isNotNull(),
+                F.col("venue_omid"),
+            ).otherwise(F.col("br_omid")),
+        )
+        .select("ekey", "br_omid", "editor_graph")
+    )
+    parts = None
+    for role, col in (("author", "authors"), ("editor", "editors"), ("publisher", "publishers")):
+        p = rows.select("ekey", "row_id", F.lit(role).alias("role"), F.explode(col).alias("a"))
+        parts = p if parts is None else parts.unionByName(p)
+    men = (
+        parts.join(ent_graph, "ekey")
+        .withColumn(
+            "graph", F.when(F.col("role") == "editor", F.col("editor_graph")).otherwise(F.col("br_omid"))
+        )
+        .select(
+            "ekey",
+            "row_id",
+            "role",
+            "graph",
+            F.col("a")["family"].alias("family"),
+            F.col("a")["given"].alias("given"),
+            F.col("a")["org_name"].alias("org_name"),
+            F.col("a")["ids"].alias("a_ids"),
+            F.col("a")["pos"].alias("pos"),
+        )
+        .withColumn(
+            "mkey",
+            F.concat_ws(":", F.col("row_id").cast("string"), F.col("role"), F.col("pos").cast("string")),
+        )
+        .withColumn(
+            "display",
+            F.when(F.col("org_name").isNotNull(), F.col("org_name")).when(
+                F.col("family").isNotNull(),
+                F.concat(F.col("family"), F.lit(", "), F.coalesce(F.col("given"), F.lit(""))),
+            ),
+        )
+        .withColumn("has_ids", F.size(F.coalesce(F.col("a_ids"), F.array())) > 0)
+    )
+
+    # silencer: a silenced role adds nothing where a chain already exists —
+    # catalog chain ⇒ drop all mentions; in-batch ⇒ only the first
+    # contributing row's mentions survive (curator.py:663-664).
+    if silenced_roles:
+        cat_chain_keys = catalog.ar.select(
+            F.col("br_omid").alias("graph"), F.col("role")
+        ).dropDuplicates()
+        sil = F.col("role").isin(*sorted(silenced_roles))
+        men = men.join(
+            cat_chain_keys.withColumn("__has_chain", F.lit(True)), ["graph", "role"], "left"
+        )
+        first_contrib = men.groupBy("graph", "role").agg(F.min("row_id").alias("__first_contrib"))
+        men = (
+            men.join(first_contrib, ["graph", "role"])
+            .filter(
+                ~sil
+                | (F.col("__has_chain").isNull() & (F.col("row_id") == F.col("__first_contrib")))
             )
+            .drop("__has_chain", "__first_contrib")
         )
+    men = _cp(men)
 
-    re_out = re_new.select("omid", "start_page", F.nullif("end_page", F.lit("")).alias("end_page"))
+    a_tok = men.select("mkey", "graph", "role", F.explode("a_ids").alias("t")).select(
+        "mkey",
+        "graph",
+        "role",
+        F.col("t")["schema"].alias("schema"),
+        F.col("t")["value"].alias("value"),
+    )
+    a_ext = a_tok.filter(F.col("schema") != "omid")
+    a_explicit = (
+        a_tok.filter((F.col("schema") == "omid") & F.col("value").startswith("ra/"))
+        .join(catalog.ra.select(F.col("omid").alias("value")), "value", "left_semi")
+        .select("mkey", F.col("value").alias("cand"))
+    )
+    a_edges = a_ext.select(
+        F.concat(F.lit("a:"), F.col("mkey")).alias("src"),
+        F.concat(F.lit("t:"), F.col("schema"), F.lit(":"), F.col("value")).alias("dst"),
+    )
+    a_comp_raw = connected_components(a_edges, "src", "dst")
+    a_comp = a_comp_raw.filter(F.col("node").startswith("a:")).select(
+        F.expr("substring(node, 3)").alias("mkey"), F.col("comp").alias("id_comp")
+    )
+    men = men.join(a_comp, "mkey", "left")
 
-    # --- provenance snapshots (creation for every minted entity) ----------
+    # name adoption: an id-less mention joins the FIRST same-named mention
+    # of its (graph, role) bucket (process_individual_ra, curator.py:640-650)
+    bucket_first = (
+        men.filter(F.col("display").isNotNull())
+        .groupBy("graph", "role", "display")
+        .agg(
+            F.min(F.struct(F.col("row_id").alias("r"), F.col("pos").alias("p"), F.col("mkey").alias("k")))[
+                "k"
+            ].alias("canon_mkey")
+        )
+    )
+    men = (
+        men.join(bucket_first, ["graph", "role", "display"], "left")
+        .withColumn(
+            "anchor_mkey",
+            F.when(~F.col("has_ids") & F.col("canon_mkey").isNotNull(), F.col("canon_mkey")).otherwise(
+                F.col("mkey")
+            ),
+        )
+    )
+    anchor_comp = men.select(
+        F.col("mkey").alias("anchor_mkey"),
+        F.coalesce(F.col("id_comp"), F.concat(F.lit("asolo:"), F.col("mkey"))).alias("anchor_comp"),
+    )
+    men = _cp(
+        men.join(anchor_comp, "anchor_mkey", "left").withColumn(
+            "a_component", F.col("anchor_comp")
+        ).drop("anchor_comp")
+    )
+
+    # candidates: verified explicit ra omid > catalog id match > chain name
+    cat_ra_ids = cat_ids_all.filter(F.col("entity_omid").startswith("ra/"))
+    a_matched = a_ext.join(cat_ra_ids, ["schema", "value"]).select(
+        "mkey", F.col("entity_omid").alias("cand")
+    )
+    graphs = men.select("graph").dropDuplicates()
+    cat_chain = _cp(
+        catalog.ar.join(graphs, catalog.ar.br_omid == graphs.graph, "left_semi")
+        .select(
+            F.col("br_omid").alias("graph"),
+            F.col("role"),
+            F.col("ra_omid").alias("c_ra"),
+            F.col("pos").alias("c_pos"),
+        )
+        .join(
+            catalog.ra.select(
+                F.col("omid").alias("c_ra"),
+                F.col("name").alias("c_name"),
+                F.col("family").alias("c_family"),
+                F.col("given").alias("c_given"),
+            ),
+            "c_ra",
+        )
+        .withColumn(
+            "c_display",
+            F.when(F.col("c_name").isNotNull(), F.col("c_name")).when(
+                F.col("c_family").isNotNull(),
+                F.concat(F.col("c_family"), F.lit(", "), F.coalesce(F.col("c_given"), F.lit(""))),
+            ),
+        )
+    )
+    name_match = (
+        men.filter(~F.col("has_ids") & F.col("display").isNotNull())
+        .join(
+            cat_chain.select("graph", "role", F.col("c_display").alias("display"), "c_ra", "c_pos"),
+            ["graph", "role", "display"],
+        )
+        .groupBy("mkey")
+        .agg(F.min(F.struct(F.col("c_pos").alias("p"), F.col("c_ra").alias("k")))["k"].alias("cand"))
+    )
+    a_cands = (
+        men.select("mkey", "a_component")
+        .join(
+            a_explicit.withColumn("prio", F.lit(0))
+            .unionByName(a_matched.withColumn("prio", F.lit(1)))
+            .unionByName(name_match.select("mkey", "cand").withColumn("prio", F.lit(2))),
+            "mkey",
+            "left",
+        )
+        .groupBy("a_component")
+        .agg(
+            F.min(F.when(F.col("prio") == 0, F.col("cand"))).alias("c0"),
+            F.min(F.when(F.col("prio") == 1, F.col("cand"))).alias("c1"),
+            F.min(F.when(F.col("prio") == 2, F.col("cand"))).alias("c2"),
+        )
+        .withColumn("ra_existing", F.coalesce("c0", "c1", "c2"))
+    )
+    men = men.join(a_cands.select("a_component", "ra_existing"), "a_component")
+
+    # new RA components: first mention names the agent; a later mention's
+    # given fills a 'Family, ' first mention (name_check, curator.py:1013-22)
+    rr = (
+        F.when(F.col("role") == "author", 0).when(F.col("role") == "publisher", 1).otherwise(2)
+    )
+    comp_first = (
+        men.withColumn("role_rank", rr)
+        .groupBy("a_component")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("row_id").alias("r"),
+                    F.col("role_rank").alias("rr"),
+                    F.col("pos").alias("p"),
+                    F.col("family").alias("family"),
+                    F.col("given").alias("given"),
+                    F.col("org_name").alias("org_name"),
+                )
+            ).alias("pick"),
+        )
+        .select(
+            "a_component",
+            F.col("pick")["r"].alias("ord_row"),
+            F.col("pick")["rr"].alias("ord_role"),
+            F.col("pick")["p"].alias("ord_pos"),
+            F.col("pick")["family"].alias("family"),
+            F.col("pick")["given"].alias("given"),
+            F.col("pick")["org_name"].alias("org_name"),
+        )
+    )
+    given_fill = (
+        men.filter(F.col("given").isNotNull() & (F.col("given") != ""))
+        .groupBy(
+            F.col("a_component").alias("__gc"), F.col("family").alias("__gf")
+        )
+        .agg(
+            F.min(F.struct(F.col("row_id").alias("r"), F.col("pos").alias("p"), F.col("given").alias("g")))[
+                "g"
+            ].alias("fill_given")
+        )
+    )
+    comp_first = comp_first.join(
+        given_fill,
+        (F.col("a_component") == F.col("__gc")) & F.col("family").eqNullSafe(F.col("__gf")),
+        "left",
+    ).drop("__gc", "__gf")
+    comp_first = comp_first.withColumn(
+        "given",
+        F.when(
+            (F.coalesce(F.col("given"), F.lit("")) == "") & F.col("family").isNotNull(),
+            F.coalesce(F.col("fill_given"), F.col("given")),
+        ).otherwise(F.col("given")),
+    ).drop("fill_given")
+
+    new_ra_comps = comp_first.join(
+        men.filter(F.col("ra_existing").isNotNull()).select("a_component").dropDuplicates(),
+        "a_component",
+        "left_anti",
+    )
+    ra_map = _mint_map(
+        new_ra_comps.select(
+            "a_component", "ord_row", "ord_role", "ord_pos", "family", "given", "org_name"
+        ),
+        ["ord_row", "ord_role", "ord_pos"],
+        "ra",
+        prefix,
+        counters["ra"],
+        small,
+    )
+    men = _cp(
+        men.join(ra_map.select("a_component", F.col("minted_omid").alias("ra_minted")), "a_component", "left")
+        .withColumn("ra_omid", F.coalesce("ra_existing", "ra_minted"))
+    )
+    ra_new = ra_map.select(
+        F.col("minted_omid").alias("omid"),
+        F.col("org_name").alias("name"),
+        "family",
+        "given",
+    )
+
+    # given-name enrichment of EXISTING RAs (name_check against catalog)
+    cat_ra_names = catalog.ra.select(
+        F.col("omid").alias("ra_omid"),
+        F.col("family").alias("cat_family"),
+        F.col("given").alias("cat_given"),
+    )
+    ra_updates = _cp(
+        men.filter(F.col("given").isNotNull() & (F.col("given") != "") & F.col("ra_existing").isNotNull())
+        .join(cat_ra_names, "ra_omid")
+        .filter(F.col("cat_given").isNull() | (F.col("cat_given") == ""))
+        .filter(F.col("cat_family").isNotNull() & (F.col("cat_family") == F.col("family")))
+        .groupBy("ra_omid")
+        .agg(F.min("given").alias("given"))
+        .select(F.col("ra_omid").alias("omid"), "given")
+    )
+
+    _mark("agents-ra")
+    # --- AR rows: chains continue after the existing max pos --------------
+    ar_agents = (
+        men.groupBy("graph", "role", "ra_omid")
+        .agg(
+            F.min(F.struct(F.col("row_id").alias("r"), F.col("pos").alias("p")))["r"].alias("ord_row"),
+            F.min(F.struct(F.col("row_id").alias("r"), F.col("pos").alias("p")))["p"].alias("ord_pos"),
+        )
+        .join(
+            cat_chain.select("graph", "role", F.col("c_ra").alias("ra_omid")).dropDuplicates(),
+            ["graph", "role", "ra_omid"],
+            "left_anti",
+        )
+    )
+    existing_max = cat_chain.groupBy("graph", "role").agg(F.max("c_pos").alias("base_pos"))
+    w_newpos = Window.partitionBy("graph", "role").orderBy("ord_row", "ord_pos")
+    ar_ranked = (
+        ar_agents.join(existing_max, ["graph", "role"], "left")
+        .withColumn(
+            "pos_final",
+            (F.coalesce(F.col("base_pos"), F.lit(0)) + F.row_number().over(w_newpos)).cast("int"),
+        )
+        .withColumn(
+            "role_rank",
+            F.when(F.col("role") == "author", 0).when(F.col("role") == "publisher", 1).otherwise(2),
+        )
+    )
+    ar_map = _mint_map(
+        ar_ranked,
+        ["ord_row", "role_rank", "ord_pos"],
+        "ar",
+        prefix,
+        counters["ar"],
+        small,
+    )
+    ar_new = _cp(
+        ar_map.select(
+            F.col("minted_omid").alias("omid"),
+            F.col("graph").alias("br_omid"),
+            "role",
+            "ra_omid",
+            F.col("pos_final").alias("pos"),
+        )
+    )
+
+    _mark("ar")
+    # --- identifier entities (id/ omids) — one mint pass ------------------
+    br_tok = (
+        rows.select("ekey", "row_id", F.posexplode_outer("ids").alias("cpos", "t"))
+        .filter(F.col("t").isNotNull() & (F.col("t")["schema"] != "omid"))
+        .join(ent.select("ekey", "br_omid"), "ekey")
+        .select(
+            F.col("br_omid").alias("entity_omid"),
+            F.col("t")["schema"].alias("schema"),
+            F.col("t")["value"].alias("value"),
+            "row_id",
+            "cpos",
+        )
+    )
+    ven_tok = (
+        mentions.select("vkey", "first_row", F.posexplode_outer("ven_ids").alias("cpos", "t"))
+        .filter(F.col("t").isNotNull() & (F.col("t")["schema"] != "omid"))
+        .join(_to_omid(mentions.select("vkey").dropDuplicates(), "vkey", "venue_omid"), "vkey")
+        .select(
+            F.col("venue_omid").alias("entity_omid"),
+            F.col("t")["schema"].alias("schema"),
+            F.col("t")["value"].alias("value"),
+            F.col("first_row").alias("row_id"),
+            "cpos",
+        )
+    )
+    ra_tok = (
+        a_ext.join(men.select("mkey", "row_id", "ra_omid"), "mkey")
+        .select(
+            F.col("ra_omid").alias("entity_omid"),
+            "schema",
+            "value",
+            "row_id",
+            F.lit(0).alias("cpos"),
+        )
+    )
+    all_tok = _cp(br_tok.unionByName(ven_tok).unionByName(ra_tok))
+    id_map = _mint_map(
+        all_tok.select("schema", "value")
+        .dropDuplicates()
+        .join(catalog.id.select("schema", "value"), ["schema", "value"], "left_anti"),
+        ["schema", "value"],
+        "id",
+        prefix,
+        counters["id"],
+        small,
+    )
+    id_new = _cp(id_map.select(F.col("minted_omid").alias("omid"), "schema", "value"))
+    all_id_omids = _cp(catalog.id.select("omid", "schema", "value").unionByName(id_new))
+    entity_id_new = _cp(
+        all_tok.select("entity_omid", "schema", "value")
+        .dropDuplicates()
+        .join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
+        .select("entity_omid", "id_omid")
+        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
+    )
+
+    _mark("ids")
+    # --- provenance snapshots ---------------------------------------------
     created = (
         br_new.select("omid")
         .unionByName(ra_new.select("omid"))
         .unionByName(id_new.select("omid"))
         .unionByName(ar_new.select("omid"))
-        .unionByName(re_out.select("omid"))
+        .unionByName(re_new.select("omid"))
     )
     prov_new = created.select(
         F.col("omid").alias("entity_omid"),
@@ -856,17 +1801,15 @@ def curate(
         F.lit("entity created").alias("description"),
         F.lit(None).cast("string").alias("update_query"),
     )
-    # Modification snapshots for existing entities that gained identifiers.
     prev_max = catalog.prov.groupBy(F.col("entity_omid")).agg(F.max("snapshot").alias("prev_n"))
     modified = (
         entity_id_new.select("entity_omid")
         .dropDuplicates()
         .join(created.withColumnRenamed("omid", "entity_omid"), "entity_omid", "left_anti")
+        .unionByName(ra_updates.select(F.col("omid").alias("entity_omid")))
     )
-    modified = modified.unionByName(ra_updates.select(F.col("omid").alias("entity_omid")))
     prov_new = prov_new.unionByName(
-        modified.join(prev_max, "entity_omid", "left")
-        .select(
+        modified.join(prev_max, "entity_omid", "left").select(
             "entity_omid",
             (F.coalesce("prev_n", F.lit(0)) + 1).cast("int").alias("snapshot"),
             F.lit(batch_ts).alias("generated_at"),
@@ -879,106 +1822,288 @@ def curate(
         )
     )
 
-    # --- curated output rows + indexes ------------------------------------
-    ext_ids_per_br = (
-        toks.groupBy("br_omid")
+    _mark("prov")
+    # --- curated CSV rows (enrich, curator.py:969-1011) -------------------
+    # id column: batch tokens in first-occurrence order, then catalog-only
+    # ids (sorted), then the omid last.
+    cat_ids_of = (
+        final_existing.join(
+            cat_ids_all, final_existing.omid == cat_ids_all.entity_omid, "inner"
+        )
+        .groupBy("entity_omid")
+        .agg(F.array_sort(F.collect_set(F.concat_ws(":", "schema", "value"))).alias("cat_toks"))
+        .withColumnRenamed("entity_omid", "br_omid")
+    )
+    batch_toks_of = (
+        br_tok.groupBy("entity_omid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            F.col("row_id").alias("r"),
+                            F.col("cpos").alias("c"),
+                            F.concat_ws(":", "schema", "value").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("batch_toks")
+        )
+        .withColumnRenamed("entity_omid", "br_omid")
+    )
+    arr_empty = F.array().cast("array<string>")
+    id_string = F.concat_ws(
+        " ",
+        F.array_join(
+            F.concat(
+                F.array_distinct(F.coalesce(F.col("batch_toks"), arr_empty)),
+                F.array_except(
+                    F.coalesce(F.col("cat_toks"), arr_empty),
+                    F.coalesce(F.col("batch_toks"), arr_empty),
+                ),
+            ),
+            " ",
+        ),
+        F.concat(F.lit("omid:"), F.col("br_omid")),
+    )
+
+    # venue string: title + (batch ∪ catalog) ids + omid
+    ven_cat_ids = (
+        venue_omids.join(
+            cat_ids_all, venue_omids.venue_omid == cat_ids_all.entity_omid, "inner"
+        )
+        .groupBy("venue_omid")
+        .agg(F.array_sort(F.collect_set(F.concat_ws(":", "schema", "value"))).alias("v_cat_toks"))
+    )
+    ven_title = venue_omids.join(
+        catalog.br.select(F.col("omid").alias("venue_omid"), F.col("title").alias("v_cat_title")),
+        "venue_omid",
+        "left",
+    )
+    ent_v = (
+        ent.join(venue_omids, "vkey", "left")
+        .join(ven_cat_ids, "venue_omid", "left")
+        .join(ven_title.select("venue_omid", "v_cat_title").dropDuplicates(), "venue_omid", "left")
+    )
+    v_batch_toks = F.transform(
+        F.filter(
+            F.coalesce(
+                F.col("ven_ids"), F.array().cast("array<struct<schema:string,value:string>>")
+            ),
+            lambda t: t["schema"] != "omid",
+        ),
+        _TOK_STR,
+    )
+    venue_string = F.when(
+        F.col("has_venue") & F.col("venue_omid").isNotNull(),
+        F.concat(
+            F.coalesce(F.nullif(F.coalesce(F.col("v_cat_title"), F.col("ven_name")), F.lit("")), F.lit("")),
+            F.lit(" ["),
+            F.concat_ws(
+                " ",
+                F.array_join(
+                    F.concat(
+                        F.array_distinct(v_batch_toks),
+                        F.array_except(F.coalesce(F.col("v_cat_toks"), arr_empty), v_batch_toks),
+                    ),
+                    " ",
+                ),
+                F.concat(F.lit("omid:"), F.col("venue_omid")),
+            ),
+            F.lit("]"),
+        ),
+    ).otherwise("")
+
+    # agent chain strings: full chain (catalog + new) per (graph, role)
+    ra_batch_ids = (
+        ra_tok.groupBy("entity_omid")
+        .agg(F.array_sort(F.collect_set(F.concat_ws(":", "schema", "value"))).alias("ra_b_toks"))
+        .withColumnRenamed("entity_omid", "ra_omid")
+    )
+    chain_ras = (
+        cat_chain.select("graph", "role", F.col("c_ra").alias("ra_omid"), F.col("c_pos").alias("pos"))
+        .unionByName(ar_new.select(F.col("br_omid").alias("graph"), "role", "ra_omid", "pos"))
+    )
+    ra_names = (
+        catalog.ra.join(ra_updates.withColumnRenamed("omid", "u_omid").withColumnRenamed("given", "u_given"),
+                        catalog.ra.omid == F.col("u_omid"), "left")
+        .select(
+            F.col("omid").alias("ra_omid"),
+            F.col("name").alias("r_name"),
+            F.col("family").alias("r_family"),
+            F.coalesce(F.nullif(F.col("given"), F.lit("")), F.col("u_given")).alias("r_given"),
+        )
+        .unionByName(
+            ra_new.select(
+                F.col("omid").alias("ra_omid"),
+                F.col("name").alias("r_name"),
+                F.col("family").alias("r_family"),
+                F.col("given").alias("r_given"),
+            )
+        )
+    )
+    ra_cat_ids = (
+        chain_ras.select("ra_omid")
+        .dropDuplicates()
+        .join(cat_ids_all, F.col("ra_omid") == cat_ids_all.entity_omid, "inner")
+        .groupBy("ra_omid")
+        .agg(F.array_sort(F.collect_set(F.concat_ws(":", "schema", "value"))).alias("ra_c_toks"))
+    )
+    chain_fmt = (
+        chain_ras.join(ra_names, "ra_omid", "left")
+        .join(ra_batch_ids, "ra_omid", "left")
+        .join(ra_cat_ids, "ra_omid", "left")
+        .withColumn(
+            "a_display",
+            F.when(F.col("r_name").isNotNull(), F.col("r_name")).when(
+                F.col("r_family").isNotNull(),
+                F.concat(F.col("r_family"), F.lit(", "), F.coalesce(F.col("r_given"), F.lit(""))),
+            ),
+        )
+        .withColumn(
+            "a_ids_str",
+            F.concat_ws(
+                " ",
+                F.array_join(
+                    F.concat(
+                        F.array_distinct(F.coalesce(F.col("ra_b_toks"), arr_empty)),
+                        F.array_except(
+                            F.coalesce(F.col("ra_c_toks"), arr_empty),
+                            F.coalesce(F.col("ra_b_toks"), arr_empty),
+                        ),
+                    ),
+                    " ",
+                ),
+                F.concat(F.lit("omid:"), F.col("ra_omid")),
+            ),
+        )
+        .withColumn(
+            "entry",
+            F.when(
+                F.col("a_display").isNotNull(),
+                F.concat(F.col("a_display"), F.lit(" ["), F.col("a_ids_str"), F.lit("]")),
+            ).otherwise(F.concat(F.lit("["), F.col("a_ids_str"), F.lit("]"))),
+        )
+    )
+    chain_str = (
+        chain_fmt.groupBy("graph", "role")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("schema", "value"))),
-                    lambda s: F.concat_ws(":", s["schema"], s["value"]),
+                    F.array_sort(F.collect_list(F.struct("pos", "entry"))), lambda s: s["entry"]
                 ),
-                " ",
-            ).alias("ext_ids")
-        )
-    )
-    agents_str = (
-        agents.withColumn(
-            "display",
-            F.when(
-                F.col("org_name").isNotNull(), F.col("org_name")
-            ).otherwise(F.concat_ws(", ", F.col("family"), F.col("given"))),
-        )
-        .withColumn(
-            "ids_str",
-            F.concat(F.lit("omid:"), F.col("ra_omid")),
-        )
-        .withColumn("entry", F.concat(F.col("display"), F.lit(" ["), F.col("ids_str"), F.lit("]")))
-        .groupBy(F.col("display_br").alias("br_omid"), F.col("role"))
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("pos", "entry"))), lambda s: s["entry"]),
                 "; ",
-            ).alias("agents_joined")
+            ).alias("chain")
         )
     )
-    agent_cols = {}
+    role_chain = {}
     for role in ROLES:
-        agent_cols[role] = agents_str.filter(F.col("role") == role).select(
-            "br_omid", F.col("agents_joined").alias(f"{role}_str")
+        role_chain[role] = chain_str.filter(F.col("role") == role).select(
+            F.col("graph"), F.col("chain").alias(f"{role}_chain")
         )
 
     curated = (
-        entity_rows.join(ext_ids_per_br, "br_omid", "left")
-        .join(container.select("br_omid", "venue_omid"), "br_omid", "left")
-        .join(venues.select("br_omid", "v_name"), "br_omid", "left")
-        .join(agent_cols["author"], "br_omid", "left")
-        .join(agent_cols["editor"], "br_omid", "left")
-        .join(agent_cols["publisher"], "br_omid", "left")
+        ent.join(ent_graph.select("ekey", "editor_graph"), "ekey", "left")
+        .join(batch_toks_of, "br_omid", "left")
+        .join(cat_ids_of, "br_omid", "left")
+        .join(
+            ent_v.select("ekey", "venue_omid", "v_cat_title", "v_cat_toks"),
+            "ekey",
+            "left",
+        )
+        .join(role_chain["author"].withColumnRenamed("graph", "br_omid"), "br_omid", "left")
+        .join(role_chain["publisher"].withColumnRenamed("graph", "br_omid"), "br_omid", "left")
+        .join(role_chain["editor"].withColumnRenamed("graph", "editor_graph"), "editor_graph", "left")
         .select(
-            F.col("row_id"),
-            F.concat_ws(
-                " ", F.nullif(F.coalesce("ext_ids", F.lit("")), F.lit("")), F.concat(F.lit("omid:"), F.col("br_omid"))
-            ).alias("id"),
+            F.col("last_row").alias("row_id"),
+            id_string.alias("id"),
             F.col("title_f").alias("title"),
-            F.coalesce("author_str", F.lit("")).alias("author"),
+            F.coalesce("author_chain", F.lit("")).alias("author"),
             F.col("date_f").alias("pub_date"),
-            F.when(
-                F.col("v_name").isNotNull(),
-                F.concat(F.col("v_name"), F.lit(" [omid:"), F.col("venue_omid"), F.lit("]")),
-            ).otherwise("").alias("venue"),
-            F.col("volume_clean").alias("volume"),
-            F.col("issue_clean").alias("issue"),
-            F.translate(F.coalesce("page", F.lit("")), "\u2010\u2011\u2012\u2013\u2014\u2015\u2212\ufe58\ufe63\uff0d", "----------").alias("page"),
+            venue_string.alias("venue"),
+            F.col("vol_f").alias("volume"),
+            F.col("iss_f").alias("issue"),
+            F.col("page_f").alias("page"),
             F.col("type_f").alias("type"),
-            F.coalesce("publisher_str", F.lit("")).alias("publisher"),
-            F.coalesce("editor_str", F.lit("")).alias("editor"),
+            F.coalesce("publisher_chain", F.lit("")).alias("publisher"),
+            F.coalesce("editor_chain", F.lit("")).alias("editor"),
         )
         .orderBy("row_id")
     )
 
-    index_id_br = (
-        toks.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
-        .select(F.concat_ws(":", "schema", "value").alias("id"), F.col("id_omid").alias("meta"))
+    _mark("curated")
+    # --- index tables (indexer, curator.py:1045-1097) ---------------------
+    id_lookup = all_id_omids.withColumnRenamed("omid", "id_omid")
+    br_touched_ids = (
+        all_tok.filter(~F.col("entity_omid").startswith("ra/"))
+        .select("schema", "value")
+        .unionByName(
+            final_existing.join(cat_ids_all, final_existing.omid == cat_ids_all.entity_omid)
+            .select("schema", "value")
+        )
+        .unionByName(
+            venue_omids.join(cat_ids_all, venue_omids.venue_omid == cat_ids_all.entity_omid)
+            .select("schema", "value")
+        )
         .dropDuplicates()
     )
-    index_id_ra = (
-        ra_tok.join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
-        .select(F.concat_ws(":", "schema", "value").alias("id"), F.col("id_omid").alias("meta"))
+    index_id_br = br_touched_ids.join(id_lookup, ["schema", "value"]).select(
+        F.concat_ws(":", "schema", "value").alias("id"), F.col("id_omid").alias("meta")
+    )
+    ra_touched_ids = (
+        ra_tok.select("schema", "value")
+        .unionByName(
+            chain_ras.select("ra_omid").dropDuplicates()
+            .join(cat_ids_all, F.col("ra_omid") == cat_ids_all.entity_omid)
+            .select("schema", "value")
+        )
         .dropDuplicates()
+    )
+    index_id_ra = ra_touched_ids.join(id_lookup, ["schema", "value"]).select(
+        F.concat_ws(":", "schema", "value").alias("id"), F.col("id_omid").alias("meta")
+    )
+    cat_ar_omids = catalog.ar.select(
+        F.col("br_omid").alias("graph"), "role", "ra_omid", "pos", F.col("omid").alias("cat_ar")
+    )
+    ar_all = (
+        chain_ras.join(cat_ar_omids, ["graph", "role", "ra_omid", "pos"], "left")
+        .join(
+            ar_new.select(
+                F.col("br_omid").alias("graph"), "role", "ra_omid", "pos", F.col("omid").alias("new_ar")
+            ),
+            ["graph", "role", "ra_omid", "pos"],
+            "left",
+        )
+        .withColumn("ar_omid", F.coalesce("cat_ar", "new_ar"))
     )
     index_ar = (
-        ar_new.withColumn("pair", F.concat_ws(", ", "omid", "ra_omid"))
-        .groupBy("br_omid", "role")
+        ar_all.withColumn("pair", F.concat_ws(", ", "ar_omid", "ra_omid"))
+        .groupBy("graph", "role")
         .agg(
             F.array_join(
                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "pair"))), lambda s: s["pair"]),
                 "; ",
             ).alias("chain")
         )
-        .groupBy("br_omid")
+        .groupBy("graph")
         .pivot("role", list(ROLES))
         .agg(F.first("chain"))
         .select(
-            F.col("br_omid").alias("meta"),
+            F.col("graph").alias("meta"),
             F.coalesce("author", F.lit("")).alias("author"),
             F.coalesce("editor", F.lit("")).alias("editor"),
             F.coalesce("publisher", F.lit("")).alias("publisher"),
         )
     )
-    index_re = re_out.join(
-        re_new.select("br_omid", F.col("omid").alias("re_omid")), re_out.omid == F.col("re_omid")
-    ).select(F.col("br_omid").alias("br"), F.col("re_omid").alias("re"))
+
+    _mark("indexes")
+    counters_new = _counters_new(
+        spark,
+        counters,
+        {"br": br_map, "ra": ra_map, "id": id_map, "ar": ar_map, "re": re_map},
+        prefix,
+    )
 
     return CurationResult(
         curated=curated,
@@ -988,20 +2113,11 @@ def curate(
         id_new=id_new,
         entity_id_new=entity_id_new,
         ar_new=ar_new,
-        re_new=re_out,
+        re_new=re_new,
         prov_new=prov_new,
         index_id_br=index_id_br,
         index_id_ra=index_id_ra,
         index_ar=index_ar,
         index_re=index_re,
-    )
-
-
-def resolve_count(resolution: DataFrame) -> int:
-    """Number of newly-minted BR components in a resolution DataFrame."""
-    return (
-        resolution.filter(F.col("is_new"))
-        .select("component")
-        .dropDuplicates()
-        .count()
+        counters_new=counters_new,
     )

@@ -132,9 +132,11 @@ ENTITY_TABLES = {
     "prov": PROV_SCHEMA,
 }
 
-# Controlled type vocabulary + aliases (reference: VALID_ENTITY_TYPES,
-# oc_meta/constants.py:69-109; aliasing in core/curator.py:398-419).
+# Controlled type vocabulary + aliases — reference-exact:
+# VALID_ENTITY_TYPES oc_meta/constants.py:69-109; aliasing in
+# core/curator.py clean_metadata_without_id (curator.py:398-419).
 VALID_TYPES = {
+    "abstract",
     "archival document",
     "audio document",
     "book",
@@ -166,33 +168,67 @@ VALID_TYPES = {
     "proceedings series",
     "reference book",
     "reference entry",
-    "report",
-    "report series",
     "retraction notice",
     "series",
+    "report",
     "standard",
-    "standard series",
     "web content",
 }
 
+# The reference aliases exactly these five forms (curator.py:405-415);
+# the three '* series' forms collapse to 'series'.
 TYPE_ALIASES = {
     "edited book": "book",
     "monograph": "book",
-    "reference-book": "reference book",
+    "report series": "series",
+    "standard series": "series",
+    "proceedings series": "series",
     "posted content": "web content",
-    "journal-article": "journal article",
-    "book series": "book series",
 }
 
 # Types whose editor attaches to the container BR (reference:
-# CONTAINER_EDITOR_TYPES, oc_meta/constants.py:60-68).
+# CONTAINER_EDITOR_TYPES, oc_meta/constants.py:60-68 — includes
+# 'proceedings article').
 CONTAINER_EDITOR_TYPES = {
     "book chapter",
     "book part",
     "book section",
     "book track",
     "component",
+    "proceedings article",
     "reference entry",
 }
 
+# BR types that can act as containers (reference VENUES constants.py:42-59,
+# hyphenated forms mapped to the space vocabulary).  Used to restrict
+# catalog-side venue resolution.
+VENUE_TYPES = {
+    "archival document",
+    "book",
+    "book part",
+    "book section",
+    "book series",
+    "book set",
+    "journal",
+    "journal volume",
+    "journal issue",
+    "proceedings series",
+    "proceedings",
+    "reference book",
+    "report series",
+    "standard series",
+    "series",
+}
+
 FORBIDDEN_IDS = {"issn:0000-0000"}
+
+# Persisted per-kind mint counters — replaces the reference's
+# FilesystemCounterHandler (run/meta_process.py:162-168).  One row per
+# entity kind; updated with each batch delta so curation never scans the
+# full catalog to find the next omid number.
+COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("max_n", T.LongType(), False),
+    ]
+)

@@ -63,7 +63,7 @@ class TestCleaning:
 
     def test_clean_name(self):
         assert clean_name_py("smith, john") == "Smith, John"
-        assert clean_name_py("smith,") == "Smith,"
+        assert clean_name_py("smith,") == "Smith, "  # reference keeps the trailing space
         assert clean_name_py(", john") == ""
         assert clean_name_py("McDonald, ronald") == "McDonald, Ronald"
 
@@ -116,16 +116,21 @@ class TestVolumeIssue:
     @pytest.mark.parametrize(
         "vol,iss,expected",
         [
+            # Expectations verified against the reference's own
+            # clean_volume_and_issue (lib/cleaner.py:418-476) — the full
+            # pattern table keeps valid per-column marker forms AS-IS
+            # ('Volume 7' stays), splits combined forms, and SWITCHES
+            # values sitting in the wrong column without rewriting them.
             ("5", "3", ("5", "3")),
             ("Vol. 5, No. 3", "", ("5", "3")),
             ("n/a", "2", ("", "2")),
-            ("Volume 7", "Issue 2", ("7", "2")),
-            ("No. 4", "", ("", "4")),  # issue-marked value in volume column
-            ("", "Vol. 9", ("9", "")),  # volume-marked value in issue column
+            ("Volume 7", "Issue 2", ("Volume 7", "Issue 2")),
+            ("No. 4", "", ("No. 4", "")),
+            ("", "Vol. 9", ("Vol. 9", "")),  # volume-marked value switches columns
             ("IV", "Special Issue \"AI\"", ("IV", "Special Issue \"AI\"")),
-            ("-", "...", ("", "")),
+            ("-", "...", ("", "...")),  # lone '-' deleted; '...' is not a del form
             ("12-14", "", ("12-14", "")),
-            ("Spring 2020", "", ("Spring 2020", "")),
+            ("Spring 2020", "", ("", "Spring 2020")),  # season is an ISSUE form
         ],
     )
     def test_repair(self, vol, iss, expected):
