@@ -28,7 +28,10 @@ from pyspark.sql import types as T
 _DOI_PREFIXES = re.compile(
     r"^(?:https?://(?:dx\.)?doi\.org/|doi\.org/|https?://doi:|doi:\s*)", re.I
 )
-_DOI_RE = re.compile(r"^10\.\d{4,9}/\S+$")
+# Reference syntax (docs/30-csv-format.md:189): besides the registrar
+# 4-9-digit form, ANY dot-separated non-slash prefix is accepted
+# (e.g. the test fixtures' 'doi:10.001/b-1').
+_DOI_RE = re.compile(r"^10\.(?:\d{4,9}|[^\s/]+(?:\.[^\s/]+)*)/\S+$")
 
 
 def normalize_doi(value: str) -> str | None:
@@ -133,14 +136,18 @@ def normalize_id(col: Column) -> Column:
     return normalize_id_udf(col)
 
 
+_COLON_SPACES = re.compile(r"\s*:\s*")
+
+
 def clean_id_field(cell: str | None) -> list[str]:
-    """Whole-cell D1: split space-separated tokens, validate/normalize each,
-    drop invalid, dedup preserving first occurrence
-    (reference clean_id_list, oc_meta/core/curator.py:744-780).
+    """Whole-cell D1: collapse spaces around ':' (the reference's
+    RE_COLON_AND_SPACES pre-pass — 'vIAF : 123' is one token), split on
+    spaces, validate/normalize each, drop invalid, dedup preserving first
+    occurrence (reference clean_id_list, oc_meta/core/curator.py:744-780).
     """
     out: list[str] = []
     seen: set[str] = set()
-    for tok in (cell or "").split():
+    for tok in _COLON_SPACES.sub(":", cell or "").split():
         n = normalize_id_token(tok)
         if n is not None and n not in seen:
             seen.add(n)

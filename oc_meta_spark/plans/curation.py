@@ -616,10 +616,12 @@ _TOK_STR = lambda t: F.concat_ws(":", t["schema"], t["value"])
 def _mint_map(
     df: DataFrame, order_cols: list, kind: str, prefix: str, offset: int, small: bool
 ) -> DataFrame:
-    """(key → minted_omid) map; one contiguous-rank pass per kind."""
-    return _cp(
-        mint_omids(df, order_cols, kind, prefix, offset, "minted_omid", small=small)
-    )
+    """(key → minted_omid) map; one contiguous-rank pass per kind.  The
+    big path cuts lineage (the rank assignment already materialized); the
+    small path is a window over checkpointed inputs — recomputing it is
+    cheaper than another job."""
+    minted = mint_omids(df, order_cols, kind, prefix, offset, "minted_omid", small=small)
+    return minted if small else _cp(minted)
 
 
 # ---------------------------------------------------------------------------
@@ -900,6 +902,22 @@ def curate(
         .select("ekey0", F.col("value").alias("cand"))
     )
     v_ext = v_tok.filter((F.col("schema") != "omid") & F.col("schema").isNotNull())
+    # batch row entities share the br id space: a venue naming a work's id
+    # IS that work (the reference's id_worker _local_match over wannabes —
+    # exercised by golden cases 10/11, test/curator_test.py:2079-2096)
+    row_tok_keys = (
+        rows.select("ekey0", F.explode("ids").alias("t"))
+        .filter(F.col("t")["schema"] != "omid")
+        .select(
+            F.col("t")["schema"].alias("schema"),
+            F.col("t")["value"].alias("value"),
+            F.col("ekey0").alias("cand"),
+        )
+        .dropDuplicates()
+    )
+    v_batch_matched = v_ext.join(
+        row_tok_keys.withColumnRenamed("cand", "__bc"), ["schema", "value"]
+    ).select("ekey0", F.col("__bc").alias("cand"))
     v_matched = (
         v_ext.join(
             cat_ids_all.join(
@@ -923,23 +941,27 @@ def curate(
     mentions = mentions.join(v_comp, "ekey0", "left").withColumn(
         "v_component", F.coalesce("v_component", F.concat(F.lit("vsolo:"), F.col("ekey0")))
     )
-    v_cands = v_explicit.withColumn("prio", F.lit(0)).unionByName(
-        v_matched.withColumn("prio", F.lit(1))
+    v_cands = (
+        v_explicit.withColumn("prio", F.lit(0))
+        .unionByName(v_batch_matched.withColumn("prio", F.lit(1)))
+        .unionByName(v_matched.withColumn("prio", F.lit(2)))
     )
     v_decision = (
         mentions.select("ekey0", "v_component")
         .join(v_cands, "ekey0", "left")
         .groupBy("v_component")
         .agg(
-            F.countDistinct("cand").alias("n_cand"),
             F.min(F.when(F.col("prio") == 0, F.col("cand"))).alias("explicit_cand"),
-            F.min("cand").alias("any_cand"),
+            F.countDistinct(F.when(F.col("prio") == 1, F.col("cand"))).alias("n_batch"),
+            F.min(F.when(F.col("prio") == 1, F.col("cand"))).alias("batch_cand"),
+            F.countDistinct(F.when(F.col("prio") == 2, F.col("cand"))).alias("n_cat"),
+            F.min(F.when(F.col("prio") == 2, F.col("cand"))).alias("cat_cand"),
         )
         .withColumn(
             "v_resolved",
-            F.when(F.col("explicit_cand").isNotNull(), F.col("explicit_cand")).when(
-                F.col("n_cand") == 1, F.col("any_cand")
-            ),
+            F.when(F.col("explicit_cand").isNotNull(), F.col("explicit_cand"))
+            .when(F.col("n_batch") == 1, F.col("batch_cand"))
+            .when((F.col("n_batch") == 0) & (F.col("n_cat") == 1), F.col("cat_cand")),
         )
     )
     mentions = mentions.join(v_decision.select("v_component", "v_resolved"), "v_component")
@@ -950,7 +972,7 @@ def curate(
     )
 
     # new venue components: name/type from the first mention
-    new_venues = _cp(
+    new_venues = (
         mentions.filter(F.col("v_resolved").isNull())
         .withColumn(
             "schemas",
@@ -1101,7 +1123,7 @@ def curate(
         ).drop("ekey_alias")
     )
     _mark("clp:rowsrekey")
-    ekey_venue = _cp(
+    ekey_venue = (
         work_venue.join(alias, "ekey0", "left")
         .withColumn("ekey", F.coalesce("ekey_alias", "ekey0"))
         .groupBy("ekey")
@@ -1150,7 +1172,7 @@ def curate(
     final_existing = ent.filter(~F.col("ekey").startswith("NB:")).select(
         F.col("ekey").alias("omid")
     ).dropDuplicates()
-    cat_fin = _cp(
+    cat_fin = (
         catalog.br.join(final_existing, "omid", "left_semi").select(
             F.col("omid").alias("ekey"),
             F.col("title").alias("cat_title"),
@@ -1198,7 +1220,7 @@ def curate(
         .withColumn("is_new", F.col("ekey").startswith("NB:"))
     )
     _mark("clp:entsel")
-    ent = _cp(
+    ent = (
         ent.select(
             "ekey", "vkey", "first_row", "last_row", "is_resolved", "is_new",
             "title_f", "date_f", "type_f", "vol_f", "iss_f", "page_f",
@@ -1290,7 +1312,7 @@ def curate(
             "left",
         )
     )
-    container = _cp(
+    container = (
         ent_c.select(
             "ekey",
             "br_omid",
@@ -1323,7 +1345,7 @@ def curate(
     )
     _page_start = F.regexp_extract(F.col("page_f"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 1)
     _page_end = F.regexp_extract(F.col("page_f"), r"^\s*([^-\s]+)\s*(?:-\s*([^-\s]+))?\s*$", 2)
-    re_new = _cp(
+    re_new = (
         need_re.join(re_map.select("ekey", "minted_omid"), "ekey").select(
             F.col("minted_omid").alias("omid"),
             _page_start.alias("start_page"),
@@ -1393,9 +1415,7 @@ def curate(
             F.lit(None).cast("string").alias("embodiment"),
         )
     )
-    br_new = _cp(
-        new_rows_br.unionByName(new_venue_br).unionByName(anon_vol_br).unionByName(anon_iss_br)
-    )
+    br_new = new_rows_br.unionByName(new_venue_br).unionByName(anon_vol_br).unionByName(anon_iss_br)
 
     _mark("br_new")
     # --- agents (clean_ra, curator.py:575-788) ----------------------------
@@ -1771,8 +1791,8 @@ def curate(
         counters["id"],
         small,
     )
-    id_new = _cp(id_map.select(F.col("minted_omid").alias("omid"), "schema", "value"))
-    all_id_omids = _cp(catalog.id.select("omid", "schema", "value").unionByName(id_new))
+    id_new = id_map.select(F.col("minted_omid").alias("omid"), "schema", "value")
+    all_id_omids = catalog.id.select("omid", "schema", "value").unionByName(id_new)
     entity_id_new = _cp(
         all_tok.select("entity_omid", "schema", "value")
         .dropDuplicates()
@@ -1834,8 +1854,11 @@ def curate(
         .agg(F.array_sort(F.collect_set(F.concat_ws(":", "schema", "value"))).alias("cat_toks"))
         .withColumnRenamed("entity_omid", "br_omid")
     )
+    # first-occurrence-ordered batch tokens per ENTITY (works and venues
+    # alike — a venue cell's extra ids flow into the entity's id column,
+    # the reference's merge_entities_in_csv behavior)
     batch_toks_of = (
-        br_tok.groupBy("entity_omid")
+        all_tok.groupBy("entity_omid")
         .agg(
             F.transform(
                 F.array_sort(
@@ -1881,24 +1904,33 @@ def curate(
         "venue_omid",
         "left",
     )
+    # venue title: catalog title > the venue ENTITY's own batch title (a
+    # venue resolved to a batch work shows that work's title — golden
+    # cases 10/11) > the mention's cleaned name
+    ven_batch_title = ent.select(
+        F.col("br_omid").alias("venue_omid"), F.col("title_f").alias("v_ent_title")
+    )
+    ven_batch_toks = batch_toks_of.select(
+        F.col("br_omid").alias("venue_omid"), F.col("batch_toks").alias("v_ent_toks")
+    )
     ent_v = (
         ent.join(venue_omids, "vkey", "left")
         .join(ven_cat_ids, "venue_omid", "left")
         .join(ven_title.select("venue_omid", "v_cat_title").dropDuplicates(), "venue_omid", "left")
+        .join(ven_batch_title.dropDuplicates(["venue_omid"]), "venue_omid", "left")
+        .join(ven_batch_toks.dropDuplicates(["venue_omid"]), "venue_omid", "left")
     )
-    v_batch_toks = F.transform(
-        F.filter(
-            F.coalesce(
-                F.col("ven_ids"), F.array().cast("array<struct<schema:string,value:string>>")
-            ),
-            lambda t: t["schema"] != "omid",
-        ),
-        _TOK_STR,
-    )
+    v_batch_toks = F.coalesce(F.col("v_ent_toks"), arr_empty)
     venue_string = F.when(
         F.col("has_venue") & F.col("venue_omid").isNotNull(),
         F.concat(
-            F.coalesce(F.nullif(F.coalesce(F.col("v_cat_title"), F.col("ven_name")), F.lit("")), F.lit("")),
+            F.coalesce(
+                F.nullif(
+                    F.coalesce(F.col("v_cat_title"), F.nullif("v_ent_title", F.lit("")), F.col("ven_name")),
+                    F.lit(""),
+                ),
+                F.lit(""),
+            ),
             F.lit(" ["),
             F.concat_ws(
                 " ",
@@ -2008,7 +2040,7 @@ def curate(
         .join(batch_toks_of, "br_omid", "left")
         .join(cat_ids_of, "br_omid", "left")
         .join(
-            ent_v.select("ekey", "venue_omid", "v_cat_title", "v_cat_toks"),
+            ent_v.select("ekey", "venue_omid", "v_cat_title", "v_ent_title", "v_ent_toks", "v_cat_toks"),
             "ekey",
             "left",
         )
@@ -2016,7 +2048,9 @@ def curate(
         .join(role_chain["publisher"].withColumnRenamed("graph", "br_omid"), "br_omid", "left")
         .join(role_chain["editor"].withColumnRenamed("graph", "editor_graph"), "editor_graph", "left")
         .select(
-            F.col("last_row").alias("row_id"),
+            # order = FIRST occurrence (the reference's dict-key insertion
+            # order, curator.py:333); content = last row's values.
+            F.col("first_row").alias("row_id"),
             id_string.alias("id"),
             F.col("title_f").alias("title"),
             F.coalesce("author_chain", F.lit("")).alias("author"),

@@ -84,7 +84,10 @@ class TestIds:
         assert normalize_doi("https://doi.org/10.1162/QSS_a_00292") == "10.1162/qss_a_00292"
         assert normalize_doi("10.1162/qss_a_00292") == "10.1162/qss_a_00292"
         assert normalize_doi("11.1234/x") is None
-        assert normalize_doi("10.12/x") is None
+        # short registrant segments are accepted (reference syntax,
+        # docs/30-csv-format.md:189 — golden fixtures use doi:10.001/...)
+        assert normalize_doi("10.12/x") == "10.12/x"
+        assert normalize_doi("10./x") is None
 
     def test_issn(self):
         assert normalize_issn("0028-0836") == "0028-0836"  # Nature
