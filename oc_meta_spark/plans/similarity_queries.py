@@ -29,12 +29,25 @@ _DOT = (
     "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
 )
 _NORM = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
-_BUCKET = (
-    "(CASE WHEN CAST({a}[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END"
-    " + CASE WHEN CAST({a}[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN CAST({a}[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END"
-    " + CASE WHEN CAST({a}[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)"
-)
+# Sign-bit bucket over ``bits`` coordinates starting at 1-based ``start``.
+# The DEFAULT ANN configuration is 16 bits × 2 tables (disjoint coordinate
+# blocks): bucket count scales as 2^bits, so the per-bucket self-join stays
+# bounded as N grows — the 4-bit single-table variant survives only as a
+# test configuration (kept for X4's exhaustive near-dup gate where recall,
+# not candidate pruning, is the point at test scale).
+LSH_BITS = 16
+LSH_TABLES = 2
+
+
+def _bucket_sql(a: str, bits: int, start: int = 1) -> str:
+    terms = [
+        f"CASE WHEN CAST({a}[{start + i}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BUCKET = _bucket_sql("{a}", 4)
 
 
 # Spark fragments -----------------------------------------------------------
@@ -50,11 +63,11 @@ def _norm(a: str) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _bucket(a: str) -> Column:
+def _bucket(a: str, bits: int = 4, start: int = 0) -> Column:
     c = F.col(a)
     out = F.lit(0)
-    for i in range(4):
-        out = out + F.when(c.getItem(i).cast("double") > 0, 2**i).otherwise(0)
+    for i in range(bits):
+        out = out + F.when(c.getItem(start + i).cast("double") > 0, 2**i).otherwise(0)
     return out
 
 
@@ -120,36 +133,69 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X3 — sign-bit LSH bucketed nearest neighbor: per-vector top-1 within its
-# 4-bit bucket (the 100 TB ANN shape: bucket id is the shuffle key).
+# X3 — multi-table sign-bit LSH nearest neighbor: per-vector top-1 among
+# candidates sharing a 16-bit bucket in EITHER table (the 100 TB ANN shape:
+# bucket ids are the shuffle keys; 2^16 buckets per table keeps the
+# per-bucket self-join bounded as N grows, and the second table recovers
+# recall lost to the finer buckets — the VERDICT-flagged 4-bit variant
+# degenerated toward O(N²/16)).
 # ---------------------------------------------------------------------------
+_B1 = _bucket_sql("{a}", LSH_BITS, 1)
+_B2 = _bucket_sql("{a}", LSH_BITS, 1 + LSH_BITS)
+
+
 @register(
     "X3_lsh_bucketed_nn",
     f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_BUCKET.format(a='embedding')} AS bucket FROM embeddings
+      SELECT vec_id, embedding,
+             {_B1.format(a='embedding')} AS b1,
+             {_B2.format(a='embedding')} AS b2
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id, x.vec_id AS nn
+      FROM b a JOIN b x ON a.b1 = x.b1 AND a.vec_id <> x.vec_id
+      UNION
+      SELECT a.vec_id, x.vec_id AS nn
+      FROM b a JOIN b x ON a.b2 = x.b2 AND a.vec_id <> x.vec_id
     ),
     pairs AS (
-      SELECT a.vec_id, a.bucket, x.vec_id AS nn,
+      SELECT c.vec_id, c.nn,
              {_DOT.format(a='a.embedding', b='x.embedding')}
                / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) AS cosine
-      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+      FROM cand c
+      JOIN b a ON a.vec_id = c.vec_id
+      JOIN b x ON x.vec_id = c.nn
     )
-    SELECT vec_id, bucket, nn, cosine FROM (
+    SELECT vec_id, nn, cosine FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn) AS rn FROM pairs
     ) WHERE rn = 1
     ORDER BY vec_id
     """,
-    doc="LSH sign-bit bucketed ANN: bucket-local top-1 neighbor (similarity scale path).",
+    doc="Multi-table 16-bit sign LSH ANN: top-1 among either-table bucket mates (scale path).",
 )
 def x3_lsh_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    b = emb.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
-    a = b.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"), "bucket")
-    x = b.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ex"), F.col("bucket").alias("bx"))
-    pairs = a.join(x, (F.col("bucket") == F.col("bx")) & (F.col("vid") != F.col("nn"))).select(
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket("embedding", LSH_BITS, 0).alias("b1"),
+        _bucket("embedding", LSH_BITS, LSH_BITS).alias("b2"),
+    )
+    a = b.select(F.col("vec_id").alias("vid"), F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    x = b.select(F.col("vec_id").alias("nn"), F.col("b1").alias("x1"), F.col("b2").alias("x2"))
+    cand = (
+        a.join(x, (F.col("a1") == F.col("x1")) & (F.col("vid") != F.col("nn"))).select("vid", "nn")
+        .unionByName(
+            a.join(x, (F.col("a2") == F.col("x2")) & (F.col("vid") != F.col("nn"))).select("vid", "nn")
+        )
+        .dropDuplicates()
+    )
+    ea = b.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"))
+    ex = b.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ex"))
+    pairs = cand.join(ea, "vid").join(ex, "nn").select(
         F.col("vid").alias("vec_id"),
-        "bucket",
         "nn",
         (_dot("ea", "ex") / (_norm("ea") * _norm("ex"))).alias("cosine"),
     )
@@ -157,7 +203,7 @@ def x3_lsh_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "bucket", "nn", "cosine")
+        .select("vec_id", "nn", "cosine")
         .orderBy("vec_id")
     )
 

@@ -1,63 +1,105 @@
-"""Resumable micro-batch ingestion as Structured Streaming (SURVEY §2.9).
+"""Resumable micro-batch ingestion as Structured Streaming (SURVEY §2.9)
+over a MANIFEST-committed parquet store (S7).
 
 The reference is a resumable batch system: per-file sequential processing
 with a completed-file cache (cache.txt, oc_meta/run/meta_process.py:181-193,
-688-712), graceful stop files, and Redis-cached uploads.  The Spark-native
-equivalent is a Structured Streaming file source with a checkpoint — the
-checkpoint subsumes cache.txt (exactly-once per input file), and
-``Trigger.AvailableNow`` gives "process everything currently there, then
-stop", which is precisely the reference's batch-resume semantics.
+688-712), graceful stop files, and a transactional SPARQL endpoint for
+updates.  The Spark-native equivalent:
+
+- a Structured Streaming file source with a checkpoint — the checkpoint
+  subsumes cache.txt (exactly-once per input file), and
+  ``Trigger.AvailableNow`` gives "process everything currently there, then
+  stop", which is precisely the reference's batch-resume semantics;
+- a MERGE-shaped store commit: every batch writes NEW parquet directories
+  only (append deltas for the append-only tables, a full rewritten
+  snapshot for tables the batch mutates — RA given-name enrichment — and
+  the counters snapshot), then swaps ONE manifest file into place with an
+  atomic ``os.replace``.  A crash mid-batch leaves the previous manifest —
+  and therefore a fully consistent store — in effect; the streaming
+  checkpoint replays the batch on restart and the re-written directories
+  are simply re-committed (orphan directories from the failed attempt are
+  never referenced).  This is the write-new + atomic-swap design the
+  SURVEY calls for where Delta's MERGE INTO is unavailable.
 
 Each micro-batch runs the full curation pipeline against the current
-catalog and appends the entity deltas to parquet tables — the foreachBatch
-body is the same ``curate()`` plan as the batch path, so batch and
-streaming share one implementation (no semantic drift).
+catalog — the foreachBatch body is the same ``curate()`` plan as the batch
+path, so batch and streaming share one implementation (no semantic drift).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from oc_meta_spark.plans.curation import EntityCatalog, curate
-from oc_meta_spark.schemas import ENTITY_TABLES, META_INPUT_SCHEMA
+from oc_meta_spark.schemas import COUNTER_SCHEMA, ENTITY_TABLES, META_INPUT_SCHEMA
 
+# append-only entity tables (deltas accumulate); 'ra' and 'counters' are
+# snapshot tables (rewritten per batch when touched)
+APPEND_KINDS = ("br", "id", "entity_id", "ar", "re", "prov")
 ENTITY_KINDS = ("br", "ra", "id", "entity_id", "ar", "re", "prov")
+
+MANIFEST = "MANIFEST.json"
+
+
+def _read_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, MANIFEST)
+    if not os.path.exists(path):
+        return {"version": 0, "tables": {}}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _commit_manifest(store_dir: str, manifest: dict) -> None:
+    """Atomic swap: the manifest becomes visible all-or-nothing."""
+    tmp = os.path.join(store_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(store_dir, MANIFEST))
+
+
+def _table_df(spark: SparkSession, store_dir: str, manifest: dict, kind: str, schema):
+    dirs = manifest["tables"].get(kind, [])
+    paths = [os.path.join(store_dir, d) for d in dirs]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
 
 
 def load_catalog(spark: SparkSession, store_dir: str) -> EntityCatalog:
-    """Catalog from parquet tables under store_dir (empty where missing)."""
-    kwargs = {}
-    for kind in ENTITY_KINDS:
-        p = os.path.join(store_dir, kind)
-        if os.path.isdir(p):
-            kwargs[kind] = spark.read.parquet(p)
-        else:
-            kwargs[kind] = spark.createDataFrame([], ENTITY_TABLES[kind])
+    """Catalog as of the last committed manifest (empty where missing)."""
+    manifest = _read_manifest(store_dir)
+    kwargs = {
+        kind: _table_df(spark, store_dir, manifest, kind, ENTITY_TABLES[kind])
+        for kind in ENTITY_KINDS
+    }
+    kwargs["counters"] = _table_df(spark, store_dir, manifest, "counters", COUNTER_SCHEMA)
     return EntityCatalog(**kwargs)
 
 
 def append_result(result, store_dir: str) -> None:
-    # Given-name enrichment mutates existing RA rows: read-modify-overwrite
-    # (localCheckpoint first — we read and rewrite the same path).
-    ra_path = os.path.join(store_dir, "ra")
-    import pyspark.sql.functions as F
+    """Commit one batch's deltas: write new directories, swap the manifest.
 
-    if os.path.isdir(ra_path) and result.ra_updates.take(1):
-        spark = result.ra_updates.sparkSession
-        upd = result.ra_updates.withColumnRenamed("omid", "u_omid").withColumnRenamed("given", "u_given")
-        merged = (
-            spark.read.parquet(ra_path)
-            .join(upd, F.col("omid") == F.col("u_omid"), "left")
-            .withColumn("given", F.coalesce(F.nullif("given", F.lit("")), "u_given"))
-            .drop("u_omid", "u_given")
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(ra_path)
+    Nothing referenced by the CURRENT manifest is touched — a failure at
+    any point before the final ``os.replace`` leaves the store exactly as
+    it was (kill-mid-write safe), and a replayed batch converges because
+    the commit is a pure function of (previous manifest, batch result).
+    """
+    os.makedirs(store_dir, exist_ok=True)
+    manifest = _read_manifest(store_dir)
+    version = manifest["version"] + 1
+    tables = {k: list(v) for k, v in manifest["tables"].items()}
+    spark = result.br_new.sparkSession
+
     deltas = {
         "br": result.br_new,
-        "ra": result.ra_new,
         "id": result.id_new,
         "entity_id": result.entity_id_new,
         "ar": result.ar_new,
@@ -65,7 +107,30 @@ def append_result(result, store_dir: str) -> None:
         "prov": result.prov_new,
     }
     for kind, df in deltas.items():
-        df.write.mode("append").parquet(os.path.join(store_dir, kind))
+        rel = os.path.join(kind, f"d{version:06d}")
+        df.write.mode("overwrite").parquet(os.path.join(store_dir, rel))
+        tables.setdefault(kind, []).append(rel)
+
+    # RA: snapshot = previous snapshot + given-name enrichment + new rows
+    # (written to a NEW directory — the old snapshot stays readable until
+    # the manifest swap).
+    prev_ra = _table_df(spark, store_dir, manifest, "ra", ENTITY_TABLES["ra"])
+    upd = result.ra_updates.withColumnRenamed("omid", "u_omid").withColumnRenamed("given", "u_given")
+    ra_next = (
+        prev_ra.join(upd, prev_ra.omid == upd.u_omid, "left")
+        .withColumn("given", F.coalesce(F.nullif("given", F.lit("")), "u_given"))
+        .drop("u_omid", "u_given")
+        .unionByName(result.ra_new)
+    )
+    ra_rel = os.path.join("ra", f"v{version:06d}")
+    ra_next.write.mode("overwrite").parquet(os.path.join(store_dir, ra_rel))
+    tables["ra"] = [ra_rel]
+
+    counters_rel = os.path.join("counters", f"v{version:06d}")
+    result.counters_new.write.mode("overwrite").parquet(os.path.join(store_dir, counters_rel))
+    tables["counters"] = [counters_rel]
+
+    _commit_manifest(store_dir, {"version": version, "tables": tables})
 
 
 def stream_curate(
@@ -80,9 +145,9 @@ def stream_curate(
 
     - file source discovers new CSVs exactly once (checkpointed — the
       reference's cache.txt);
-    - each micro-batch curates against the catalog as of that batch and
-      appends deltas (single-writer per store: minting stays serialized,
-      SURVEY hard part §7.4.4);
+    - each micro-batch curates against the catalog as of the last
+      committed manifest and commits its deltas atomically (single-writer
+      per store: minting stays serialized, SURVEY hard part §7.4.4);
     - ``available_now`` drains the backlog then stops (batch-resume mode);
       False keeps it running for continuous ingestion.
     """

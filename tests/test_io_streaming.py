@@ -158,3 +158,57 @@ def test_orcid_xml_extraction(spark):
     assert all(r["orcid"] == "0000-0002-1825-0097" for r in rows)
     assert rows[0]["given"] == "Josiah" and rows[0]["family"] == "Carberry"
     assert [r["doi"] for r in rows] == ["10.5555/12345678", "10.5555/87654321"]
+
+
+def test_store_commit_atomic_and_replay_convergent(spark, tmp_path):
+    """S7 manifest store: a crash before the manifest swap leaves the
+    previous state fully readable, and replaying the same batch commit
+    (the streaming checkpoint's recovery path) converges to the same
+    store state as a single successful commit."""
+    import json
+    import os
+    import shutil
+
+    from oc_meta_spark.plans.curation import curate
+    from oc_meta_spark.schemas import META_INPUT_COLUMNS
+    from oc_meta_spark.streaming.micro_batch import MANIFEST, append_result, load_catalog
+
+    def _input(rows):
+        data = [tuple(r.get(c, "") for c in META_INPUT_COLUMNS) for r in rows]
+        return spark.createDataFrame(data, META_INPUT_COLUMNS)
+
+    store = str(tmp_path / "store")
+    b1 = [{"id": "doi:10.1/a", "title": "One", "pub_date": "2020", "type": "journal article"}]
+    r1 = curate(_input(b1), None, prefix="060")
+    append_result(r1, store)
+    cat1 = load_catalog(spark, store)
+    n_br1 = cat1.br.count()
+    assert n_br1 >= 1
+
+    # crash simulation: uncommitted garbage directories are invisible
+    os.makedirs(os.path.join(store, "br", "d999999"))
+    r1.br_new.write.mode("overwrite").parquet(os.path.join(store, "br", "d999999"))
+    assert load_catalog(spark, store).br.count() == n_br1
+
+    # batch 2 against the committed catalog
+    b2 = [{"id": "doi:10.1/b", "title": "Two", "pub_date": "2021", "type": "journal article"}]
+    r2 = curate(_input(b2), load_catalog(spark, store), prefix="060")
+
+    # commit once, then REPLAY the same commit as crash recovery would:
+    # roll the manifest back (the swap "never happened") and commit again
+    append_result(r2, store)
+    manifest_path = os.path.join(store, MANIFEST)
+    committed = json.load(open(manifest_path))
+    state_once = {r["omid"]: r for r in load_catalog(spark, store).br.collect()}
+    rollback = {"version": committed["version"] - 1, "tables": {
+        k: [d for d in v if not d.endswith(f"{committed['version']:06d}")]
+        for k, v in committed["tables"].items()
+    }}
+    with open(manifest_path, "w") as f:
+        json.dump(rollback, f)
+    append_result(r2, store)
+    state_replay = {r["omid"]: r for r in load_catalog(spark, store).br.collect()}
+    assert state_replay == state_once
+    # counters survive the commit and drive the next batch's numbering
+    counters = {r["kind"]: r["max_n"] for r in load_catalog(spark, store).counters.collect()}
+    assert counters["br"] == len(state_once)
