@@ -1,0 +1,252 @@
+"""Post-run verification report (A6/J11 in domain form) — the Spark-native
+``check_results`` (reference run/meta/check_results.py, FileResult counters
+:65-84, group extraction :237-270, id→entity probe :131-199, omid/prov
+existence :87-130).
+
+One relational pass over (curated CSV rows, EntityCatalog) replaces the
+reference's per-file loop + batched SPARQL VALUES probes:
+
+- every bracketed id group in the five id-bearing columns is exploded
+  into tokens and classified (omid / recognized / unverifiable /
+  invalid — RECOGNIZED_SCHEMAS per reference constants.py:12-35);
+- recognized ids join the catalog's id ⋈ entity_id tables — found /
+  missing / entity-vs-claimed-omid mismatch per OCCURRENCE, exactly the
+  reference's counting unit;
+- CSV omids probe the entity tables (data graph existence) and the
+  provenance table (snapshot existence);
+- output: ONE counters row (the FileResult rollup) plus an ``errors``
+  DataFrame (kind, row_id, column, detail) for the mismatch/missing
+  lists the reference appends to ``FileResult.errors``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oc_meta_spark.functions.ids import normalize_id_udf
+from oc_meta_spark.plans.curation import EntityCatalog, _cp
+
+BR_ID_SCHEMAS = {
+    "arxiv", "doi", "issn", "isbn", "jid", "openalex",
+    "pmid", "pmcid", "url", "wikidata", "wikipedia",
+}
+RA_ID_SCHEMAS = {"crossref", "orcid", "viaf", "wikidata", "ror"}
+RECOGNIZED_SCHEMAS = BR_ID_SCHEMAS | RA_ID_SCHEMAS
+
+_ID_COLUMNS = ("id", "author", "editor", "publisher", "venue")
+_SEMI_OUTSIDE_BRACKETS = r";(?![^\[\]]*\])"
+
+
+@dataclass
+class CheckReport:
+    counters: DataFrame  # single row, one column per FileResult counter
+    errors: DataFrame  # (kind, row_id, column, detail)
+
+
+def _group_tokens(df: DataFrame) -> DataFrame:
+    """(row_id, column, group_idx, token) for every id token in every
+    bracket group: the 'id' column is ONE group; agent/venue columns are
+    one group per bracketed entry (reference _extract_entity_groups)."""
+    parts = []
+    id_part = df.select(
+        "row_id",
+        F.lit("id").alias("column"),
+        F.lit(0).alias("group_idx"),
+        F.split(F.trim(F.coalesce(F.col("id"), F.lit(""))), r"\s+").alias("tokens"),
+    )
+    parts.append(id_part)
+    for col in _ID_COLUMNS[1:]:
+        entries = F.split(F.coalesce(F.col(col), F.lit("")), _SEMI_OUTSIDE_BRACKETS)
+        exploded = df.select(
+            "row_id", F.posexplode_outer(entries).alias("group_idx", "entry")
+        )
+        parts.append(
+            exploded.select(
+                "row_id",
+                F.lit(col).alias("column"),
+                "group_idx",
+                F.split(
+                    F.trim(F.regexp_extract(F.col("entry"), r"\[\s*([^\]]*?)\s*\]", 1)), r"\s+"
+                ).alias("tokens"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select("row_id", "column", "group_idx", F.explode("tokens").alias("token"))
+        .filter(F.col("token").contains(":"))
+        .withColumn("schema", F.lower(F.regexp_extract("token", r"^([^:]+):", 1)))
+        .withColumn("value", F.regexp_extract("token", r"^[^:]+:(.*)$", 1))
+        .filter(F.col("schema") != "")
+    )
+
+
+def check_results(curated: DataFrame, catalog: EntityCatalog) -> CheckReport:
+    df = curated
+    if "row_id" not in df.columns:
+        df = df.withColumn("row_id", F.monotonically_increasing_id())
+    tok = _group_tokens(df)
+    # lineage cuts: the counters row cross-joins a dozen aggregates over
+    # these frames — without cuts each reference re-embeds the whole
+    # upstream tree and Catalyst analysis blows the driver heap
+    tok = _cp(tok.withColumn(
+        "klass",
+        F.when(F.col("schema") == "omid", "omid")
+        .when(F.col("schema").isin(*sorted(RECOGNIZED_SCHEMAS)), "recognized")
+        .otherwise("unverifiable"),
+    ))
+    # validity of recognized tokens (checksum/syntax — reference normalize_id)
+    rec = tok.filter(F.col("klass") == "recognized").withColumn(
+        "normalized", normalize_id_udf(F.col("token"))
+    )
+    invalid = rec.filter(F.col("normalized").isNull())
+    valid = rec.filter(F.col("normalized").isNotNull()).withColumn(
+        "n_schema", F.regexp_extract("normalized", r"^([^:]+):", 1)
+    ).withColumn("n_value", F.regexp_extract("normalized", r"^[^:]+:(.*)$", 1))
+
+    # the group's claimed omid (if any) attaches to every token occurrence
+    group_omid = (
+        tok.filter(F.col("klass") == "omid")
+        .select("row_id", "column", "group_idx", F.col("value").alias("claimed_omid"))
+        .dropDuplicates(["row_id", "column", "group_idx"])
+    )
+    valid = valid.join(group_omid, ["row_id", "column", "group_idx"], "left")
+
+    # store probe: normalized id → entity omids holding it
+    cat_ids = (
+        catalog.id.join(catalog.entity_id, catalog.id.omid == catalog.entity_id.id_omid)
+        .select(
+            F.col("schema").alias("n_schema"),
+            F.col("value").alias("n_value"),
+            F.col("entity_omid").alias("store_omid"),
+        )
+    )
+    probed = valid.join(cat_ids, ["n_schema", "n_value"], "left")
+    per_occurrence = probed.groupBy("row_id", "column", "group_idx", "token", "claimed_omid").agg(
+        F.collect_set("store_omid").alias("store_omids")
+    )
+    per_occurrence = per_occurrence.withColumn("found", F.size("store_omids") > 0).withColumn(
+        "mismatch",
+        F.col("found")
+        & F.col("claimed_omid").isNotNull()
+        & ~F.array_contains(F.col("store_omids"), F.col("claimed_omid")),
+    )
+    per_occurrence = _cp(per_occurrence)
+
+    # csv omids: data-graph + provenance existence
+    all_entities = (
+        catalog.br.select("omid")
+        .unionByName(catalog.ra.select("omid"))
+        .unionByName(catalog.ar.select("omid"))
+        .unionByName(catalog.re.select("omid"))
+        .unionByName(catalog.id.select("omid"))
+    )
+    csv_omids = (
+        tok.filter(F.col("klass") == "omid")
+        .select("row_id", "column", F.col("value").alias("omid"))
+        .dropDuplicates(["omid"])
+    )
+    prov_entities = catalog.prov.select(F.col("entity_omid").alias("omid")).dropDuplicates()
+    omid_probe = (
+        csv_omids.join(all_entities.withColumn("__data", F.lit(True)).dropDuplicates(["omid"]), "omid", "left")
+        .join(prov_entities.withColumn("__prov", F.lit(True)), "omid", "left")
+        .withColumn("data_found", F.coalesce("__data", F.lit(False)))
+        .withColumn("prov_found", F.coalesce("__prov", F.lit(False)))
+    )
+    omid_probe = _cp(omid_probe)
+    # resolved store entities: do they have provenance?
+    store_entity_prov = (
+        per_occurrence.select(F.explode("store_omids").alias("omid"))
+        .dropDuplicates()
+        .join(prov_entities.withColumn("__prov", F.lit(True)), "omid", "left")
+        .withColumn("prov_found", F.coalesce("__prov", F.lit(False)))
+    )
+
+    counters = (
+        df.agg(F.count(F.lit(1)).alias("total_rows"))
+        .crossJoin(
+            tok.select("row_id").dropDuplicates().agg(F.count(F.lit(1)).alias("rows_with_ids"))
+        )
+        .crossJoin(tok.agg(F.count(F.lit(1)).alias("total_identifiers")))
+        .crossJoin(
+            tok.filter(F.col("klass") == "omid").agg(
+                F.count(F.lit(1)).alias("omid_schema_identifiers")
+            )
+        )
+        .crossJoin(invalid.agg(F.count(F.lit(1)).alias("identifiers_skipped_invalid")))
+        .crossJoin(
+            tok.filter(F.col("klass") == "unverifiable").agg(
+                F.count(F.lit(1)).alias("identifiers_skipped_unverifiable")
+            )
+        )
+        .crossJoin(
+            per_occurrence.agg(
+                F.sum(F.when(F.col("found") & ~F.col("mismatch"), 1).otherwise(0)).alias(
+                    "identifiers_with_omids"
+                ),
+                F.sum(F.when(~F.col("found"), 1).otherwise(0)).alias("identifiers_without_omids"),
+                F.sum(F.when(F.col("mismatch"), 1).otherwise(0)).alias(
+                    "identifiers_with_omid_mismatch"
+                ),
+            )
+        )
+        .crossJoin(
+            omid_probe.agg(
+                F.sum(F.when(F.col("data_found"), 1).otherwise(0)).alias("data_graphs_found"),
+                F.sum(F.when(~F.col("data_found"), 1).otherwise(0)).alias("data_graphs_missing"),
+                F.sum(F.when(F.col("prov_found"), 1).otherwise(0)).alias("prov_graphs_found"),
+                F.sum(F.when(~F.col("prov_found"), 1).otherwise(0)).alias("prov_graphs_missing"),
+            )
+        )
+        .crossJoin(
+            store_entity_prov.agg(
+                F.sum(F.when(F.col("prov_found"), 1).otherwise(0)).alias("omids_with_provenance"),
+                F.sum(F.when(~F.col("prov_found"), 1).otherwise(0)).alias(
+                    "omids_without_provenance"
+                ),
+            )
+        )
+    )
+
+    err = lambda kind, df_, detail: df_.select(
+        F.lit(kind).alias("kind"),
+        F.col("row_id").cast("long").alias("row_id"),
+        F.col("column"),
+        detail.alias("detail"),
+    )
+    errors = (
+        err("id_without_omid", per_occurrence.filter(~F.col("found")), F.col("token"))
+        .unionByName(
+            err(
+                "omid_mismatch",
+                per_occurrence.filter(F.col("mismatch")),
+                F.concat_ws(
+                    " ",
+                    F.col("token"),
+                    F.lit("claimed"),
+                    F.col("claimed_omid"),
+                    F.lit("store"),
+                    F.array_join("store_omids", ","),
+                ),
+            )
+        )
+        .unionByName(
+            err(
+                "data_graph_missing",
+                omid_probe.filter(~F.col("data_found")),
+                F.col("omid"),
+            )
+        )
+        .unionByName(
+            err(
+                "prov_graph_missing",
+                omid_probe.filter(F.col("data_found") & ~F.col("prov_found")),
+                F.col("omid"),
+            )
+        )
+    )
+    return CheckReport(counters=counters, errors=errors)

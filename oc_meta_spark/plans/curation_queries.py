@@ -299,3 +299,73 @@ def cur1_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = curate(meta)
     return result.curated.drop("row_id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# RT1 — inverse ETL round trip: curate a small batch, export the catalog to
+# JSON-LD rows, re-import them through the RDF→CSV dump (rows-only: the
+# full pipeline is not one SQL statement; its components are gated above).
+# ---------------------------------------------------------------------------
+@register(
+    "RT1_rdf_csv_round_trip",
+    None,
+    doc="curate → JSON-LD export → generate_csv dump; returns the dumped 11-column rows (S9/S11 inverse ETL).",
+)
+def rt1_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import EntityCatalog, curate
+    from oc_meta_spark.plans.generate_csv import dump_csv, parse_jsonld
+    from oc_meta_spark.sources.export import entity_jsonld_rows
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    meta = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/rt"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
+        F.lit("2024-01").alias("pub_date"),
+        F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]")).alias("venue"),
+        (F.col("p_size") % 5 + 1).cast("string").alias("volume"),
+        F.lit("").alias("issue"),
+        F.lit("").alias("page"),
+        F.lit("journal article").alias("type"),
+        F.col("p_brand").alias("publisher"),
+        F.lit("").alias("editor"),
+    )
+    result = curate(meta)
+    catalog = EntityCatalog.empty(spark).union(result)
+    jsonld = entity_jsonld_rows(catalog).select("jsonld")
+    return dump_csv(parse_jsonld(jsonld)).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# VR1 — post-run verification report: the 16-counter check_results rollup
+# over a curated batch and its catalog (rows-only; the aggregation shapes
+# are oracle-gated generically as A1-A8/J10/J11).
+# ---------------------------------------------------------------------------
+@register(
+    "VR1_check_results_report",
+    None,
+    doc="check_results counters: id/omid existence, mismatches, data+prov graph probes (A6 domain form).",
+)
+def vr1_check_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.check_results import check_results
+    from oc_meta_spark.plans.curation import EntityCatalog, curate
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    meta = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/vr"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
+        F.lit("2024-01").alias("pub_date"),
+        F.lit("").alias("venue"),
+        F.lit("").alias("volume"),
+        F.lit("").alias("issue"),
+        F.lit("").alias("page"),
+        F.lit("journal article").alias("type"),
+        F.lit("").alias("publisher"),
+        F.lit("").alias("editor"),
+    )
+    result = curate(meta)
+    catalog = EntityCatalog.empty(spark).union(result)
+    return check_results(result.curated, catalog).counters

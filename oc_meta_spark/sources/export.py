@@ -56,8 +56,15 @@ def entity_jsonld_rows(catalog: EntityCatalog) -> DataFrame:
     deterministic, JVM-side, no Python serialization.  File layout keys
     (kind, dir_split, file_n) are computed columns so a partitioned write
     reproduces the reference's ``{kind}/{dir_split}/{n}`` fan-out.
-    """
-    br = catalog.br.select(
+    BR and RA documents carry their ``datacite:hasIdentifier`` links so
+    the export is closed under the inverse ETL (plans/generate_csv.py can
+    reconstruct the id columns)."""
+    id_links = catalog.entity_id.groupBy("entity_omid").agg(
+        F.array_sort(F.collect_list(F.concat(F.lit("https://w3id.org/oc/meta/"), F.col("id_omid")))).alias(
+            "__ids"
+        )
+    )
+    br = catalog.br.join(id_links, catalog.br.omid == id_links.entity_omid, "left").select(
         F.col("omid"),
         F.to_json(
             F.struct(
@@ -70,18 +77,20 @@ def entity_jsonld_rows(catalog: EntityCatalog) -> DataFrame:
                 F.when(F.col("embodiment").isNotNull(), _uri(F.lit("re"), F.col("embodiment"))).alias(
                     "frbr:embodiment"
                 ),
+                F.col("__ids").alias("datacite:hasIdentifier"),
             ),
             options={"ignoreNullFields": "true"},
         ).alias("jsonld"),
     )
-    ra = catalog.ra.select(
-        "omid",
+    ra = catalog.ra.join(id_links, catalog.ra.omid == id_links.entity_omid, "left").select(
+        F.col("omid"),
         F.to_json(
             F.struct(
                 _uri(F.lit("ra"), F.col("omid")).alias("@id"),
                 F.col("name").alias("foaf:name"),
                 F.col("family").alias("foaf:familyName"),
                 F.col("given").alias("foaf:givenName"),
+                F.col("__ids").alias("datacite:hasIdentifier"),
             ),
             options={"ignoreNullFields": "true"},
         ).alias("jsonld"),

@@ -1,0 +1,81 @@
+"""Verification-report tests (A6 domain form): counters match hand counts
+and seeded inconsistencies are detected."""
+
+from __future__ import annotations
+
+from oc_meta_spark.plans.check_results import check_results
+from oc_meta_spark.plans.curation import EntityCatalog, curate
+from oc_meta_spark.schemas import META_INPUT_COLUMNS
+
+
+def _input(spark, rows):
+    data = [tuple([i + 1] + [r.get(c, "") for c in META_INPUT_COLUMNS]) for i, r in enumerate(rows)]
+    return spark.createDataFrame(data, ["row_id"] + META_INPUT_COLUMNS)
+
+
+def test_clean_run_counters(spark):
+    rows = [
+        {
+            "id": "doi:10.1000/chk1",
+            "title": "Checked",
+            "author": "Author, Ann [orcid:0000-0002-1825-0097]",
+            "pub_date": "2020",
+            "type": "journal article",
+        }
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    catalog = EntityCatalog.empty(spark).union(r)
+    rep = check_results(r.curated, catalog)
+    c = rep.counters.first().asDict()
+    # curated row: id cell 'doi omid', author '[orcid omid:ra]'
+    assert c["total_rows"] == 1 and c["rows_with_ids"] == 1
+    assert c["omid_schema_identifiers"] == 2  # br + ra omid tokens
+    assert c["identifiers_with_omids"] == 2  # doi + orcid, both in store
+    assert c["identifiers_without_omids"] == 0
+    assert c["identifiers_with_omid_mismatch"] == 0
+    assert c["data_graphs_missing"] == 0 and c["prov_graphs_missing"] == 0
+    assert c["omids_without_provenance"] == 0
+    assert rep.errors.count() == 0
+
+
+def test_seeded_inconsistencies_detected(spark):
+    rows = [
+        {
+            "id": "doi:10.1000/chk1",
+            "title": "Checked",
+            "author": "Author, Ann [orcid:0000-0002-1825-0097]",
+            "pub_date": "2020",
+            "type": "journal article",
+        }
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    catalog = EntityCatalog.empty(spark).union(r)
+    # corrupt the curated CSV: an id the store doesn't know, a WRONG claimed
+    # omid on a known id, a dangling omid, and an invalid checksum
+    bad = spark.createDataFrame(
+        [
+            (
+                1,
+                "doi:10.1000/chk1 omid:br/0999999",  # known id, wrong + dangling omid
+                "Checked",
+                "Author, Ann [orcid:0000-0001-0000-0000 omid:ra/0601]",  # bad checksum
+                "2020",
+                "",
+                "",
+                "",
+                "",
+                "journal article",
+                "",
+                "unknownscheme:zzz [foo:bar]",
+            )
+        ],
+        ["row_id"] + META_INPUT_COLUMNS,
+    )
+    rep = check_results(bad, catalog)
+    c = rep.counters.first().asDict()
+    kinds = {e["kind"] for e in rep.errors.collect()}
+    assert c["identifiers_with_omid_mismatch"] == 1  # doi resolves to br/0601, not br/0999999
+    assert c["identifiers_skipped_invalid"] == 1  # the orcid checksum
+    assert c["identifiers_skipped_unverifiable"] >= 1  # foo:bar
+    assert c["data_graphs_missing"] == 1  # omid:br/0999999
+    assert "omid_mismatch" in kinds and "data_graph_missing" in kinds
