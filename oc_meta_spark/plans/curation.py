@@ -1549,7 +1549,15 @@ def curate(
     a_matched = a_ext.join(cat_ra_ids, ["schema", "value"]).select(
         "mkey", F.col("entity_omid").alias("cand")
     )
-    graphs = men.select("graph").dropDuplicates()
+    # chains surface for EVERY final entity (equalizer fills empty agent
+    # cells from the store — curator.py:1419-1421), not just for entities
+    # the batch mentioned agents on
+    graphs = (
+        men.select("graph")
+        .unionByName(ent_graph.select(F.col("br_omid").alias("graph")))
+        .unionByName(ent_graph.select(F.col("editor_graph").alias("graph")))
+        .dropDuplicates()
+    )
     cat_chain = _cp(
         catalog.ar.join(graphs, catalog.ar.br_omid == graphs.graph, "left_semi")
         .select(

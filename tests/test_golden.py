@@ -33,7 +33,7 @@ REF = "/root/reference/test"
 MANUAL = os.path.join(REF, "manual_data.csv")
 CASES_DIR = os.path.join(REF, "testcases", "testcase_data")
 
-# Row selections per case (reference curator_test.py:1975-2105).
+# Row selections per case (reference curator_test.py:1975-2270).
 CASE_ROWS = {
     "01": [0, 5],
     "02": [1, 3],
@@ -48,6 +48,29 @@ CASE_ROWS = {
     "11": list(range(49, 52)),
     "12": [52],
 }
+
+# cases >12 run against the preloaded triplestore fixture
+# (testcases/ts/testcase_ts-13.ttl), imported via sources/rdf_import.py
+TS_CASE_ROWS = {
+    "13.1": list(range(53, 56)),
+    "13.2": [56],
+    "14.1": [58],
+    "14.2": [59],
+    "14.3": [60],
+    "14.4": list(range(61, 64)),
+    "15.1": [64],
+    "15.2": [65],
+    "15.3": [66],
+    "15.4": [67],
+    "15.5": [71],
+    "15.6": [72],
+    "15.7": [73],
+    "15.8": [74],
+    "16.1": [75],
+    "16.2": [76],
+    "16.3": [77],
+}
+TS_TTL = os.path.join(REF, "testcases", "ts", "testcase_ts-13.ttl")
 
 _OMID = re.compile(r"\b(?:omid:)?((?:br|ra|ar|re|id)/06\d+)\b")
 
@@ -122,7 +145,13 @@ def _curated_rows(result):
 
 def _run_case(spark, name: str):
     data = _read_csv(MANUAL)
-    picked = [data[i] for i in CASE_ROWS[name]]
+    catalog = None
+    if name in TS_CASE_ROWS:
+        from oc_meta_spark.sources.rdf_import import catalog_from_turtle
+
+        with open(TS_TTL, encoding="utf-8") as f:
+            catalog = catalog_from_turtle(spark, f.read())
+    picked = [data[i] for i in (CASE_ROWS.get(name) or TS_CASE_ROWS[name])]
     # explicit row_id = FILE ORDER (the reference processes rows in file
     # order; stage_parse honors a caller-provided row_id column)
     tuples = [
@@ -130,7 +159,7 @@ def _run_case(spark, name: str):
         for n, r in enumerate(picked)
     ]
     df = spark.createDataFrame(tuples, ["row_id"] + META_INPUT_COLUMNS)
-    result = curate(df, None, prefix="060")
+    result = curate(df, catalog, prefix="060")
 
     expected = _read_csv(os.path.join(CASES_DIR, f"testcase_{name}_data.csv"))
     got = _curated_rows(result)
@@ -180,4 +209,9 @@ def _run_case(spark, name: str):
 
 @pytest.mark.parametrize("name", sorted(CASE_ROWS))
 def test_golden(spark, name):
+    _run_case(spark, name)
+
+
+@pytest.mark.parametrize("name", sorted(TS_CASE_ROWS))
+def test_golden_with_store(spark, name):
     _run_case(spark, name)
