@@ -72,7 +72,10 @@ def mint_omids(
     the switch is a physical-plan choice only.
     """
     if small:
-        w = Window.orderBy(*order_cols)
+        # lit-key partition: same single-task plan the small path wants,
+        # without tripping the WindowExec no-partition warning that exists
+        # to flag ACCIDENTAL global windows.
+        w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
         return df.withColumn(
             omid_col,
             F.concat(F.lit(f"{kind}/{prefix}"), (F.row_number().over(w) + offset).cast("string")),

@@ -295,7 +295,7 @@ def with_row_ids(df: DataFrame, small: bool = True) -> DataFrame:
         return df
     cols = [F.col(c) for c in df.columns]
     if small:
-        w = Window.orderBy(*cols)
+        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
         return df.withColumn("row_id", F.row_number().over(w).cast("long"))
     from oc_meta_spark.operators.minting import assign_contiguous_ranks
 
@@ -674,6 +674,7 @@ def curate(
             F.col("title").alias("cat_title"),
             F.col("pub_date").alias("cat_date"),
             F.col("type").alias("cat_type"),
+            F.col("seq_id").alias("cat_seq"),
             F.col("part_of").alias("cat_part_of"),
             F.col("embodiment").alias("cat_embodiment"),
         )
@@ -687,10 +688,18 @@ def curate(
         F.col("part_of").alias("a_part_of"),
     )
     chain1 = cat_br_info.join(anc, cat_br_info.cat_part_of == anc.a_omid, "left")
+    # the resolved entity's OWN seq feeds volume/issue when it is itself a
+    # journal volume/issue (finder.py:487-493); container seqs override.
     chain1 = chain1.select(
         "ekey0",
-        F.when(F.col("a_type") == "journal issue", F.col("a_seq")).alias("s_iss"),
-        F.when(F.col("a_type") == "journal volume", F.col("a_seq")).alias("s_vol1"),
+        F.coalesce(
+            F.when(F.col("a_type") == "journal issue", F.col("a_seq")),
+            F.when(F.col("cat_type") == "journal issue", F.col("cat_seq")),
+        ).alias("s_iss"),
+        F.coalesce(
+            F.when(F.col("a_type") == "journal volume", F.col("a_seq")),
+            F.when(F.col("cat_type") == "journal volume", F.col("cat_seq")),
+        ).alias("s_vol1"),
         F.when(~F.col("a_type").isin("journal issue", "journal volume"), F.col("a_omid")).alias(
             "s_venue1"
         ),
@@ -1583,8 +1592,12 @@ def curate(
             ),
         )
     )
+    # id-bearing mentions whose ids resolve nowhere ALSO name-match against
+    # the chain (curator.py:688-700: ar_ra by get_title equality, then the
+    # mention's ids are added to the matched RA via id_worker) — so no
+    # has_ids filter here; candidate priority keeps id matches above this.
     name_match = (
-        men.filter(~F.col("has_ids") & F.col("display").isNotNull())
+        men.filter(F.col("display").isNotNull())
         .join(
             cat_chain.select("graph", "role", F.col("c_display").alias("display"), "c_ra", "c_pos"),
             ["graph", "role", "display"],
@@ -1697,13 +1710,27 @@ def curate(
         F.col("family").alias("cat_family"),
         F.col("given").alias("cat_given"),
     )
+    # reference condition (curator.py:725-735): non-publisher role, both
+    # names in 'Family, Given' form, store given empty, batch given present
+    # — the store FAMILY is kept even when spelled differently (the batch
+    # family is not compared); first mention in scan order wins.
     ra_updates = _cp(
-        men.filter(F.col("given").isNotNull() & (F.col("given") != "") & F.col("ra_existing").isNotNull())
+        men.filter(
+            F.col("given").isNotNull()
+            & (F.col("given") != "")
+            & F.col("family").isNotNull()
+            & (F.col("role") != "publisher")
+            & F.col("ra_existing").isNotNull()
+        )
         .join(cat_ra_names, "ra_omid")
         .filter(F.col("cat_given").isNull() | (F.col("cat_given") == ""))
-        .filter(F.col("cat_family").isNotNull() & (F.col("cat_family") == F.col("family")))
+        .filter(F.col("cat_family").isNotNull())
         .groupBy("ra_omid")
-        .agg(F.min("given").alias("given"))
+        .agg(
+            F.min(
+                F.struct(F.col("row_id").alias("r"), F.col("pos").alias("p"), F.col("given").alias("g"))
+            )["g"].alias("given")
+        )
         .select(F.col("ra_omid").alias("omid"), "given")
     )
 
