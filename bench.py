@@ -54,26 +54,31 @@ def main() -> None:
         queries[n].builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    rowcounts: dict[str, int] = {}
     t_all = time.perf_counter()
     for n in names:
         t0 = time.perf_counter()
         df = queries[n].builder(spark, sf_dir)
-        df.collect()
+        rowcounts[n] = len(df.collect())
         timings[n] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_all, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # curation throughput at this SF (batch scales with the part table;
+    # comparable to BASELINE.md's rec/s numbers, which is the reference's
+    # own metric for this pipeline)
+    cur = "CUR1_curation_end_to_end"
+    if cur in timings and timings[cur] > 0:
+        out["cur1_rows"] = rowcounts[cur]
+        out["cur1_rec_per_sec"] = round(rowcounts[cur] / timings[cur], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -99,7 +99,17 @@ def _mark(label: str) -> None:
         _T0[0] = now
 
 
-def _cp(df: DataFrame) -> DataFrame:
+_CP_LEVEL = int(os.environ.get("OCMS_CP_LEVEL", "2"))
+
+
+def _cp_opt(df: DataFrame) -> DataFrame:
+    """Optional lineage cut (lvl=2): helps only when the surrounding plan
+    is pathological; skipped at OCMS_CP_LEVEL=1 to save an optimizer pass
+    per site on micro-batches."""
+    return _cp(df, lvl=2)
+
+
+def _cp(df: DataFrame, lvl: int = 1) -> DataFrame:
     """Lineage cut at stage boundaries.
 
     ``localCheckpoint`` alone is NOT enough: it carries the child plan's
@@ -111,9 +121,25 @@ def _cp(df: DataFrame) -> DataFrame:
     over the already-checkpointed InternalRow RDD resets the stats to the
     bounded default; AQE still sees the REAL sizes at runtime, so join
     strategy selection is unaffected."""
-    if _CP_MODE == "none":
+    if _CP_MODE == "none" or lvl > _CP_LEVEL:
         return df
+    t0 = _time.time() if _DBG else 0.0
+    if _CP_MODE == "local":
+        # micro-batch path: materialize to a LocalRelation so Catalyst sees
+        # TRUE sizes — empty frames prune joins outright, small frames
+        # broadcast statically instead of shuffling until AQE intervenes.
+        out = df.sparkSession.createDataFrame(df.collect(), df.schema)
+        if _DBG:
+            print(f"CURATE[_cp-local] {_time.time() - t0:.2f}s", flush=True)
+        return out
     cp = df.localCheckpoint(eager=_CP_MODE == "eager")
+    if _DBG:
+        import traceback
+
+        site = next(
+            (f.lineno for f in reversed(traceback.extract_stack()) if f.name == "curate"), 0
+        )
+        print(f"CURATE[_cp@{site}] {_time.time() - t0:.2f}s", flush=True)
     try:
         spark = cp.sparkSession
         jdf = spark._jsparkSession.internalCreateDataFrame(
@@ -621,7 +647,10 @@ def _mint_map(
     small path is a window over checkpointed inputs — recomputing it is
     cheaper than another job."""
     minted = mint_omids(df, order_cols, kind, prefix, offset, "minted_omid", small=small)
-    return minted if small else _cp(minted)
+    # the map is referenced by several downstream frames (entity tables,
+    # index tables, chain assembly) — cut it in BOTH modes or each use
+    # re-executes the ranking window
+    return _cp(minted)
 
 
 # ---------------------------------------------------------------------------
@@ -904,7 +933,7 @@ def curate(
     ).select(
         "ekey0", F.col("t")["schema"].alias("schema"), F.col("t")["value"].alias("value")
     )
-    v_tok = _cp(v_tok)
+    v_tok = _cp_opt(v_tok)
     v_explicit = (
         v_tok.filter((F.col("schema") == "omid") & F.col("value").startswith("br/"))
         .join(catalog.br.select(F.col("omid").alias("value")), "value", "left_semi")
@@ -1016,7 +1045,7 @@ def curate(
     # Rows typed 'journal volume'/'journal issue' ARE the volume/issue
     # entity: they claim the (venue, seq) slot; articles and issue rows
     # demand slots; unclaimed demanded slots become anonymous children.
-    vv = _cp(
+    vv = _cp_opt(
         ent0.select(
             "ekey0", "first_row", "is_resolved", "type_e", "vol_e", "iss_e"
         ).join(work_venue, "ekey0")
@@ -1045,7 +1074,7 @@ def curate(
         )
     )
     _mark("vvi:volkeys")
-    vol_targets = _cp(
+    vol_targets = _cp_opt(
         vol_keys.join(cat_vol, ["vkey", "seq"], "left")
         .join(claim_pick, ["vkey", "seq"], "left")
         .withColumn(
@@ -1076,7 +1105,7 @@ def curate(
         ["vkey", "vol_e"],
         "left",
     ).withColumn("parent_key", F.coalesce("vol_target", "vkey"))
-    iss_src = _cp(iss_src)
+    iss_src = _cp_opt(iss_src)
     iss_claims = iss_src.filter(F.col("type_e") == "journal issue").select(
         "parent_key", F.col("iss_e").alias("seq"), "ekey0", "is_resolved", "first_row"
     )
@@ -1100,7 +1129,7 @@ def curate(
         )
     )
     _mark("vvi:isskeys")
-    iss_targets = _cp(
+    iss_targets = _cp_opt(
         iss_keys.join(cat_iss, ["parent_key", "seq"], "left")
         .join(iss_claim_pick, ["parent_key", "seq"], "left")
         .withColumn(
@@ -1122,7 +1151,7 @@ def curate(
         .select("ekey0", F.col("target").alias("ekey_alias"))
     )
     _mark("vvi:issalias")
-    alias = _cp(vol_alias.unionByName(iss_alias).dropDuplicates(["ekey0"]))
+    alias = _cp_opt(vol_alias.unionByName(iss_alias).dropDuplicates(["ekey0"]))
 
     _mark("vvi-targets")
     # --- final entity keys + collapse -------------------------------------
@@ -1284,8 +1313,10 @@ def curate(
         )
 
     ent = _cp(_to_omid(ent, "ekey", "br_omid"))
-    venue_omids = _to_omid(
-        ent.filter(F.col("vkey").isNotNull()).select("vkey").dropDuplicates(), "vkey", "venue_omid"
+    venue_omids = _cp(
+        _to_omid(
+            ent.filter(F.col("vkey").isNotNull()).select("vkey").dropDuplicates(), "vkey", "venue_omid"
+        )
     )
     vol_t = _to_omid(vol_targets, "target", "vol_omid")
     iss_t = _to_omid(iss_targets, "target", "iss_omid")
@@ -1714,7 +1745,7 @@ def curate(
     # names in 'Family, Given' form, store given empty, batch given present
     # — the store FAMILY is kept even when spelled differently (the batch
     # family is not compared); first mention in scan order wins.
-    ra_updates = _cp(
+    ra_updates = _cp_opt(
         men.filter(
             F.col("given").isNotNull()
             & (F.col("given") != "")
@@ -1828,7 +1859,7 @@ def curate(
     )
     id_new = id_map.select(F.col("minted_omid").alias("omid"), "schema", "value")
     all_id_omids = catalog.id.select("omid", "schema", "value").unionByName(id_new)
-    entity_id_new = _cp(
+    entity_id_new = _cp_opt(
         all_tok.select("entity_omid", "schema", "value")
         .dropDuplicates()
         .join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
@@ -1881,7 +1912,7 @@ def curate(
     # --- curated CSV rows (enrich, curator.py:969-1011) -------------------
     # id column: batch tokens in first-occurrence order, then catalog-only
     # ids (sorted), then the omid last.
-    cat_ids_of = (
+    cat_ids_of = _cp(
         final_existing.join(
             cat_ids_all, final_existing.omid == cat_ids_all.entity_omid, "inner"
         )
@@ -1892,24 +1923,25 @@ def curate(
     # first-occurrence-ordered batch tokens per ENTITY (works and venues
     # alike — a venue cell's extra ids flow into the entity's id column,
     # the reference's merge_entities_in_csv behavior)
+    # two-level agg: FIRST occurrence per distinct token, THEN the ordered
+    # array.  A single collect_set of (row_id, cpos, token) structs keeps
+    # one struct per MENTION — an entity referenced by N rows would carry
+    # an N-element array on every joined row (O(N²) at scale).
     batch_toks_of = (
-        all_tok.groupBy("entity_omid")
+        all_tok.groupBy("entity_omid", F.concat_ws(":", "schema", "value").alias("t"))
+        .agg(F.min(F.struct(F.col("row_id").alias("r"), F.col("cpos").alias("c"))).alias("o"))
+        .groupBy("entity_omid")
         .agg(
             F.transform(
                 F.array_sort(
-                    F.collect_set(
-                        F.struct(
-                            F.col("row_id").alias("r"),
-                            F.col("cpos").alias("c"),
-                            F.concat_ws(":", "schema", "value").alias("t"),
-                        )
-                    )
+                    F.collect_list(F.struct(F.col("o")["r"].alias("r"), F.col("o")["c"].alias("c"), F.col("t").alias("t")))
                 ),
                 lambda s: s["t"],
             ).alias("batch_toks")
         )
         .withColumnRenamed("entity_omid", "br_omid")
     )
+    batch_toks_of = _cp(batch_toks_of)
     arr_empty = F.array().cast("array<string>")
     id_string = F.concat_ws(
         " ",
@@ -1955,6 +1987,7 @@ def curate(
         .join(ven_batch_title.dropDuplicates(["venue_omid"]), "venue_omid", "left")
         .join(ven_batch_toks.dropDuplicates(["venue_omid"]), "venue_omid", "left")
     )
+    ent_v = _cp(ent_v)
     v_batch_toks = F.coalesce(F.col("v_ent_toks"), arr_empty)
     venue_string = F.when(
         F.col("has_venue") & F.col("venue_omid").isNotNull(),
@@ -2064,6 +2097,8 @@ def curate(
             ).alias("chain")
         )
     )
+    # referenced three times (one role_chain per role) — cut once
+    chain_str = _cp(chain_str)
     role_chain = {}
     for role in ROLES:
         role_chain[role] = chain_str.filter(F.col("role") == role).select(

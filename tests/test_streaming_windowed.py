@@ -1,0 +1,115 @@
+"""Streaming watermark/window + stateful sessionization tests (SURVEY §2.9).
+
+Strategy: run each operator over a REAL readStream source (parquet file
+stream of the events table, AvailableNow) into a memory sink, and compare
+with the bounded-frame run of the same operator — the plan contract is
+that both paths agree on drained input (no late data beyond watermark in
+a drained backlog).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from oc_meta_spark.sources.tables import load_table
+from oc_meta_spark.streaming.windowed import sessionize, windowed_event_counts
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, "events", SF_DIR).filter(F.col("user_id") < 50)
+
+
+def _stream_events(spark, events, tmp_path):
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(events.schema).parquet(src)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_event_counts(events).collect()
+    }
+    stream = _stream_events(spark, events, tmp_path)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["window_end"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_sessionize_bounded_oracle(spark, events):
+    """Bounded-path sessionization agrees with a hand oracle on one user."""
+    sessions = sessionize(events, gap_minutes=30)
+    rows = events.orderBy("ts").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in by_user.items():
+        cur = []
+        for r in rs:
+            if cur and (r["ts"] - cur[-1]["ts"]).total_seconds() > 1800:
+                expect.setdefault(uid, []).append(cur)
+                cur = []
+            cur.append(r)
+        if cur:
+            expect.setdefault(uid, []).append(cur)
+    got = sessions.collect()
+    n_expected = sum(len(v) for v in expect.values())
+    assert len(got) == n_expected
+    g = {(r["user_id"], r["session_start"], r["session_end"]): r for r in got}
+    for uid, sess_list in expect.items():
+        for sess in sess_list:
+            key = (uid, sess[0]["ts"], sess[-1]["ts"])
+            assert key in g, f"missing session {key}"
+            assert g[key]["n_events"] == len(sess)
+
+
+def test_sessionize_stateful_stream(spark, events, tmp_path):
+    """applyInPandasWithState emits closed sessions; a drained AvailableNow
+    run emits every session whose gap closed within the batch (the final
+    open session per user stays in state — streaming semantics)."""
+    stream = _stream_events(spark, events, tmp_path)
+    q = (
+        sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sessions_stream").collect()
+    bounded = sessionize(events, gap_minutes=30).collect()
+    # the stream emits exactly the bounded sessions MINUS each user's last
+    # (still-open) one
+    from collections import Counter
+
+    bounded_keys = Counter()
+    last_per_user = {}
+    for r in bounded:
+        bounded_keys[(r["user_id"], r["session_start"], r["session_end"])] += 1
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_end"] > cur[2]:
+            last_per_user[r["user_id"]] = (r["user_id"], r["session_start"], r["session_end"])
+    for k in last_per_user.values():
+        bounded_keys[k] -= 1
+    got_keys = Counter((r["user_id"], r["session_start"], r["session_end"]) for r in got)
+    assert got_keys == +bounded_keys
