@@ -9,7 +9,7 @@ IEEE divisions of exact ints.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from oc_meta_spark.plans.registry import register
 from oc_meta_spark.sources.tables import load_table
@@ -415,6 +415,96 @@ def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("bigint"))
+        .withColumn("inter", F.col("inter").cast("bigint"))
+        .filter(F.col("inter") * 2 > F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "uni",
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D19 — prefix-filtered exact Jaccard join (AllPairs/PPJoin family:
+# Bayardo et al. WWW'07, Xiao et al. WWW'08 — public algorithms).  Same
+# semantics and ORACLE as D18, different candidate generation: tokens are
+# globally ordered by ascending document frequency and a pair can only
+# materialize through a shared token in both docs' PREFIXES
+# (|x| - ceil(t·|x|) + 1 rarest tokens).  Hub words — the residual skew
+# risk of D18's full posting-list join — sit at the END of the order and
+# almost never in a prefix, so the candidate shuffle is bounded by
+# rare-token posting lists.  Exact, not approximate: any pair with
+# J > 0.5 must share a prefix token, so verification over full word sets
+# loses nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "D19_prefix_filtered_jaccard",
+    f"""
+    WITH {_WORDS_SQL},
+    ws AS (SELECT doc_id, list_sort(list(w)) AS wset, COUNT(*) AS n FROM words GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(wa.wset, wb.wset)) AS inter,
+             wa.n + wb.n - len(list_intersect(wa.wset, wb.wset)) AS uni
+      FROM documents a
+      JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+      JOIN ws wa ON wa.doc_id = a.doc_id
+      JOIN ws wb ON wb.doc_id = b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, uni,
+           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE inter * 2 > uni
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact Jaccard join via document-frequency prefix filtering — hub-word-immune candidate generation.",
+)
+def d19_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
+
+    # global token order per blocking source: ascending document frequency,
+    # ties by word — rare tokens first
+    tok_rank = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(Window.partitionBy("source").orderBy("df", "w")))
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wpos = (
+        words.join(tok_rank, ["source", "w"])
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("r")))
+        .join(sizes, "doc_id")
+    )
+    # prefix = |x| - ceil(t*|x|) + 1 rarest tokens of each doc
+    pref = wpos.filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "w", "source")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "w", "source"), ["w", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    # verification: exact intersection over FULL word sets, candidates only
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w", "source")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w", "source")
+    inter = (
+        wa.join(wb, ["w", "source"])
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (

@@ -159,30 +159,97 @@ def _nq_escape(col: F.Column) -> F.Column:
     )
 
 
-def nquads_rows(catalog: EntityCatalog, graph: str = "https://w3id.org/oc/meta/br/") -> DataFrame:
-    """Entity tables → N-Quads lines (S10), built JVM-side."""
-    uri = lambda omid: F.concat(F.lit("<https://w3id.org/oc/meta/"), omid, F.lit(">"))
-    g = F.lit(f"<{graph}>")
+_DCTERMS = "http://purl.org/dc/terms/"
+_PRISM = "http://prismstandard.org/namespaces/basic/2.0/"
+_FRBR = "http://purl.org/vocab/frbr/core#"
+_LITRE = "http://www.essepuntato.it/2010/06/literalreification/"
+_FOAF = "http://xmlns.com/foaf/0.1/"
+_PRO = "http://purl.org/spar/pro/"
+_OCO = "https://w3id.org/oc/ontology/"
+_FABIO = "http://purl.org/spar/fabio/"
+_DATACITE = "http://purl.org/spar/datacite/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-    def triples(df: DataFrame, pred: str, obj: F.Column) -> DataFrame:
+
+def nquads_rows(catalog: EntityCatalog) -> DataFrame:
+    """Entity tables → N-Quads lines, full OCDM predicate mapping (S10).
+
+    Mirrors the reference's graph shape (oc_ocdm GraphEntity vocabulary —
+    public SPAR/FRBR/FOAF ontologies; stream_nquads.py:37-131 is the
+    reference's zip→nquads path): fabio work types + frbr:Expression,
+    datacite identifier links and schemes, pro agent roles with
+    ``oco:hasNext`` chains, frbr embodiment/part, prism pages.  The named
+    graph of every quad is the subject's kind graph (…/br/, …/ra/, …), as
+    in the reference's per-kind datasets.  All built JVM-side
+    (format_string + unions — one codegen stage per family, no UDFs).
+    """
+    uri = lambda omid: F.concat(F.lit("<https://w3id.org/oc/meta/"), omid, F.lit(">"))
+    kind_graph = lambda omid: F.concat(
+        F.lit("<https://w3id.org/oc/meta/"), F.regexp_extract(omid, r"^([a-z]+)/", 1), F.lit("/>")
+    )
+
+    def triples(df: DataFrame, pred: str, obj: F.Column, subj: str = "omid") -> DataFrame:
         return df.filter(obj.isNotNull()).select(
             F.format_string(
                 "%s <%s> %s %s .",
-                uri(F.col("omid")),
+                uri(F.col(subj)),
                 F.lit(pred),
                 obj,
-                g,
+                kind_graph(F.col(subj)),
             ).alias("line")
         )
 
     lit = lambda c: F.concat(F.lit('"'), _nq_escape(c), F.lit('"'))
+    nn = lambda c: F.when(F.nullif(c, F.lit("")).isNotNull(), c)
+    # 'journal article' → fabio:JournalArticle — the camel-cased type label
+    # is the fabio class for every type in the vocabulary
+    fabio_cls = F.concat(
+        F.lit(f"<{_FABIO}"), F.regexp_replace(F.initcap(F.col("type")), " ", ""), F.lit(">")
+    )
+    role_uri = F.concat(F.lit(f"<{_PRO}"), F.col("role"), F.lit(">"))
+
+    ent_id = catalog.entity_id
+    ar_next = catalog.ar.alias("a").join(
+        catalog.ar.select(
+            F.col("br_omid").alias("n_br"), F.col("role").alias("n_role"),
+            (F.col("pos") - 1).alias("n_prev"), F.col("omid").alias("next_omid"),
+        ).alias("b"),
+        (F.col("a.br_omid") == F.col("n_br"))
+        & (F.col("a.role") == F.col("n_role"))
+        & (F.col("a.pos") == F.col("n_prev")),
+    ).select(F.col("a.omid").alias("omid"), "next_omid")
+
     parts = [
-        triples(catalog.br, "http://purl.org/dc/terms/title", lit(F.col("title"))),
-        triples(catalog.br, "http://prismstandard.org/namespaces/basic/2.0/publicationDate", lit(F.col("pub_date"))),
-        triples(catalog.br, "http://purl.org/vocab/frbr/core#partOf", F.when(F.col("part_of").isNotNull(), uri(F.col("part_of")))),
-        triples(catalog.id, "http://www.essepuntato.it/2010/06/literalreification/hasLiteralValue", lit(F.col("value"))),
-        triples(catalog.ra, "http://xmlns.com/foaf/0.1/familyName", lit(F.col("family"))),
-        triples(catalog.ar, "http://purl.org/spar/pro/isHeldBy", uri(F.col("ra_omid"))),
+        # --- br ---
+        triples(catalog.br, _RDF_TYPE, F.lit(f"<{_FABIO}Expression>")),
+        triples(catalog.br.filter(F.nullif("type", F.lit("")).isNotNull()), _RDF_TYPE, fabio_cls),
+        triples(catalog.br, f"{_DCTERMS}title", nn(lit(F.col("title")))),
+        triples(catalog.br, f"{_PRISM}publicationDate", nn(lit(F.col("pub_date")))),
+        triples(catalog.br, f"{_FRBR}partOf", F.when(F.col("part_of").isNotNull(), uri(F.col("part_of")))),
+        triples(catalog.br, f"{_FABIO}hasSequenceIdentifier", nn(lit(F.col("seq_id")))),
+        triples(catalog.br, f"{_FRBR}embodiment", F.when(F.col("embodiment").isNotNull(), uri(F.col("embodiment")))),
+        # --- identifier links (any entity kind → id/) ---
+        triples(ent_id.withColumnRenamed("entity_omid", "omid"), f"{_DATACITE}hasIdentifier", uri(F.col("id_omid"))),
+        # --- id ---
+        triples(catalog.id, _RDF_TYPE, F.lit(f"<{_DATACITE}Identifier>")),
+        triples(catalog.id, f"{_DATACITE}usesIdentifierScheme", F.concat(F.lit(f"<{_DATACITE}"), F.col("schema"), F.lit(">"))),
+        triples(catalog.id, f"{_LITRE}hasLiteralValue", lit(F.col("value"))),
+        # --- ra ---
+        triples(catalog.ra, _RDF_TYPE, F.lit(f"<{_FOAF}Agent>")),
+        triples(catalog.ra, f"{_FOAF}name", nn(lit(F.col("name")))),
+        triples(catalog.ra, f"{_FOAF}givenName", nn(lit(F.col("given")))),
+        triples(catalog.ra, f"{_FOAF}familyName", nn(lit(F.col("family")))),
+        # --- ar ---
+        triples(catalog.ar, _RDF_TYPE, F.lit(f"<{_PRO}RoleInTime>")),
+        triples(catalog.ar, f"{_PRO}withRole", role_uri),
+        triples(catalog.ar, f"{_PRO}isHeldBy", uri(F.col("ra_omid"))),
+        triples(catalog.ar.select(F.col("br_omid").alias("omid"), F.col("omid").alias("ar_omid")),
+                f"{_PRO}isDocumentContextFor", uri(F.col("ar_omid"))),
+        triples(ar_next, f"{_OCO}hasNext", uri(F.col("next_omid"))),
+        # --- re ---
+        triples(catalog.re, _RDF_TYPE, F.lit(f"<{_FABIO}Manifestation>")),
+        triples(catalog.re, f"{_PRISM}startingPage", nn(lit(F.col("start_page")))),
+        triples(catalog.re, f"{_PRISM}endingPage", nn(lit(F.col("end_page")))),
     ]
     out = parts[0]
     for p in parts[1:]:

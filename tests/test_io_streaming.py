@@ -65,6 +65,15 @@ def test_jsonld_and_nquads_export(spark, tmp_path):
     title_lines = [l for l in nq if "dc/terms/title" in l]
     assert title_lines and '\\"Quoted\\"' in title_lines[0]
     assert all(l.endswith(" .") for l in nq)
+    # full OCDM families: fabio type, identifier link + scheme, agent role
+    # with document context, per-kind named graphs
+    assert any("spar/fabio/JournalArticle>" in l for l in nq)
+    assert any("spar/datacite/hasIdentifier>" in l for l in nq)
+    assert any("spar/datacite/doi>" in l for l in nq)
+    assert any("spar/pro/author>" in l for l in nq)
+    assert any("spar/pro/isDocumentContextFor>" in l for l in nq)
+    assert any("foaf/0.1/familyName>" in l and '"Doe"' in l for l in nq)
+    assert any(l.rstrip(" .").endswith("<https://w3id.org/oc/meta/ra/>") for l in nq if "foaf" in l)
 
 
 def test_streaming_micro_batch_curation(spark, tmp_path):
