@@ -34,6 +34,7 @@ HEADLINE = [
     "D18_jaccard_similarity_join",
     "X2_cosine_topk_bruteforce",
     "X3_lsh_bucketed_nn",
+    "X5_ivf_ann",
     "T1_token_stats",
     "G1_connected_components",
     "CUR1_curation_end_to_end",

@@ -241,3 +241,101 @@ def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") > 0.3)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — IVF-style ANN (inverted-file index: Sivic & Zisserman ICCV'03 /
+# the FAISS IVF layout — public techniques).  Deterministic end-to-end so
+# the full approximate pipeline is oracle-checkable: centroids are the 16
+# vectors with the smallest md5(vec_id) (a seedless pseudo-random draw
+# both engines compute identically), every vector joins its argmax-cosine
+# cell, and a query probes only its 4 best cells.  The scale shape: the
+# centroid table broadcasts (k rows), assignment is one narrow N×k map,
+# and search shuffles on cell ids — candidates never leave the probed
+# cells, so cost is Q·(N·nprobe/k) instead of Q·N.
+# ---------------------------------------------------------------------------
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+@register(
+    "X5_ivf_ann",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               {_DOT.format(a='embedding', b='ce')}
+                 / ({_NORM.format(a='embedding')} * {_NORM.format(a='ce')}) DESC, cid) AS rn
+      FROM embeddings CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, qe, cid FROM (
+        SELECT qid, qe, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 {_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}) DESC, cid) AS pr
+        FROM q CROSS JOIN c
+      ) WHERE pr <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.qid, m.vec_id,
+             {_DOT.format(a='p.qe', b='m.embedding')}
+               / ({_NORM.format(a='p.qe')} * {_NORM.format(a='m.embedding')}) AS cosine
+      FROM probe p JOIN cells m ON m.cid = p.cid AND m.vec_id <> p.qid
+    )
+    SELECT qid, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+    doc="IVF ANN: deterministic centroids, argmax-cosine cells, nprobe-cell search (scale path #2).",
+)
+def x5_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    cos_vc = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    cells = (
+        emb.join(F.broadcast(cents))
+        .withColumn("_cos", cos_vc)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    cos_qc = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    w_probe = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    probe = (
+        q.join(F.broadcast(cents))
+        .withColumn("_cos", cos_qc)
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("qid", "qe", "cid")
+    )
+    scored = (
+        probe.join(cells, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dot("qe", "embedding") / (_norm("qe") * _norm("embedding"))).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
