@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions for the headline queries.
+
+Correctness gates prove VALUES; these tests pin the PLAN properties that
+make the queries survive a 100× scale-up: filters pushed into the parquet
+scan, column pruning in ReadSchema, small dimensions broadcast instead of
+shuffled, and windows partitioned (never single-task).  A regression here
+would still pass the oracles at test SF while silently becoming a
+cluster-killer — exactly the failure mode .explain() review catches.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from oc_meta_spark.plans.registry import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    q = load_all()[name]
+    return q.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a1_column_pruning(spark):
+    # A1 scans every row by design (no filter) — but must not read every
+    # lineitem column
+    plan = _plan(spark, "A1_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and "l_comment" not in m.group(1) and "l_shipmode" not in m.group(1), (
+        m.group(0) if m else "no FileScan"
+    )
+
+
+def test_w5_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "W5_first_non_null_propagation")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(user_id,100\)", plan), plan[:3000]
+
+
+def test_j6_broadcasts_small_dims(spark):
+    plan = _plan(spark, "J6_hierarchy_revenue")
+    # nation/region are tiny dimensions: they must arrive via broadcast,
+    # not a shuffled sort-merge join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+
+
+def test_w4_window_is_partitioned(spark):
+    plan = _plan(spark, "W4_latest_event_per_user")
+    assert "Window" in plan
+    # a global (unpartitioned) window plans a SinglePartition exchange
+    assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan), plan[:3000]
+
+
+def test_x5_broadcasts_centroids(spark):
+    plan = _plan(spark, "X5_ivf_ann")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan[:3000]
+
+
+def test_d18_scan_prunes_documents(spark):
+    plan = _plan(spark, "D18_jaccard_similarity_join")
+    m = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and all("media" not in s and "embedding" not in s for s in m), m
