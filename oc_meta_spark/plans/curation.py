@@ -1890,9 +1890,11 @@ def curate(
     prev_max = catalog.prov.groupBy(F.col("entity_omid")).agg(F.max("snapshot").alias("prev_n"))
     modified = (
         entity_id_new.select("entity_omid")
-        .dropDuplicates()
         .join(created.withColumnRenamed("omid", "entity_omid"), "entity_omid", "left_anti")
         .unionByName(ra_updates.select(F.col("omid").alias("entity_omid")))
+        # an entity can be modified through BOTH paths (new id + name
+        # enrichment) — one snapshot per entity per batch
+        .dropDuplicates()
     )
     prov_new = prov_new.unionByName(
         modified.join(prev_max, "entity_omid", "left").select(
