@@ -23,6 +23,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def const_partition_key() -> F.Column:
+    """Single-group Window partition key for DELIBERATE small-batch global
+    windows.  Catalyst's ``EliminateWindowPartitions`` folds any constant
+    key away (turning the window into a warned-about no-partition global
+    window); the engine's session factory excludes that rule so this key
+    survives and the window is an explicit one-group hash partition rather
+    than an accidental global sort."""
+    return F.lit(0)
+
+
 def assign_contiguous_ranks(df: DataFrame, order_cols: list, rank_col: str = "mint_rank") -> DataFrame:
     """Add ``rank_col`` = deterministic contiguous 1..N following the total
     order given by ``order_cols``.  Fully parallel; one tiny driver collect
@@ -72,10 +82,9 @@ def mint_omids(
     the switch is a physical-plan choice only.
     """
     if small:
-        # lit-key partition: same single-task plan the small path wants,
-        # without tripping the WindowExec no-partition warning that exists
-        # to flag ACCIDENTAL global windows.
-        w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+        # one-group partition key: the single-task plan the small path
+        # wants, stated explicitly (see const_partition_key).
+        w = Window.partitionBy(const_partition_key()).orderBy(*order_cols)
         return df.withColumn(
             omid_col,
             F.concat(F.lit(f"{kind}/{prefix}"), (F.row_number().over(w) + offset).cast("string")),

@@ -321,7 +321,9 @@ def with_row_ids(df: DataFrame, small: bool = True) -> DataFrame:
         return df
     cols = [F.col(c) for c in df.columns]
     if small:
-        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
+        from oc_meta_spark.operators.minting import const_partition_key
+
+        w = Window.partitionBy(const_partition_key()).orderBy(*cols)
         return df.withColumn("row_id", F.row_number().over(w).cast("long"))
     from oc_meta_spark.operators.minting import assign_contiguous_ranks
 
@@ -674,6 +676,16 @@ def curate(
     exists (catalog chain, or an earlier row of the same batch entity).
     """
     spark = input_df.sparkSession
+    try:
+        # sessions not built by session.get_spark (tests, the driver's
+        # verify harness): keep literal window-partition keys foldproof
+        # (see operators/minting.py::const_partition_key)
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
+        )
+    except Exception:  # pragma: no cover — conf may be immutable on connect
+        pass
     if catalog is None:
         catalog = EntityCatalog.empty(spark)
     catalog = _normalize_catalog(catalog)
@@ -1847,8 +1859,14 @@ def curate(
         )
     )
     all_tok = _cp(br_tok.unionByName(ven_tok).unionByName(ra_tok))
+    # F7: temp: identifiers drive in-batch unification but are NEVER
+    # persisted as identifier entities (reference core/creator.py:629-631,
+    # meta_process_test.py test_temporary_identifiers) — the curated CSV
+    # still carries them (the reference creator skips them when reading
+    # that CSV back), so the filter applies only to the minted tables.
+    persistable_tok = all_tok.filter(F.col("schema") != "temp")
     id_map = _mint_map(
-        all_tok.select("schema", "value")
+        persistable_tok.select("schema", "value")
         .dropDuplicates()
         .join(catalog.id.select("schema", "value"), ["schema", "value"], "left_anti"),
         ["schema", "value"],
@@ -1860,7 +1878,7 @@ def curate(
     id_new = id_map.select(F.col("minted_omid").alias("omid"), "schema", "value")
     all_id_omids = catalog.id.select("omid", "schema", "value").unionByName(id_new)
     entity_id_new = _cp_opt(
-        all_tok.select("entity_omid", "schema", "value")
+        persistable_tok.select("entity_omid", "schema", "value")
         .dropDuplicates()
         .join(all_id_omids.withColumnRenamed("omid", "id_omid"), ["schema", "value"])
         .select("entity_omid", "id_omid")

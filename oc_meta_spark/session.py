@@ -71,6 +71,14 @@ def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Deliberate one-group windows (small-batch minting) use a literal
+        # partition key; this rule would fold it away and degrade them to
+        # warned-about no-partition global windows.  Excluding it keeps the
+        # intent visible in the plan (operators/minting.py).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
+        )
     )
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -360,3 +360,44 @@ class TestUpdateScenario:
         old_max = max(int(r["omid"].split("/060")[1]) for r in result.br_new.collect())
         new_ns = [int(r["omid"].split("/060")[1]) for r in r2.br_new.collect()]
         assert min(new_ns) == old_max + 1
+
+
+class TestTemporaryIdentifiers:
+    """F7: temp: ids unify rows but are never persisted (reference
+    core/creator.py:629-631; meta_process_test.py
+    test_temporary_identifiers / _deduplication)."""
+
+    def test_temp_ids_unify_but_are_not_persisted(self, spark):
+        rows = [
+            {
+                "id": "temp:789",
+                "title": "Test Article 1",
+                "author": "Smith, John [orcid:0000-0002-1825-0097]",
+                "pub_date": "2020",
+                "type": "journal article",
+            },
+            {
+                "id": "temp:789",
+                "title": "Test Article 1",
+                "author": "Smith, John [orcid:0000-0002-1825-0097]",
+                "pub_date": "2020",
+                "type": "journal article",
+            },
+        ]
+        r = curate(_input(spark, rows), None, prefix="060")
+        # both rows collapse to ONE br entity
+        assert r.br_new.count() == 1
+        # the temp identifier is never minted as an id/ entity nor linked
+        ids = [(x["schema"], x["value"]) for x in r.id_new.collect()]
+        assert ("temp", "789") not in ids
+        links = r.entity_id_new.join(
+            r.id_new.withColumnRenamed("omid", "id_omid"), "id_omid"
+        ).collect()
+        assert all(l["schema"] != "temp" for l in links)
+        # the curated CSV still carries the temp token (the reference's
+        # creator skips it when persisting, not the curator when writing)
+        c = r.curated.first()
+        assert "temp:789" in c["id"]
+        assert "omid:br/" in c["id"]
+        # the ORCID, by contrast, IS persisted
+        assert ("orcid", "0000-0002-1825-0097") in ids
