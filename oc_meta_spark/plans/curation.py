@@ -376,6 +376,30 @@ _GROUP_C = {
 }
 
 
+def seq_type_gate(type_alias: F.Column, vol: F.Column, iss: F.Column) -> tuple[F.Column, F.Column]:
+    """F4 rule 1 (reference clean_vvi, curator.py:439-446): only journal
+    content — journal article / volume / issue — carries volume/issue."""
+    keep = type_alias.isin(*sorted(SEQ_TYPES))
+    return F.when(keep, vol).otherwise(F.lit("")), F.when(keep, iss).otherwise(F.lit(""))
+
+
+def jv_both_gate(type_row: F.Column, vol: F.Column, iss: F.Column) -> tuple[F.Column, F.Column]:
+    """F4 rule 2 (curator.py:531-535): a journal-volume row that also
+    carries an issue has BOTH invalidated."""
+    both = (type_row == "journal volume") & (vol != "") & (iss != "")
+    return F.when(both, "").otherwise(vol), F.when(both, "").otherwise(iss)
+
+
+def venue_presence_gate(
+    venue_present: F.Column, vol: F.Column, iss: F.Column
+) -> tuple[F.Column, F.Column]:
+    """F4 rule 3 (clean_vvi else-branch, curator.py:565-567): no venue ⇒
+    no volume/issue."""
+    return F.when(venue_present, vol).otherwise(F.lit("")), F.when(venue_present, iss).otherwise(
+        F.lit("")
+    )
+
+
 def stage_parse(input_df: DataFrame) -> DataFrame:
     """11 string columns → typed nested columns, cleaned + validated.
 
@@ -465,9 +489,9 @@ def stage_parse(input_df: DataFrame) -> DataFrame:
     )
 
     # --- F4 + C9: vol/issue gate, then the full repair machine -----------
-    keep_vi = F.col("type_alias").isin(*sorted(SEQ_TYPES))
-    vol1 = F.when(keep_vi, F.trim(F.col("volume0"))).otherwise(F.lit(""))
-    iss1 = F.when(keep_vi, F.trim(F.col("issue0"))).otherwise(F.lit(""))
+    vol1, iss1 = seq_type_gate(
+        F.col("type_alias"), F.trim(F.col("volume0")), F.trim(F.col("issue0"))
+    )
     df = df.withColumn("vi", repair_vi_full_udf(vol1, iss1, F.col("type_alias")))
     df = (
         df.withColumn("type_row", F.col("vi")["type"])
@@ -478,21 +502,12 @@ def stage_parse(input_df: DataFrame) -> DataFrame:
             ),
         )
     )
-    # journal-volume row that also carries an issue → both invalidated
-    # (curator.py:531-535)
-    jv_both = (
-        (F.col("type_row") == "journal volume")
-        & (F.col("vi")["volume"] != "")
-        & (F.col("vi")["issue"] != "")
-    )
+    vol2, iss2 = jv_both_gate(F.col("type_row"), F.col("vi")["volume"], F.col("vi")["issue"])
+    df = df.withColumn("vol2", vol2).withColumn("iss2", iss2)
+    vol3, iss3 = venue_presence_gate(F.col("venue_present_raw"), F.col("vol2"), F.col("iss2"))
     df = (
-        df.withColumn("vol2", F.when(jv_both, "").otherwise(F.col("vi")["volume"]))
-        .withColumn("iss2", F.when(jv_both, "").otherwise(F.col("vi")["issue"]))
-    )
-    # no venue ⇒ no volume/issue (clean_vvi else-branch, curator.py:565-567)
-    df = (
-        df.withColumn("volume_clean", F.when(F.col("venue_present_raw"), F.col("vol2")).otherwise(""))
-        .withColumn("issue_clean", F.when(F.col("venue_present_raw"), F.col("iss2")).otherwise(""))
+        df.withColumn("volume_clean", vol3)
+        .withColumn("issue_clean", iss3)
         .drop("vi", "vol2", "iss2", "volume0", "issue0", "type0")
     )
     return df

@@ -1,0 +1,532 @@
+"""Oracle gates for the scalar / filter fidelity components that previously
+had only pytest coverage: type aliasing (F3), the three vol/issue
+invalidation rules (F4), temp-id suppression (F7), RA-name normalization
+(C7), control-character removal (C11), venue-type inference with the
+ISBN/ISSN scheme-evidence override (C14), precision-typed date literals
+(C15), agent-list cleaning (D6), and numeric file ordering (W3).
+
+Each gate feeds the PRODUCTION expression / UDF with inputs synthesized
+deterministically from the TPC-H-ish tables, while the DuckDB oracle
+re-expresses the documented reference semantics independently in SQL —
+two implementations agreeing on the same value-hash, not a copied formula.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.schemas import TYPE_ALIASES, VALID_TYPES
+from oc_meta_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# F3 — type normalization / aliasing (reference clean_metadata_without_id,
+# core/curator.py:398-419): lowercase, collapse internal whitespace, alias
+# the five known forms, '' for anything outside the controlled vocabulary.
+# ---------------------------------------------------------------------------
+
+_F3_VARIANTS = [
+    "Journal Article",
+    " edited   book ",
+    "REPORT SERIES",
+    "posted content",
+    "Proceedings Series",
+    "nonsense type",
+    "abstract",
+    "Standard  Series",
+    "Monograph",
+    "data  file",
+]
+
+_F3_SQL_CASE = "CASE p_partkey % 10 " + " ".join(
+    f"WHEN {i} THEN '{v}'" for i, v in enumerate(_F3_VARIANTS)
+) + " END"
+_F3_ALIAS_CASE = "CASE norm " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in sorted(TYPE_ALIASES.items())
+) + " ELSE norm END"
+_F3_VALID_LIST = ", ".join(f"'{t}'" for t in sorted(VALID_TYPES))
+
+
+@register(
+    "F3_type_aliasing",
+    f"""
+    WITH raw AS (
+      SELECT p_partkey AS key, {_F3_SQL_CASE} AS raw_type
+      FROM part WHERE p_partkey <= 500
+    ),
+    norm AS (
+      SELECT key, raw_type,
+             lower(trim(regexp_replace(raw_type, '\\s+', ' ', 'g'))) AS norm
+      FROM raw
+    ),
+    aliased AS (
+      SELECT key, raw_type, {_F3_ALIAS_CASE} AS aliased FROM norm
+    )
+    SELECT key, raw_type,
+           CASE WHEN aliased IN ({_F3_VALID_LIST}) THEN aliased ELSE '' END AS final_type
+    FROM aliased ORDER BY key
+    """,
+    doc="Controlled-vocabulary type aliasing via the production _alias_type expression (SURVEY F3).",
+)
+def f3_type_aliasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import _alias_type
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    raw = F.elt(F.col("p_partkey") % 10 + 1, *[F.lit(v) for v in _F3_VARIANTS])
+    return (
+        part.select(F.col("p_partkey").alias("key"), raw.alias("raw_type"))
+        .withColumn("final_type", _alias_type(F.col("raw_type")))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — the three semantic vol/issue invalidation rules (reference clean_vvi,
+# core/curator.py:439-446, 531-535, 565-567), applied through the SAME
+# helper expressions curate()'s stage_parse uses.
+# ---------------------------------------------------------------------------
+
+_F4_TYPES = ["journal article", "journal volume", "journal issue", "book", "journal editorial"]
+_F4_TYPE_CASE = "CASE key % 5 " + " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_F4_TYPES)
+) + " END"
+
+
+@register(
+    "F4_vol_issue_invalidation",
+    f"""
+    WITH src AS (
+      SELECT p_partkey AS key, {_F4_TYPE_CASE} AS typ,
+             CASE WHEN p_partkey % 3 = 0 THEN '' ELSE '12' END AS vol,
+             CASE WHEN p_partkey % 4 = 0 THEN '' ELSE '3' END AS iss,
+             p_partkey % 2 = 0 AS has_venue
+      FROM part WHERE p_partkey <= 500
+    ),
+    g1 AS (  -- rule 1: only journal article/volume/issue carry vol/iss
+      SELECT key, typ, has_venue,
+             CASE WHEN typ IN ('journal article','journal volume','journal issue') THEN vol ELSE '' END AS vol,
+             CASE WHEN typ IN ('journal article','journal volume','journal issue') THEN iss ELSE '' END AS iss
+      FROM src
+    ),
+    g2 AS (  -- rule 2: journal-volume row carrying an issue loses both
+      SELECT key, typ, has_venue,
+             CASE WHEN typ = 'journal volume' AND vol <> '' AND iss <> '' THEN '' ELSE vol END AS vol,
+             CASE WHEN typ = 'journal volume' AND vol <> '' AND iss <> '' THEN '' ELSE iss END AS iss
+      FROM g1
+    )
+    SELECT key, typ, has_venue,  -- rule 3: no venue => no vol/iss
+           CASE WHEN has_venue THEN vol ELSE '' END AS vol_out,
+           CASE WHEN has_venue THEN iss ELSE '' END AS iss_out
+    FROM g2 ORDER BY key
+    """,
+    doc="Three-stage vol/issue invalidation via the production seq_type/jv_both/venue_presence gates (SURVEY F4).",
+)
+def f4_vol_issue_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import jv_both_gate, seq_type_gate, venue_presence_gate
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    src = part.select(
+        F.col("p_partkey").alias("key"),
+        F.elt(F.col("p_partkey") % 5 + 1, *[F.lit(t) for t in _F4_TYPES]).alias("typ"),
+        F.when(F.col("p_partkey") % 3 == 0, "").otherwise("12").alias("vol"),
+        F.when(F.col("p_partkey") % 4 == 0, "").otherwise("3").alias("iss"),
+        (F.col("p_partkey") % 2 == 0).alias("has_venue"),
+    )
+    v1, i1 = seq_type_gate(F.col("typ"), F.col("vol"), F.col("iss"))
+    src = src.withColumn("v1", v1).withColumn("i1", i1)
+    v2, i2 = jv_both_gate(F.col("typ"), F.col("v1"), F.col("i1"))
+    src = src.withColumn("v2", v2).withColumn("i2", i2)
+    v3, i3 = venue_presence_gate(F.col("has_venue"), F.col("v2"), F.col("i2"))
+    return src.select(
+        "key", "typ", "has_venue", v3.alias("vol_out"), i3.alias("iss_out")
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# F7 — temp-id suppression (reference core/creator.py:629-631): temp:
+# identifiers drive in-batch dedup but are never persisted.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "F7_temp_id_suppression",
+    """
+    WITH toks AS (
+      SELECT p_partkey AS key, u.tok AS tok
+      FROM part, UNNEST([
+        'doi:10.1000/t' || CAST(p_partkey AS VARCHAR),
+        'temp:' || CAST(p_partkey % 50 AS VARCHAR),
+        CASE WHEN p_partkey % 2 = 0 THEN 'viaf:' || CAST(p_partkey AS VARCHAR)
+             ELSE 'temp:x' || CAST(p_partkey AS VARCHAR) END
+      ]) AS u(tok)
+      WHERE p_partkey <= 500
+    )
+    SELECT key, tok FROM toks WHERE tok NOT LIKE 'temp:%' ORDER BY key, tok
+    """,
+    doc="Persistable-identifier filter: temp: tokens never reach the minted tables (SURVEY F7).",
+)
+def f7_temp_id_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey").cast("string")
+    toks = part.select(
+        F.col("p_partkey").alias("key"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("doi:10.1000/t"), k),
+                F.concat(F.lit("temp:"), (F.col("p_partkey") % 50).cast("string")),
+                F.when(F.col("p_partkey") % 2 == 0, F.concat(F.lit("viaf:"), k)).otherwise(
+                    F.concat(F.lit("temp:x"), k)
+                ),
+            )
+        ).alias("tok"),
+    )
+    # the same predicate curate() applies to persistable_tok
+    return toks.filter(F.split(F.col("tok"), ":")[0] != "temp").orderBy("key", "tok")
+
+
+# ---------------------------------------------------------------------------
+# W3 — numeric file ordering (reference lib/file_manager.py:178-194): sort
+# '{n}.csv' / 'chunk_{n}.csv' names by their integer key, not lexically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "W3_numeric_file_ordering",
+    """
+    WITH files AS (
+      SELECT CASE WHEN p_partkey % 2 = 0
+                  THEN CAST(p_partkey AS VARCHAR) || '.csv'
+                  ELSE 'chunk_' || CAST(p_partkey AS VARCHAR) || '.csv' END AS fname
+      FROM part WHERE p_partkey <= 500
+    )
+    SELECT fname,
+           CAST(regexp_extract(fname, '(\\d+)\\.csv$', 1) AS BIGINT) AS n,
+           ROW_NUMBER() OVER (ORDER BY CAST(regexp_extract(fname, '(\\d+)\\.csv$', 1) AS BIGINT), fname) AS ord
+    FROM files ORDER BY ord
+    """,
+    doc="Numeric (not lexical) filename ordering for chunked inputs (SURVEY W3).",
+)
+def w3_numeric_file_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey").cast("string")
+    files = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.concat(k, F.lit(".csv")))
+        .otherwise(F.concat(F.lit("chunk_"), k, F.lit(".csv")))
+        .alias("fname")
+    )
+    n = F.regexp_extract("fname", r"(\d+)\.csv$", 1).cast("bigint")
+    w = Window.orderBy(n, F.col("fname"))
+    return (
+        files.withColumn("n", n)
+        .withColumn("ord", F.row_number().over(w).cast("bigint"))
+        .orderBy("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — RA-name normalization (reference _normalize_ra_name,
+# lib/cleaner.py:293-317) through the PRODUCTION python core.
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def _normalize_ra_name_udf(s):
+    from oc_meta_spark.functions.cleaning import normalize_ra_name_py
+
+    return s.map(normalize_ra_name_py)
+
+
+@register(
+    "C7_ra_name_normalization",
+    """
+    WITH src AS (
+      SELECT c_custkey AS key, c_name, c_mktsegment AS seg,
+             CASE c_custkey % 6
+               WHEN 0 THEN 'Not Available'
+               WHEN 1 THEN c_name
+               WHEN 2 THEN c_mktsegment || ', Not Available'
+               WHEN 3 THEN 'Not Available, ' || c_name
+               WHEN 4 THEN c_mktsegment || ', ' || c_name
+               ELSE '[' || c_name || ']?'
+             END AS raw
+      FROM customer WHERE c_custkey <= 600
+    )
+    SELECT key, raw,
+           CASE key % 6
+             WHEN 0 THEN ''
+             WHEN 1 THEN c_name
+             WHEN 2 THEN seg || ', '
+             WHEN 3 THEN ''
+             WHEN 4 THEN seg || ', ' || c_name
+             ELSE c_name
+           END AS normalized
+    FROM src ORDER BY key
+    """,
+    doc="'Not Available' scrubbing + comma-name part rules via the production normalize_ra_name core (SURVEY C7).",
+)
+def c7_ra_name_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    raw = (
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("Not Available"))
+        .when(F.col("c_custkey") % 6 == 1, F.col("c_name"))
+        .when(F.col("c_custkey") % 6 == 2, F.concat(F.col("c_mktsegment"), F.lit(", Not Available")))
+        .when(F.col("c_custkey") % 6 == 3, F.concat(F.lit("Not Available, "), F.col("c_name")))
+        .when(F.col("c_custkey") % 6 == 4, F.concat(F.col("c_mktsegment"), F.lit(", "), F.col("c_name")))
+        .otherwise(F.concat(F.lit("["), F.col("c_name"), F.lit("]?")))
+    )
+    return (
+        cust.select(F.col("c_custkey").alias("key"), raw.alias("raw"))
+        .withColumn("normalized", _normalize_ra_name_udf(F.col("raw")))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11 — control/extended-ASCII removal (reference remove_ascii,
+# lib/cleaner.py:497-499) via the production native expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "C11_remove_ascii",
+    """
+    WITH src AS (
+      SELECT c_custkey AS key,
+             c_name || CASE c_custkey % 4
+               WHEN 0 THEN chr(7) || ' x'
+               WHEN 1 THEN chr(31) || chr(127) || 'y'
+               WHEN 2 THEN ' ' || chr(160) || ' z'
+               ELSE '  plain'
+             END AS raw
+      FROM customer WHERE c_custkey <= 600
+    )
+    SELECT key,
+           trim(regexp_replace(regexp_replace(raw, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xa0]+', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+    FROM src ORDER BY key
+    """,
+    doc="Control + extended-ASCII scrubbing with space collapse (SURVEY C11).",
+)
+def c11_remove_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.functions.cleaning import remove_ascii
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    raw = F.concat(
+        F.col("c_name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("\x07 x"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("\x1f\x7fy"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit(" \xa0 z"))
+        .otherwise(F.lit("  plain")),
+    )
+    return (
+        cust.select(F.col("c_custkey").alias("key"), raw.alias("raw"))
+        .select("key", remove_ascii(F.col("raw")).alias("cleaned"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14 — venue-type inference with the ISBN/ISSN scheme-evidence override
+# (reference core/creator.py:393-431) via the production expression.
+# ---------------------------------------------------------------------------
+
+_C14_TYPES = [
+    "journal article",
+    "book chapter",
+    "book",
+    "proceedings article",
+    "proceedings",
+    "reference entry",
+    "report series",
+    "journal volume",
+    "dissertation",
+]
+_C14_TYPE_CASE = "CASE key % 9 " + " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_C14_TYPES)
+) + " END"
+
+
+@register(
+    "C14_venue_type_inference",
+    f"""
+    WITH src AS (
+      SELECT p_partkey AS key, {_C14_TYPE_CASE} AS br_type,
+             key_mod5 > 0 AS has_ext,
+             key_mod5 IN (2, 4) AS has_isbn,
+             key_mod5 IN (1, 4) AS has_issn
+      FROM (SELECT p_partkey, p_partkey % 5 AS key_mod5 FROM part WHERE p_partkey <= 900)
+    ),
+    base AS (
+      SELECT key, br_type, has_ext, has_isbn, has_issn,
+        CASE
+          WHEN br_type IN ('journal article','journal volume','journal issue') THEN 'journal'
+          WHEN br_type IN ('book chapter','book part','book section','book track') THEN 'book'
+          WHEN br_type IN ('book','edited book','monograph','reference book') THEN 'book series'
+          WHEN br_type = 'proceedings article' THEN 'proceedings'
+          WHEN br_type IN ('proceedings','report','standard','series') THEN 'series'
+          WHEN br_type = 'reference entry' THEN 'reference book'
+          WHEN br_type = 'report series' THEN 'report series'
+          ELSE ''
+        END AS b
+      FROM src
+    )
+    SELECT key, br_type,
+      CASE
+        WHEN has_ext AND b IN ('journal','book series','series','report series')
+          THEN CASE WHEN has_isbn OR NOT has_issn THEN '' ELSE b END
+        WHEN has_ext AND b IN ('book','proceedings')
+          THEN CASE WHEN has_issn OR NOT has_isbn THEN '' ELSE b END
+        WHEN has_ext AND b = 'reference book'
+          THEN CASE WHEN has_isbn AND NOT has_issn THEN 'reference book'
+                    WHEN has_issn AND NOT has_isbn THEN 'journal'
+                    ELSE '' END
+        ELSE b
+      END AS venue_type
+    FROM base ORDER BY key
+    """,
+    doc="Work-type → venue-class mapping incl. ISBN/ISSN scheme-evidence override (SURVEY C14).",
+)
+def c14_venue_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import _venue_type_expr
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 900)
+    m5 = F.col("p_partkey") % 5
+    schemas = (
+        F.when(m5 == 0, F.array().cast("array<string>"))
+        .when(m5 == 1, F.array(F.lit("issn")))
+        .when(m5 == 2, F.array(F.lit("isbn")))
+        .when(m5 == 3, F.array(F.lit("doi")))
+        .otherwise(F.array(F.lit("issn"), F.lit("isbn")))
+    )
+    br_type = F.elt(F.col("p_partkey") % 9 + 1, *[F.lit(t) for t in _C14_TYPES])
+    return (
+        part.select(F.col("p_partkey").alias("key"), br_type.alias("br_type"), schemas.alias("s"))
+        .select("key", "br_type", _venue_type_expr(F.col("br_type"), F.col("s")).alias("venue_type"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15 — precision-typed date literals (reference core/creator.py:296-301)
+# via the production export expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "C15_date_typed_literal",
+    """
+    WITH src AS (
+      SELECT p_partkey AS key,
+             CASE p_partkey % 5
+               WHEN 0 THEN '2024'
+               WHEN 1 THEN '2024-03'
+               WHEN 2 THEN '2024-03-09'
+               WHEN 3 THEN ''
+               ELSE '13 Jan 2022'
+             END AS d
+      FROM part WHERE p_partkey <= 500
+    )
+    SELECT key, d,
+      CASE
+        WHEN regexp_matches(d, '^\\d{4}-\\d{2}-\\d{2}$')
+          THEN '"' || d || '"^^<http://www.w3.org/2001/XMLSchema#date>'
+        WHEN regexp_matches(d, '^\\d{4}-\\d{2}$')
+          THEN '"' || d || '"^^<http://www.w3.org/2001/XMLSchema#gYearMonth>'
+        WHEN regexp_matches(d, '^\\d{4}$')
+          THEN '"' || d || '"^^<http://www.w3.org/2001/XMLSchema#gYear>'
+        ELSE ''
+      END AS literal
+    FROM src ORDER BY key
+    """,
+    doc="Partial date → xsd:date/gYearMonth/gYear literal by precision (SURVEY C15).",
+)
+def c15_date_typed_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.sources.export import date_typed_literal
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    d = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("2024"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("2024-03"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("2024-03-09"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit(""))
+        .otherwise(F.lit("13 Jan 2022"))
+    )
+    return (
+        part.select(F.col("p_partkey").alias("key"), d.alias("d"))
+        .select("key", "d", F.coalesce(date_typed_literal(F.col("d")), F.lit("")).alias("literal"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6 — agent-list cleaning (reference clean_ra_list, lib/cleaner.py:320-370)
+# through the PRODUCTION parse_agent_cell UDF: 'Not Available' dropping,
+# cell-level shared-id stripping, same-name+id duplicate removal, in-entry
+# id dedup, clean_name casing — summarized per cell as one canonical string.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "D6_agent_list_cleaning",
+    """
+    WITH src AS (SELECT c_custkey AS key, CAST(c_custkey % 90 AS VARCHAR) AS n
+                 FROM customer WHERE c_custkey <= 600)
+    SELECT key,
+      CASE key % 6
+        WHEN 0 THEN 'Alpha, One [] ; Beta, Two []'          -- shared id stripped from both
+        WHEN 1 THEN 'Gamma, Three [viaf:B' || n || ']'      -- later name+id duplicate dropped
+        WHEN 2 THEN 'Delta & Sons []'                       -- 'Not Available' dropped, org kept
+        WHEN 3 THEN 'Epsilon,  [viaf:C' || n || ']'         -- family-only name keeps trailing comma
+        WHEN 4 THEN 'Zeta, Four [viaf:D' || n || ']'        -- in-entry duplicate id deduped
+        ELSE 'Eta, Five []'                                 -- clean_name title-casing
+      END AS agents
+    FROM src ORDER BY key
+    """,
+    doc="Cell-level agent cleaning: shared-id strip, dup drop, casing — via the production parse UDF (SURVEY D6).",
+)
+def d6_agent_list_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.functions.parsing import parse_agent_cell_udf
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    n = (F.col("c_custkey") % 90).cast("string")
+    cell = (
+        F.when(
+            F.col("c_custkey") % 6 == 0,
+            F.concat(F.lit("Alpha, One [viaf:A"), n, F.lit("]; Beta, Two [viaf:A"), n, F.lit("]")),
+        )
+        .when(
+            F.col("c_custkey") % 6 == 1,
+            F.concat(
+                F.lit("Gamma, Three [viaf:B"), n, F.lit("]; Gamma, Three [viaf:B"), n, F.lit("]")
+            ),
+        )
+        .when(F.col("c_custkey") % 6 == 2, F.lit("Not Available; Delta & Sons"))
+        .when(F.col("c_custkey") % 6 == 3, F.concat(F.lit("Epsilon, [viaf:C"), n, F.lit("]")))
+        .when(
+            F.col("c_custkey") % 6 == 4,
+            F.concat(F.lit("Zeta, Four [viaf:D"), n, F.lit(" viaf:D"), n, F.lit("]")),
+        )
+        .otherwise(F.lit("eta, five"))
+    )
+    parsed = cust.select(F.col("c_custkey").alias("key"), parse_agent_cell_udf(cell).alias("a"))
+    entry = lambda a: F.concat(
+        F.coalesce(
+            a["org_name"],
+            F.concat(a["family"], F.lit(", "), F.coalesce(a["given"], F.lit(""))),
+        ),
+        F.lit(" ["),
+        F.array_join(F.transform(a["ids"], lambda t: F.concat_ws(":", t["schema"], t["value"])), " "),
+        F.lit("]"),
+    )
+    return parsed.select(
+        "key", F.array_join(F.transform(F.col("a"), entry), " ; ").alias("agents")
+    ).orderBy("key")

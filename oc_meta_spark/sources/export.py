@@ -153,6 +153,25 @@ def write_jsonld(catalog: EntityCatalog, path: str) -> None:
     )
 
 
+def date_typed_literal(col: F.Column) -> F.Column:
+    """C15: partial date string → RDF literal typed to its precision
+    (reference core/creator.py:296-301 via oc_ocdm support.create_date):
+    YYYY-MM-DD ⇒ xsd:date, YYYY-MM ⇒ xsd:gYearMonth, YYYY ⇒ xsd:gYear.
+    NULL for empty or non-ISO-shaped values (callers fall back to a plain
+    string literal)."""
+    dt = (
+        F.when(col.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.lit("date"))
+        .when(col.rlike(r"^\d{4}-\d{2}$"), F.lit("gYearMonth"))
+        .when(col.rlike(r"^\d{4}$"), F.lit("gYear"))
+    )
+    return F.when(
+        dt.isNotNull(),
+        F.concat(
+            F.lit('"'), col, F.lit('"^^<http://www.w3.org/2001/XMLSchema#'), dt, F.lit(">")
+        ),
+    )
+
+
 def _nq_escape(col: F.Column) -> F.Column:
     return F.regexp_replace(
         F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r"\\\""), "\n", r"\\n"
@@ -224,7 +243,11 @@ def nquads_rows(catalog: EntityCatalog) -> DataFrame:
         triples(catalog.br, _RDF_TYPE, F.lit(f"<{_FABIO}Expression>")),
         triples(catalog.br.filter(F.nullif("type", F.lit("")).isNotNull()), _RDF_TYPE, fabio_cls),
         triples(catalog.br, f"{_DCTERMS}title", nn(lit(F.col("title")))),
-        triples(catalog.br, f"{_PRISM}publicationDate", nn(lit(F.col("pub_date")))),
+        triples(
+            catalog.br,
+            f"{_PRISM}publicationDate",
+            F.coalesce(date_typed_literal(F.col("pub_date")), nn(lit(F.col("pub_date")))),
+        ),
         triples(catalog.br, f"{_FRBR}partOf", F.when(F.col("part_of").isNotNull(), uri(F.col("part_of")))),
         triples(catalog.br, f"{_FABIO}hasSequenceIdentifier", nn(lit(F.col("seq_id")))),
         triples(catalog.br, f"{_FRBR}embodiment", F.when(F.col("embodiment").isNotNull(), uri(F.col("embodiment")))),
