@@ -550,3 +550,97 @@ def a8_processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_en.cast("double") / F.count(F.lit(1))).alias("pct_en"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D20 — SimHash near-dup JOIN: band the 64-bit signature into 4×16-bit
+# blocks; candidate pairs share ≥1 identical band (any pair within 3 bit
+# flips is guaranteed a collision; wider radii trade recall), then verify
+# by exact Hamming distance (radius 3 — the 4-band split guarantees every
+# pair within 3 bit flips collides in at least one band: exact recall).  Block-then-verify — never all-pairs — the
+# same 100 TB shape as D16/D18/D19.
+# ---------------------------------------------------------------------------
+
+_D20_SIG_SQL = f"""
+    {_WORDS_SQL},
+    wh AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM words),
+    bits AS (
+      SELECT doc_id, i, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 1, 1)) - 1) >> CAST(j AS INT)) & 1 AS bit
+      FROM wh
+      CROSS JOIN (SELECT unnest(range(16)) AS i)
+      CROSS JOIN (SELECT unnest(range(4)) AS j)
+    ),
+    votes AS (
+      SELECT doc_id, i, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, i, j
+    ),
+    nibbles AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN v > 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS nib
+      FROM votes GROUP BY doc_id, i
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY i) AS simhash
+      FROM nibbles GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "D20_simhash_hamming_neardup",
+    f"""
+    WITH {_D20_SIG_SQL},
+    bands AS (
+      SELECT doc_id, simhash, b, substr(simhash, CAST(b AS INT) * 4 + 1, 4) AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.simhash AS sa, y.simhash AS sb
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST(SUM(bit_count(xor(
+               strpos('0123456789abcdef', substr(sa, CAST(i AS INT) + 1, 1)) - 1,
+               strpos('0123456789abcdef', substr(sb, CAST(i AS INT) + 1, 1)) - 1
+             ))) AS BIGINT) AS hamming
+      FROM cand CROSS JOIN (SELECT unnest(range(16)) AS i)
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM ham
+    WHERE hamming <= 3 ORDER BY doc_a, doc_b
+    """,
+    doc="Banded SimHash near-dup join: 4×16-bit blocking + exact Hamming verify (training-data dedup).",
+)
+def d20_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = d17_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+    ).withColumn("bv", F.expr("substr(simhash, b * 4 + 1, 4)"))
+    x = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    y = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    cand = (
+        x.join(y, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + bit_count("
+        "(instr('0123456789abcdef', substr(sa, i + 1, 1)) - 1) ^ "
+        "(instr('0123456789abcdef', substr(sb, i + 1, 1)) - 1)))"
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
