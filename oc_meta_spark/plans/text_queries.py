@@ -431,3 +431,41 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("h").alias("fingerprint"), F.count(F.lit(1)).alias("n_shingles"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 — BPE-style subword pre-tokenization count (training-data pipeline).
+# The GPT-2 pre-tokenizer splits on contractions, letter runs, digit runs,
+# punctuation runs and whitespace; this uses the lookaround-free core of
+# that pattern so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "T5_bpe_token_count",
+    rf"""
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{_BPE_SQL}')) AS chars_per_bpe_token
+    FROM documents ORDER BY doc_id
+    """,
+    doc="GPT-2-style pre-tokenizer counts vs whitespace counts (training-data token accounting).",
+)
+def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_bpe_token"),
+    ).orderBy("doc_id")
