@@ -63,3 +63,34 @@ def test_d18_scan_prunes_documents(spark):
     plan = _plan(spark, "D18_jaccard_similarity_join")
     m = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     assert m and all("media" not in s and "embedding" not in s for s in m), m
+
+
+def test_d20_no_cartesian_product(spark):
+    # banded SimHash join must block on (band, value) — an equi-join —
+    # never a cartesian candidate generation
+    plan = _plan(spark, "D20_simhash_hamming_neardup")
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_t5_single_scan_no_shuffle(spark):
+    # per-row token counting is a narrow map: one scan, no Exchange other
+    # than the final orderBy's range partitioning
+    plan = _plan(spark, "T5_bpe_token_count")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
+    assert not exchanges, exchanges
+
+
+def test_fidelity_gates_prune_scan_columns(spark):
+    # the scalar-fidelity gates synthesize inputs from one key column (+
+    # at most name/segment) — reading wider rows would be wasted IO at scale
+    for name, allowed in (
+        ("F3_type_aliasing", {"p_partkey"}),
+        ("C14_venue_type_inference", {"p_partkey"}),
+        ("C7_ra_name_normalization", {"c_custkey", "c_name", "c_mktsegment"}),
+    ):
+        plan = _plan(spark, name)
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert m, f"{name}: no FileScan"
+        cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+        assert cols <= allowed, f"{name}: scan reads {cols}"
