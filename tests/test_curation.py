@@ -259,6 +259,70 @@ class TestUpdateScenario:
         curated = r.curated.first()
         assert f"omid:{known_venue['omid']}" in curated["venue"]
 
+    def test_equalizer_five_field_precedence(self, spark):
+        """D5 equalizer, field-by-field (reference curator.py:1402-1449):
+        store overwrites title/pub_date/volume/issue, page comes from the
+        existing RE, empty agent cells fill from the store chain, and the
+        venue id-set unions with the store's on overlap.  Self-contained
+        batch 1 so the catalog work carries a full venue/volume/issue
+        chain and an embodiment."""
+        r1 = curate(
+            _input(
+                spark,
+                [
+                    {
+                        "id": "doi:10.1000/eq5",
+                        "title": "THE EQUALIZED WORK",
+                        "author": "Massari, Arcangelo [orcid:0000-0002-1825-0097]; Peroni, Silvio",
+                        "pub_date": "2024-01-22",
+                        "venue": "Quantitative Science Studies [issn:2641-3337]",
+                        "volume": "5",
+                        "issue": "1",
+                        "page": "50-75",
+                        "type": "journal article",
+                    }
+                ],
+            ),
+            None,
+            prefix="060",
+        )
+        catalog = EntityCatalog.empty(spark).union(r1)
+        batch = _input(
+            spark,
+            [
+                {
+                    "id": "doi:10.1000/eq5",
+                    "title": "Wrong Title",
+                    "author": "",  # empty -> filled from the store chain
+                    "pub_date": "1999",
+                    "venue": "Wrong Venue Name [issn:2641-3337 viaf:999]",
+                    "volume": "99",
+                    "issue": "77",
+                    "page": "1-2",
+                    "type": "journal article",
+                }
+            ],
+        )
+        r = curate(batch, catalog, prefix="060")
+        row = r.curated.first()
+        # store overwrites the scalar fields
+        assert row["title"] == "The Equalized Work"
+        assert row["pub_date"] == "2024-01-22"
+        assert row["volume"] == "5"
+        assert row["issue"] == "1"
+        # page from the existing RE, not the batch value
+        assert row["page"] == "50-75"
+        # empty author cell filled from the store chain, in chain order
+        assert row["author"].startswith("Massari, Arcangelo")
+        assert "Peroni, Silvio" in row["author"]
+        # venue: batch ids overlap the store's issn -> id-sets union, store name wins
+        assert "issn:2641-3337" in row["venue"] and "viaf:999" in row["venue"]
+        known_venue = next(x for x in r1.br_new.collect() if x["type"] == "journal")
+        assert f"omid:{known_venue['omid']}" in row["venue"]
+        assert row["venue"].startswith("Quantitative Science Studies")
+        # no new BR of any kind: vol 99 / issue 77 are overridden before vvi
+        assert r.br_new.count() == 0
+
     def test_silencer_suppresses_additions_on_preexisting(self, spark):
         """silencer=True: no agent-role additions on preexisting BRs; new
         entities still get their chains (reference silencer semantics)."""
