@@ -78,7 +78,18 @@ def connected_components(
         # threshold+1 rows — if we got them all, solve on the driver.
         head = edges.select(src, dst).limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
-            return _local_union_find_rows(edges.sparkSession, head, edges, src)
+            # edge-count alone is not a safe driver-memory proxy: long
+            # node labels (token strings) could make 100k edges heavy.
+            # Sample-estimate the payload and fall through to the
+            # distributed loop over a 64 MB budget.
+            sample = head[:1000]
+            if sample:
+                est = sum(len(str(u)) + len(str(v)) for u, v in sample)
+                est = est * len(head) // len(sample)
+                if est > 64 * 1024 * 1024:
+                    head = None
+            if head is not None:
+                return _local_union_find_rows(edges.sparkSession, head, edges, src)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
