@@ -151,3 +151,53 @@ def test_cc_paths_equivalent(spark):
     fast = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
     dist = {(r["node"], r["comp"]) for r in connected_components(edges, local_threshold=0).collect()}
     assert fast == dist
+
+
+class TestAgentCell:
+    @given(text)
+    @settings(max_examples=300, deadline=None)
+    def test_parse_never_raises_positions_contiguous(self, s):
+        from oc_meta_spark.functions.parsing import parse_agent_cell_py
+
+        agents = parse_agent_cell_py(s)
+        assert [a["pos"] for a in agents] == list(range(1, len(agents) + 1))
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet=st.characters(categories=["Ll", "Lu"]), min_size=1, max_size=8),
+                st.lists(st.integers(0, 99), max_size=2),
+            ),
+            max_size=5,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_no_id_shared_between_agents(self, entries):
+        """The clean_ra_list guarantee: after cleaning, no identifier token
+        appears under two different agents of the same cell."""
+        from oc_meta_spark.functions.parsing import parse_agent_cell_py
+
+        cell = "; ".join(
+            f"{name.title()}, X [{' '.join(f'viaf:{i}' for i in ids)}]" for name, ids in entries
+        )
+        agents = parse_agent_cell_py(cell)
+        seen: dict[str, int] = {}
+        for a in agents:
+            for t in a["ids"]:
+                tok = f"{t['schema']}:{t['value']}"
+                assert seen.setdefault(tok, a["pos"]) == a["pos"], tok
+        # and every surviving token is a normalization fixpoint
+        from oc_meta_spark.functions.ids import normalize_id_token
+
+        for a in agents:
+            for t in a["ids"]:
+                tok = f"{t['schema']}:{t['value']}"
+                assert normalize_id_token(tok) == tok
+
+    @given(text)
+    @settings(max_examples=300, deadline=None)
+    def test_normalize_ra_name_idempotent(self, s):
+        from oc_meta_spark.functions.cleaning import normalize_ra_name_py
+
+        once = normalize_ra_name_py(s)
+        assert normalize_ra_name_py(once) == once
