@@ -84,6 +84,50 @@ def load_catalog(spark: SparkSession, store_dir: str) -> EntityCatalog:
     return EntityCatalog(**kwargs)
 
 
+def _layout(df: DataFrame, kind: str) -> DataFrame:
+    """Physical layout per table (SURVEY O3: the reference's PO→S reverse
+    index becomes a storage-layout decision).  Sorting each written file by
+    its resolution key gives parquet min/max row-group pruning on the hot
+    joins: ``id`` probes on (schema, value), ``entity_id``/``ar`` fan out
+    from an entity omid."""
+    keys = {
+        "id": ["schema", "value"],
+        "entity_id": ["entity_omid"],
+        "ar": ["br_omid", "role", "pos"],
+        "br": ["omid"],
+        "re": ["omid"],
+        "prov": ["entity_omid", "snapshot"],
+    }.get(kind)
+    return df.sortWithinPartitions(*keys) if keys else df
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Merge each append-only table's accumulated delta directories into
+    ONE key-sorted snapshot and swap the manifest (same all-or-nothing
+    commit as a batch).  Bounds per-read file counts as batches accumulate
+    — at production delta cadence this is the equivalent of Delta's
+    OPTIMIZE.  Returns the number of tables rewritten; directories no
+    longer referenced are left for external garbage collection, so a
+    reader holding the previous manifest stays consistent."""
+    manifest = _read_manifest(store_dir)
+    version = manifest["version"] + 1
+    tables = {k: list(v) for k, v in manifest["tables"].items()}
+    rewritten = 0
+    for kind in APPEND_KINDS:
+        if len(tables.get(kind, [])) <= 1:
+            continue
+        df = _table_df(spark, store_dir, manifest, kind, ENTITY_TABLES[kind])
+        rel = os.path.join(kind, f"c{version:06d}")
+        keys = {"id": ["schema", "value"], "entity_id": ["entity_omid"], "ar": ["br_omid"]}.get(kind)
+        out = df.repartitionByRange(*keys) if keys else df
+        _layout(out, kind).write.mode("overwrite").parquet(os.path.join(store_dir, rel))
+        tables[kind] = [rel]
+        rewritten += 1
+    if rewritten:
+        _commit_manifest(store_dir, {"version": version, "tables": tables})
+    return rewritten
+
+
 def append_result(result, store_dir: str) -> None:
     """Commit one batch's deltas: write new directories, swap the manifest.
 
@@ -108,7 +152,7 @@ def append_result(result, store_dir: str) -> None:
     }
     for kind, df in deltas.items():
         rel = os.path.join(kind, f"d{version:06d}")
-        df.write.mode("overwrite").parquet(os.path.join(store_dir, rel))
+        _layout(df, kind).write.mode("overwrite").parquet(os.path.join(store_dir, rel))
         tables.setdefault(kind, []).append(rel)
 
     # RA: snapshot = previous snapshot + given-name enrichment + new rows

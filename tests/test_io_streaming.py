@@ -221,3 +221,46 @@ def test_store_commit_atomic_and_replay_convergent(spark, tmp_path):
     # counters survive the commit and drive the next batch's numbering
     counters = {r["kind"]: r["max_n"] for r in load_catalog(spark, store).counters.collect()}
     assert counters["br"] == len(state_once)
+
+
+def test_store_compaction_preserves_catalog(spark, tmp_path):
+    """compact_store merges accumulated deltas into one key-sorted snapshot
+    per table behind the same atomic manifest swap; the catalog readback is
+    identical before and after."""
+    from oc_meta_spark.plans.curation import curate
+    from oc_meta_spark.schemas import META_INPUT_COLUMNS
+    from oc_meta_spark.streaming.micro_batch import (
+        append_result,
+        compact_store,
+        load_catalog,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        rows = [
+            {
+                "id": f"doi:10.1000/cp{i}",
+                "title": f"Work {i}",
+                "author": f"Fam{i}, G",
+                "pub_date": "2021",
+                "type": "journal article",
+            }
+        ]
+        data = [tuple(r.get(c, "") for c in META_INPUT_COLUMNS) for r in rows]
+        catalog = load_catalog(spark, store)
+        result = curate(spark.createDataFrame(data, META_INPUT_COLUMNS), catalog, prefix="060")
+        append_result(result, store)
+
+    before = {
+        k: sorted(tuple(r) for r in getattr(load_catalog(spark, store), k).collect())
+        for k in ("br", "ra", "id", "entity_id", "ar", "prov")
+    }
+    n = compact_store(spark, store)
+    assert n >= 4  # br, id, entity_id, ar, prov had 3 deltas each
+    after = {
+        k: sorted(tuple(r) for r in getattr(load_catalog(spark, store), k).collect())
+        for k in ("br", "ra", "id", "entity_id", "ar", "prov")
+    }
+    assert before == after
+    # idempotent: nothing left to compact
+    assert compact_store(spark, store) == 0
