@@ -53,3 +53,36 @@ def m1_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digest")
     )
+
+
+@register(
+    "M2_video_frame_sampling",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'video/mp4' ELSE 'image/png' END AS mime,
+             500 + (doc_id % 7) * 900 AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, mime, CAST(u.ts AS BIGINT) AS sample_ts_ms
+    FROM media,
+         UNNEST(range(0, CAST(greatest(duration_ms - 1, 0) AS BIGINT) + 1, 1000)) AS u(ts)
+    WHERE mime LIKE 'video/%'
+    ORDER BY media_id, sample_ts_ms
+    """,
+    doc="Video frame-sampling fan-out: one row per sampled timestamp via the production frame_sample plan (multimodal plumbing; decode itself is the documented stub).",
+)
+def m2_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video/mp4").otherwise("image/png").alias("mime"),
+        (500 + (F.col("doc_id") % 7) * 900).cast("long").alias("duration_ms"),
+    )
+    return (
+        frame_sample(media, every_ms=1000)
+        .select("media_id", "mime", F.col("sample_ts_ms").cast("bigint").alias("sample_ts_ms"))
+        .orderBy("media_id", "sample_ts_ms")
+    )
