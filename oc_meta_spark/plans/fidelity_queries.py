@@ -530,3 +530,96 @@ def d6_agent_list_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "key", F.array_join(F.transform(F.col("a"), entry), " ; ").alias("agents")
     ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# VD1 — literal-datatype audit/repair (reference
+# run/patches/fix_literal_datatypes.py: scan stored literals, classify the
+# datatype their VALUE actually warrants, flag and repair mismatches).
+# Here over pub_date strings: the precision shape dictates
+# xsd:date / gYearMonth / gYear; anything else is invalid and repairs to
+# the longest valid prefix (the clean_date degradation ladder).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "VD1_literal_datatype_audit",
+    """
+    WITH src AS (
+      SELECT p_partkey AS key,
+             CASE p_partkey % 7
+               WHEN 0 THEN '2024'
+               WHEN 1 THEN '2024-03'
+               WHEN 2 THEN '2024-03-09'
+               WHEN 3 THEN '2024-13'
+               WHEN 4 THEN '2024-02-30'
+               WHEN 5 THEN 'garbage'
+               ELSE '2024-3'
+             END AS d
+      FROM part WHERE p_partkey <= 700
+    ),
+    cls AS (
+      SELECT key, d,
+        CASE
+          WHEN regexp_matches(d, '^\\d{4}-\\d{2}-\\d{2}$')
+               AND TRY_CAST(substr(d, 6, 2) AS INT) BETWEEN 1 AND 12
+               AND TRY_CAST(d AS DATE) IS NOT NULL THEN 'date'
+          WHEN regexp_matches(d, '^\\d{4}-\\d{2}$')
+               AND TRY_CAST(substr(d, 6, 2) AS INT) BETWEEN 1 AND 12 THEN 'gYearMonth'
+          WHEN regexp_matches(d, '^\\d{4}$') THEN 'gYear'
+          ELSE 'invalid'
+        END AS datatype
+      FROM src
+    )
+    SELECT key, d, datatype,
+      CASE datatype
+        WHEN 'invalid' THEN
+          CASE
+            WHEN regexp_matches(d, '^\\d{4}-\\d{2}-\\d{2}$')
+                 AND TRY_CAST(substr(d, 6, 2) AS INT) BETWEEN 1 AND 12 THEN substr(d, 1, 7)
+            WHEN regexp_matches(d, '^\\d{4}')
+                 AND NOT regexp_matches(d, '^\\d{5}') THEN substr(d, 1, 4)
+            ELSE ''
+          END
+        ELSE d
+      END AS repaired
+    FROM cls ORDER BY key
+    """,
+    doc="Literal-datatype audit + precision-ladder repair over stored date strings (patch-family analog of fix_literal_datatypes).",
+)
+def vd1_literal_datatype_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 700)
+    d = (
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("2024"))
+        .when(F.col("p_partkey") % 7 == 1, F.lit("2024-03"))
+        .when(F.col("p_partkey") % 7 == 2, F.lit("2024-03-09"))
+        .when(F.col("p_partkey") % 7 == 3, F.lit("2024-13"))
+        .when(F.col("p_partkey") % 7 == 4, F.lit("2024-02-30"))
+        .when(F.col("p_partkey") % 7 == 5, F.lit("garbage"))
+        .otherwise(F.lit("2024-3"))
+    )
+    src = part.select(F.col("p_partkey").alias("key"), d.alias("d"))
+    month_ok = F.substring("d", 6, 2).try_cast("int").between(1, 12)
+    datatype = (
+        F.when(
+            F.col("d").rlike(r"^\d{4}-\d{2}-\d{2}$")
+            & month_ok
+            & F.expr("try_to_date(d, 'yyyy-MM-dd')").isNotNull(),
+            "date",
+        )
+        .when(F.col("d").rlike(r"^\d{4}-\d{2}$") & month_ok, "gYearMonth")
+        .when(F.col("d").rlike(r"^\d{4}$"), "gYear")
+        .otherwise("invalid")
+    )
+    src = src.withColumn("datatype", datatype)
+    repaired = F.when(
+        F.col("datatype") == "invalid",
+        F.when(
+            F.col("d").rlike(r"^\d{4}-\d{2}-\d{2}$") & month_ok, F.substring("d", 1, 7)
+        )
+        .when(
+            F.col("d").rlike(r"^\d{4}") & ~F.col("d").rlike(r"^\d{5}"), F.substring("d", 1, 4)
+        )
+        .otherwise(""),
+    ).otherwise(F.col("d"))
+    return src.select("key", "d", "datatype", repaired.alias("repaired")).orderBy("key")
