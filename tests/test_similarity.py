@@ -38,3 +38,24 @@ def test_default_configuration_is_scale_safe():
     # the 4-bit variant (16 buckets) is a test configuration only.
     assert LSH_BITS >= 16
     assert LSH_TABLES >= 2
+
+
+def test_ivf_ann_recall_floor_vs_bruteforce(spark):
+    """X5's IVF search must retrieve a stable fraction of the true top-10
+    (X2 brute force).  The synthetic embeddings are near-random, which is
+    the WORST case for cell-probing ANN (cosines concentrate, cells carry
+    little signal) — mean recall ~0.5 at nprobe defaults; this pins a 0.4
+    floor so a broken cell assignment or probe ordering (which drops
+    recall toward 1/IVF_K) fails loudly."""
+    from oc_meta_spark.plans.registry import load_all
+
+    qs = load_all()
+    sf = "/root/testdata/sf0.001"
+    gt: dict[int, set] = {}
+    for r in qs["X2_cosine_topk_bruteforce"].builder(spark, sf).collect():
+        gt.setdefault(r["qid"], set()).add(r["vec_id"])
+    got: dict[int, set] = {}
+    for r in qs["X5_ivf_ann"].builder(spark, sf).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(gt[q] & got.get(q, set())) / len(gt[q]) for q in gt]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
