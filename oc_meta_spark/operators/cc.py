@@ -74,21 +74,20 @@ def connected_components(
     ``local_threshold=0`` to force the distributed loop.
     """
     if local_threshold:
-        # ONE job decides the path AND fetches the edges: collect up to
-        # threshold+1 rows — if we got them all, solve on the driver.
-        head = edges.select(src, dst).limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
-            # edge-count alone is not a safe driver-memory proxy: long
-            # node labels (token strings) could make 100k edges heavy.
-            # Sample-estimate the payload and fall through to the
-            # distributed loop over a 64 MB budget.
-            sample = head[:1000]
-            if sample:
-                est = sum(len(str(u)) + len(str(v)) for u, v in sample)
-                est = est * len(head) // len(sample)
-                if est > 64 * 1024 * 1024:
-                    head = None
-            if head is not None:
+        # Edge-count alone is not a safe driver-memory proxy: long node
+        # labels (token strings) could make 100k edges heavy.  Probe a
+        # SMALL sample first and extrapolate to the threshold BEFORE
+        # collecting the full head, so the guard prevents the blow-up
+        # instead of measuring it post-hoc.  (The sample is the first rows
+        # of the plan — cheap but biased if early rows are atypically
+        # short; the 64 MB budget leaves ample slack for that.)
+        sample = edges.select(src, dst).limit(1000).collect()
+        avg = (
+            sum(len(str(u)) + len(str(v)) for u, v in sample) / len(sample) if sample else 0
+        )
+        if avg * local_threshold <= 64 * 1024 * 1024:
+            head = edges.select(src, dst).limit(local_threshold + 1).collect()
+            if len(head) <= local_threshold:
                 return _local_union_find_rows(edges.sparkSession, head, edges, src)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

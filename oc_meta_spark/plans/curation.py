@@ -694,11 +694,15 @@ def curate(
     try:
         # sessions not built by session.get_spark (tests, the driver's
         # verify harness): keep literal window-partition keys foldproof
-        # (see operators/minting.py::const_partition_key)
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
-        )
+        # (see operators/minting.py::const_partition_key).  APPEND to any
+        # exclusions the session owner already set — never clobber them.
+        rule = "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+        if rule not in current.split(","):
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules",
+                f"{current},{rule}" if current else rule,
+            )
     except Exception:  # pragma: no cover — conf may be immutable on connect
         pass
     if catalog is None:

@@ -334,6 +334,13 @@ def d16_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash 64-bit signatures via relational bit votes (training-data dedup).",
 )
 def d17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with NO output ordering — the shared frame for
+    the D17 signature listing (which adds orderBy) and the D20 banding
+    join (where a pre-sort would be a wasted full shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     words = _words(docs)
     wh = words.select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
@@ -366,7 +373,6 @@ def d17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("simhash")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -554,11 +560,11 @@ def a8_processing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # D20 — SimHash near-dup JOIN: band the 64-bit signature into 4×16-bit
-# blocks; candidate pairs share ≥1 identical band (any pair within 3 bit
-# flips is guaranteed a collision; wider radii trade recall), then verify
-# by exact Hamming distance (radius 3 — the 4-band split guarantees every
-# pair within 3 bit flips collides in at least one band: exact recall).  Block-then-verify — never all-pairs — the
-# same 100 TB shape as D16/D18/D19.
+# blocks, generate candidates that share ≥1 identical band, then verify by
+# exact Hamming distance at radius 3.  Pigeonhole: ≤3 differing bits can
+# touch at most 3 of the 4 bands, so every radius-3 pair collides in some
+# band — exact recall.  Block-then-verify — never all-pairs — the same
+# 100 TB shape as D16/D18/D19.
 # ---------------------------------------------------------------------------
 
 _D20_SIG_SQL = f"""
@@ -616,7 +622,7 @@ _D20_SIG_SQL = f"""
     doc="Banded SimHash near-dup join: 4×16-bit blocking + exact Hamming verify (training-data dedup).",
 )
 def d20_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = d17_simhash(spark, sf_dir).select("doc_id", "simhash")
+    sig = _simhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "simhash",

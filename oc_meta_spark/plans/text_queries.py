@@ -437,10 +437,15 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T5 — BPE-style subword pre-tokenization count (training-data pipeline).
 # The GPT-2 pre-tokenizer splits on contractions, letter runs, digit runs,
 # punctuation runs and whitespace; this uses the lookaround-free core of
-# that pattern so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+# that pattern, with whitespace as an explicit ASCII class, so Java regex
+# (Spark) and RE2 (DuckDB) agree exactly.
 # ---------------------------------------------------------------------------
 
-_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Whitespace is spelled as an explicit class: Java's \s includes vertical
+# tab while RE2's does not, so a bare \s would diverge between engines on
+# \x0B input.
+_WS = r"[ \t\n\r\f\x0B]"
+_BPE_PATTERN = rf"'(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^ \t\n\r\f\x0B\p{{L}}\p{{N}}]+|{_WS}+"
 
 
 _BPE_SQL = _BPE_PATTERN.replace("'", "''")

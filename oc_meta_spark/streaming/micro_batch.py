@@ -84,20 +84,25 @@ def load_catalog(spark: SparkSession, store_dir: str) -> EntityCatalog:
     return EntityCatalog(**kwargs)
 
 
+# Physical sort key per table (SURVEY O3: the reference's PO→S reverse
+# index becomes a storage-layout decision).  Single source of truth for
+# both the per-delta file sort and compaction's range partitioning (which
+# uses the leading key only).
+_SORT_KEYS = {
+    "id": ["schema", "value"],
+    "entity_id": ["entity_omid"],
+    "ar": ["br_omid", "role", "pos"],
+    "br": ["omid"],
+    "re": ["omid"],
+    "prov": ["entity_omid", "snapshot"],
+}
+
+
 def _layout(df: DataFrame, kind: str) -> DataFrame:
-    """Physical layout per table (SURVEY O3: the reference's PO→S reverse
-    index becomes a storage-layout decision).  Sorting each written file by
-    its resolution key gives parquet min/max row-group pruning on the hot
-    joins: ``id`` probes on (schema, value), ``entity_id``/``ar`` fan out
-    from an entity omid."""
-    keys = {
-        "id": ["schema", "value"],
-        "entity_id": ["entity_omid"],
-        "ar": ["br_omid", "role", "pos"],
-        "br": ["omid"],
-        "re": ["omid"],
-        "prov": ["entity_omid", "snapshot"],
-    }.get(kind)
+    """Sort each written file by its resolution key so parquet min/max
+    row-group stats prune the hot joins: ``id`` probes on (schema, value),
+    ``entity_id``/``ar`` fan out from an entity omid."""
+    keys = _SORT_KEYS.get(kind)
     return df.sortWithinPartitions(*keys) if keys else df
 
 
@@ -118,8 +123,8 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
             continue
         df = _table_df(spark, store_dir, manifest, kind, ENTITY_TABLES[kind])
         rel = os.path.join(kind, f"c{version:06d}")
-        keys = {"id": ["schema", "value"], "entity_id": ["entity_omid"], "ar": ["br_omid"]}.get(kind)
-        out = df.repartitionByRange(*keys) if keys else df
+        keys = _SORT_KEYS.get(kind)
+        out = df.repartitionByRange(keys[0]) if keys else df
         _layout(out, kind).write.mode("overwrite").parquet(os.path.join(store_dir, rel))
         tables[kind] = [rel]
         rewritten += 1

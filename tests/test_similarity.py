@@ -40,7 +40,7 @@ def test_default_configuration_is_scale_safe():
     assert LSH_TABLES >= 2
 
 
-def test_ivf_ann_recall_floor_vs_bruteforce(spark):
+def test_ivf_ann_recall_floor_vs_bruteforce(spark, sf_dir):
     """X5's IVF search must retrieve a stable fraction of the true top-10
     (X2 brute force).  The synthetic embeddings are near-random, which is
     the WORST case for cell-probing ANN (cosines concentrate, cells carry
@@ -50,7 +50,7 @@ def test_ivf_ann_recall_floor_vs_bruteforce(spark):
     from oc_meta_spark.plans.registry import load_all
 
     qs = load_all()
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     gt: dict[int, set] = {}
     for r in qs["X2_cosine_topk_bruteforce"].builder(spark, sf).collect():
         gt.setdefault(r["qid"], set()).add(r["vec_id"])
