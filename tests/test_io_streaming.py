@@ -264,3 +264,27 @@ def test_store_compaction_preserves_catalog(spark, tmp_path):
     assert before == after
     # idempotent: nothing left to compact
     assert compact_store(spark, store) == 0
+
+
+def test_preprocess_filter_dedup_report(spark):
+    """SURVEY §3.2 one-call tool: existing-id row filter (all-ids-exist
+    semantics, id-less rows pass), full-row dedup, A8-style report."""
+    from oc_meta_spark.plans.preprocess import preprocess
+    from oc_meta_spark.schemas import META_INPUT_COLUMNS
+
+    rows = [
+        {"id": "doi:10.1/a doi:10.1/b", "title": "All Exist"},       # dropped (both known)
+        {"id": "doi:10.1/a doi:10.1/new", "title": "One New"},       # kept (one unknown)
+        {"id": "", "title": "No Ids"},                               # kept (id-less passes)
+        {"id": "doi:10.1/x", "title": "Dup"},
+        {"id": "doi:10.1/x", "title": "Dup"},                        # exact dup -> dropped
+    ]
+    data = [tuple(r.get(c, "") for c in META_INPUT_COLUMNS) for r in rows]
+    df = spark.createDataFrame(data, META_INPUT_COLUMNS)
+    existing = spark.createDataFrame([("doi:10.1/a",), ("doi:10.1/b",)], "id string")
+    r = preprocess(df, existing)
+    titles = sorted(x["title"] for x in r.kept.collect())
+    assert titles == ["Dup", "No Ids", "One New"]
+    rep = r.report.first()
+    assert (rep["total_rows"], rep["existing_ids_rows"], rep["duplicate_rows"], rep["written_rows"]) == (5, 1, 1, 3)
+    assert rep["written_pct"] == 60.0
