@@ -248,13 +248,16 @@ _KINDS = ("br", "ra", "id", "ar", "re")
 
 
 def _read_counters(catalog: EntityCatalog, prefix: str) -> dict[str, int]:
-    """Per-kind mint offsets.  Primary source: the persisted counters table
-    (≤5 rows, one tiny collect).  Fallback for hand-built catalogs without
-    counters: ONE unioned scan over the five omid columns (not five)."""
+    """Per-kind mint offsets for THIS supplier prefix.  Primary source:
+    the persisted counters table (a few rows, one tiny collect) — rows of
+    other prefixes are ignored (independent number spaces, like the
+    reference's per-prefix counter files).  Fallback for hand-built
+    catalogs without counters: ONE unioned scan over the five omid
+    columns (not five)."""
     if catalog.counters is not None:
         rows = catalog.counters.collect()
         if rows:
-            got = {r["kind"]: int(r["max_n"]) for r in rows}
+            got = {r["kind"]: int(r["max_n"]) for r in rows if r["prefix"] == prefix}
             return {k: got.get(k, 0) for k in _KINDS}
     pat = rf"^[a-z_]+/{prefix}(\d+)$"
     scans = []
@@ -282,28 +285,36 @@ def _read_counters(catalog: EntityCatalog, prefix: str) -> dict[str, int]:
 
 
 def _counters_new(
-    spark: SparkSession, offsets: dict[str, int], minted: dict[str, DataFrame], prefix: str
+    spark: SparkSession,
+    offsets: dict[str, int],
+    minted: dict[str, DataFrame],
+    prefix: str,
+    prev_counters: DataFrame | None = None,
 ) -> DataFrame:
-    """Lazy post-batch counter rows: offset + number minted per kind."""
+    """Lazy post-batch counter rows: offset + number minted per kind for
+    THIS prefix, with other prefixes' rows carried through unchanged."""
     parts = []
     for kind in _KINDS:
         df = minted.get(kind)
         base = offsets[kind]
         if df is None:
             parts.append(
-                spark.createDataFrame([(kind, base)], COUNTER_SCHEMA)
+                spark.createDataFrame([(kind, prefix, base)], COUNTER_SCHEMA)
             )
         else:
             n = F.regexp_extract("minted_omid", rf"^[a-z_]+/{prefix}(\d+)$", 1).cast("long")
             parts.append(
                 df.select(n.alias("n")).agg(
                     F.lit(kind).alias("kind"),
+                    F.lit(prefix).alias("prefix"),
                     F.coalesce(F.max("n"), F.lit(base)).cast("long").alias("max_n"),
                 )
             )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if prev_counters is not None:
+        out = out.unionByName(prev_counters.filter(F.col("prefix") != prefix))
     return out
 
 
@@ -2246,6 +2257,7 @@ def curate(
         counters,
         {"br": br_map, "ra": ra_map, "id": id_map, "ar": ar_map, "re": re_map},
         prefix,
+        prev_counters=catalog.counters,
     )
 
     return CurationResult(

@@ -226,9 +226,14 @@ FORBIDDEN_IDS = {"issn:0000-0000"}
 # FilesystemCounterHandler (run/meta_process.py:162-168).  One row per
 # entity kind; updated with each batch delta so curation never scans the
 # full catalog to find the next omid number.
+# Per (kind, supplier-prefix) mint counters — the reference's
+# FilesystemCounterHandler keys its counter files by supplier prefix
+# (run/meta_process.py:162-168), so two prefixes sharing one store keep
+# independent number spaces.
 COUNTER_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType(), False),
+        T.StructField("prefix", T.StringType(), False),
         T.StructField("max_n", T.LongType(), False),
     ]
 )

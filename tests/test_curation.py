@@ -516,3 +516,33 @@ def test_curate_big_batch_path_equivalence(spark, monkeypatch):
     assert sorted(tuple(r) for r in r_small.id_new.collect()) == sorted(
         tuple(r) for r in r_big.id_new.collect()
     )
+
+
+def test_counters_independent_per_prefix(spark):
+    """Two supplier prefixes sharing one catalog keep independent counter
+    spaces (reference FilesystemCounterHandler keys counter files by
+    prefix, run/meta_process.py:162-168)."""
+    r1 = curate(
+        _input(spark, [{"id": "doi:10.1000/pfx1", "title": "A", "pub_date": "2020", "type": "journal article"}]),
+        None,
+        prefix="060",
+    )
+    catalog = EntityCatalog.empty(spark).union(r1)
+    # a batch under a DIFFERENT prefix starts ITS space at 1
+    r2 = curate(
+        _input(spark, [{"id": "doi:10.1000/pfx2", "title": "B", "pub_date": "2021", "type": "journal article"}]),
+        catalog,
+        prefix="070",
+    )
+    assert [x["omid"] for x in r2.br_new.collect()] == ["br/0701"]
+    # both prefixes' counters survive in the post-batch table
+    catalog2 = catalog.union(r2)
+    counters = {(c["kind"], c["prefix"]): c["max_n"] for c in catalog2.counters.collect()}
+    assert counters[("br", "060")] == 1 and counters[("br", "070")] == 1
+    # and the original prefix continues ITS numbering, unaffected by 070
+    r3 = curate(
+        _input(spark, [{"id": "doi:10.1000/pfx3", "title": "C", "pub_date": "2022", "type": "journal article"}]),
+        catalog2,
+        prefix="060",
+    )
+    assert [x["omid"] for x in r3.br_new.collect()] == ["br/0602"]
