@@ -34,11 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
+def _with_worker_imports(builder: Callable) -> Callable:
+    """The driver owns the SparkSession and may run from any cwd; pandas
+    UDFs are pickled by module reference, so ship the package to executor
+    workers (addPyFile, once per context) before building each plan."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from oc_meta_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
+        return builder(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from oc_meta_spark.plans.registry import load_all
 
-    return {name: q.builder for name, q in load_all().items()}
+    return {name: _with_worker_imports(q.builder) for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

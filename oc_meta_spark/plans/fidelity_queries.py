@@ -623,3 +623,84 @@ def vd1_literal_datatype_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(""),
     ).otherwise(F.col("d"))
     return src.select("key", "d", "datatype", repaired.alias("repaired")).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# C9 — the volume/issue repair machine (reference pattern table
+# lib/master_of_regex.py:77-157 + strategy driver lib/cleaner.py:418-494),
+# run through the PRODUCTION repair_vi_full_udf.  The oracle pins the
+# machine's documented outcome per input vector — one vector per strategy
+# family: vol_iss split, iss_vol_year / vol_iss_year (year → date), del,
+# all, do_nothing, 's)', and the cross-column VALID switch with journal
+# volume ↔ journal issue retyping in both directions.
+# ---------------------------------------------------------------------------
+
+_C9_VECTORS = [
+    # (volume_in, issue_in, type_in) -> (volume_out, issue_out, type_out, date_out)
+    ("Vol. 5, no. 3", "", "journal article", "5", "3", "journal article", ""),
+    ("n/a", "", "journal article", "", "", "journal article", ""),
+    ("14", "7", "journal article", "14", "7", "journal article", ""),
+    ("Issue 2 Vol. 7 2019", "", "journal article", "7", "2", "journal article", "2019"),
+    ("42 (3''2018)", "", "journal article", "42", "3", "journal article", "2018"),
+    ("/ 9", "", "journal article", "9", "", "journal article", ""),
+    ("->3", "", "journal article", "->3", "", "journal article", ""),
+    ("5.", "", "journal article", "5.", "", "journal article", ""),
+    ("7()", "", "journal article", "7", "", "journal article", ""),
+    ("2 (first serie", "", "journal volume", "2 (first series)", "", "journal volume", ""),
+    ("special issue 4", "", "journal volume", "", "special issue 4", "journal issue", ""),
+    ("", "tome 12", "journal issue", "tome 12", "", "journal volume", ""),
+    ("&na;", ":", "journal article", "", "", "journal article", ""),
+    ("", "not available", "journal article", "", "", "journal article", ""),
+    ("Vol.- 18", "no. 6", "journal article", "Vol.- 18", "no. 6", "journal article", ""),
+    ("", "summer 2004", "journal article", "", "summer 2004", "journal article", ""),
+]
+
+def _c9_case(col: int) -> str:
+    return (
+        "CASE key % 16 "
+        + " ".join(f"WHEN {i} THEN '{v[col]}'" for i, v in enumerate(_C9_VECTORS))
+        + " END"
+    )
+
+
+@register(
+    "C9_volume_issue_repair",
+    f"""
+    WITH src AS (
+      SELECT p_partkey AS key FROM part WHERE p_partkey <= 800
+    )
+    SELECT key,
+           {_c9_case(0)} AS volume_in,
+           {_c9_case(1)} AS issue_in,
+           {_c9_case(2)} AS type_in,
+           {_c9_case(3)} AS volume_out,
+           {_c9_case(4)} AS issue_out,
+           {_c9_case(5)} AS type_out,
+           {_c9_case(6)} AS date_out
+    FROM src ORDER BY key
+    """,
+    doc="Volume/issue repair machine: full pattern table + strategies through the production Arrow UDF (SURVEY C9).",
+)
+def c9_volume_issue_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.functions.volume_issue import repair_vi_full_udf
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 800)
+    idx = (F.col("p_partkey") % 16 + 1).cast("int")
+    # SQL-escaped '' in the vector table is a literal ' here
+    vol_in = F.elt(idx, *[F.lit(v[0].replace("''", "'")) for v in _C9_VECTORS])
+    iss_in = F.elt(idx, *[F.lit(v[1]) for v in _C9_VECTORS])
+    typ_in = F.elt(idx, *[F.lit(v[2]) for v in _C9_VECTORS])
+    out = repair_vi_full_udf(vol_in, iss_in, typ_in)
+    return (
+        part.select(
+            F.col("p_partkey").alias("key"),
+            vol_in.alias("volume_in"),
+            iss_in.alias("issue_in"),
+            typ_in.alias("type_in"),
+            out["volume"].alias("volume_out"),
+            out["issue"].alias("issue_out"),
+            out["type"].alias("type_out"),
+            out["date"].alias("date_out"),
+        )
+        .orderBy("key")
+    )

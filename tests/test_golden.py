@@ -143,15 +143,15 @@ def _curated_rows(result):
     return [{c: r[c] or "" for c in META_INPUT_COLUMNS} for r in rows]
 
 
-def _run_case(spark, name: str):
+def _build_result(spark, rows: list[int], with_store: bool):
     data = _read_csv(MANUAL)
     catalog = None
-    if name in TS_CASE_ROWS:
+    if with_store:
         from oc_meta_spark.sources.rdf_import import catalog_from_turtle
 
         with open(TS_TTL, encoding="utf-8") as f:
             catalog = catalog_from_turtle(spark, f.read())
-    picked = [data[i] for i in (CASE_ROWS.get(name) or TS_CASE_ROWS[name])]
+    picked = [data[i] for i in rows]
     # explicit row_id = FILE ORDER (the reference processes rows in file
     # order; stage_parse honors a caller-provided row_id column)
     tuples = [
@@ -159,8 +159,10 @@ def _run_case(spark, name: str):
         for n, r in enumerate(picked)
     ]
     df = spark.createDataFrame(tuples, ["row_id"] + META_INPUT_COLUMNS)
-    result = curate(df, catalog, prefix="060")
+    return curate(df, catalog, prefix="060")
 
+
+def _check_case(result, name: str):
     expected = _read_csv(os.path.join(CASES_DIR, f"testcase_{name}_data.csv"))
     got = _curated_rows(result)
     assert len(got) == len(expected), f"row count {len(got)} vs {len(expected)}"
@@ -207,6 +209,12 @@ def _run_case(spark, name: str):
         bij.bind(r["re"], got_re[br], "index_re")
 
 
+def _run_case(spark, name: str):
+    rows = CASE_ROWS.get(name) or TS_CASE_ROWS[name]
+    result = _build_result(spark, rows, with_store=name in TS_CASE_ROWS)
+    _check_case(result, name)
+
+
 @pytest.mark.parametrize("name", sorted(CASE_ROWS))
 def test_golden(spark, name):
     _run_case(spark, name)
@@ -215,3 +223,14 @@ def test_golden(spark, name):
 @pytest.mark.parametrize("name", sorted(TS_CASE_ROWS))
 def test_golden_with_store(spark, name):
     _run_case(spark, name)
+
+
+def test_golden_conflict_either_meta(spark):
+    """Testcase 13.3/13.31 (reference curator_test.py:2126-2135): a row
+    whose id is shared by TWO store entities may resolve to either; the
+    reference accepts both expected outputs, so we do too."""
+    result = _build_result(spark, [57], with_store=True)
+    try:
+        _check_case(result, "13.3")
+    except AssertionError:
+        _check_case(result, "13.31")
