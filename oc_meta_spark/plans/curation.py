@@ -35,9 +35,6 @@ Design-for-scale notes:
 - Partial dates are strings end-to-end (SURVEY hard part §7.4.3).
 
 Deliberate simplifications vs the reference (documented, not hidden):
-- merge-history hops for dangling explicit OMIDs
-  (retrieve_metaid_from_merged_entity, curator.py:1199-1205) are not
-  replayed inside curate(); plans/merge.py owns merge-chain resolution;
 - rows merged into an entity via the (venue, seq) volume/issue path do
   not receive equalizer field overrides (the reference skips them too —
   equalizer runs only for id-resolved rows);
@@ -547,11 +544,28 @@ def resolve_rows(staged: DataFrame, catalog: EntityCatalog) -> DataFrame:
         F.col("t")["value"].alias("value"),
     )
 
-    explicit = (
-        tok.filter((F.col("schema") == "omid") & F.col("value").startswith("br/"))
-        .join(catalog.br.select(F.col("omid").alias("value")), "value", "left_semi")
-        .select("row_id", F.col("value").alias("cand"))
-    )
+    exp_tok = tok.filter(
+        (F.col("schema") == "omid") & F.col("value").startswith("br/")
+    ).select("row_id", "value")
+    br_omids = catalog.br.select(F.col("omid").alias("value"))
+    alive = exp_tok.join(br_omids, "value", "left_semi")
+    # Dangling explicit omids replay through merge history to the surviving
+    # entity (reference retrieve_metaid_from_merged_entity,
+    # curator.py:1199-1205).  The pointer-jumping chain resolution is
+    # driver-looped, so it only runs when a dangling token actually exists
+    # — the common batch pays one tiny probe job, nothing else.
+    dangling = _cp(exp_tok.join(br_omids, "value", "left_anti"))
+    if dangling.limit(1).count() > 0:
+        from oc_meta_spark.plans.merge import merge_history
+
+        hop = merge_history(catalog.prov)
+        hopped = (
+            dangling.join(hop, dangling.value == hop.merged_entity)
+            .select("row_id", F.col("final_survivor").alias("value"))
+            .join(br_omids, "value", "left_semi")
+        )
+        alive = alive.unionByName(hopped)
+    explicit = alive.select("row_id", F.col("value").alias("cand"))
 
     ext = tok.filter((F.col("schema") != "omid") & F.col("schema").isNotNull())
     cat_ids = catalog.id.join(

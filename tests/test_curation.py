@@ -546,3 +546,54 @@ def test_counters_independent_per_prefix(spark):
         prefix="060",
     )
     assert [x["omid"] for x in r3.br_new.collect()] == ["br/0602"]
+
+
+def test_dangling_omid_resolves_through_merge_history(spark):
+    """A row citing an omid that was merged away resolves to the surviving
+    entity via the provenance merge chain (reference
+    retrieve_metaid_from_merged_entity, curator.py:1199-1205) — including a
+    two-hop chain br/0603 → br/0602 → br/0601."""
+    from oc_meta_spark.schemas import ENTITY_TABLES
+
+    br = spark.createDataFrame(
+        [("br/0601", "journal article", "Survivor", "2019", None, None, None)],
+        ENTITY_TABLES["br"],
+    )
+    prov = spark.createDataFrame(
+        [
+            ("br/0601", 1, "t0", None, [], "agent", None, "entity created", None),
+            # br/0602 merged into br/0601; later br/0603 merged into br/0602
+            ("br/0601", 2, "t1", None, ["br/0601", "br/0602"], "agent", None, "entity merged", None),
+            ("br/0602", 1, "t0", None, [], "agent", None, "entity created", None),
+            ("br/0602", 2, "t1", "t1", ["br/0602", "br/0603"], "agent", None, "entity merged", None),
+        ],
+        ENTITY_TABLES["prov"],
+    )
+    empty = EntityCatalog.empty(spark)
+    cat = EntityCatalog(
+        br=br, ra=empty.ra, id=empty.id, entity_id=empty.entity_id,
+        ar=empty.ar, re=empty.re, prov=prov, counters=None,
+    )
+    batch = _input(
+        spark,
+        [
+            {"id": "omid:br/0603", "title": "Renamed By Batch", "pub_date": "2019",
+             "type": "journal article"},
+        ],
+    )
+    result = curate(batch, cat, prefix="060")
+    row = result.curated.collect()[0]
+    assert "omid:br/0601" in row["id"]
+    assert result.br_new.filter(result.br_new.type == "journal article").count() == 0
+
+    # a dangling omid with NO merge history stays dangling: the token is
+    # discarded and the row mints a new entity
+    batch2 = _input(
+        spark,
+        [{"id": "omid:br/0699", "title": "Truly New", "pub_date": "2020",
+          "type": "journal article"}],
+    )
+    r2 = curate(batch2, cat, prefix="060")
+    row2 = r2.curated.collect()[0]
+    assert "omid:br/0699" not in row2["id"]
+    assert r2.br_new.filter(r2.br_new.type == "journal article").count() == 1
