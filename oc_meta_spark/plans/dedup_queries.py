@@ -650,3 +650,63 @@ def d20_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# D21 — near-dup CLUSTER COLLAPSE: the deletion step of a training-data
+# dedup pipeline.  D16's banded-LSH candidate pairs are symmetrized into an
+# undirected graph, connected components assign a cluster per document, and
+# the minimum doc_id in each cluster survives — everything else is marked
+# for deletion.  This is what MinHash dedup actually SHIPS: an assignment
+# table (doc → cluster, kept?) that a filter join applies to the corpus.
+# Scale shape: pair list is O(near-dups), never O(N²); CC is min-label +
+# pointer jumping (O(log diameter) rounds); the collapse is one groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "D21_neardup_cluster_collapse",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 4 AS band, md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM mh GROUP BY doc_id, k // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
+    SELECT doc_id, cluster, doc_id = cluster AS kept,
+           COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM comp ORDER BY doc_id
+    """,
+    doc="Near-dup cluster collapse: LSH pairs → connected components → one survivor per cluster (training-data dedup deletion step).",
+)
+def d21_neardup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.operators.cc import connected_components
+
+    pairs = d16_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+    sizes = comp.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            (F.col("doc_id") == F.col("cluster")).alias("kept"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

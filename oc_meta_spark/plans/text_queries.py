@@ -474,3 +474,88 @@ def t5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         (F.length("text").cast("double") / n_bpe).alias("chars_per_bpe_token"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T6 — repetition quality signals (Gopher-style rules: Rae et al. 2021 §A1.1
+# "repetition" filters).  Per document: unique-word ratio, the fraction of
+# bigram occurrences taken by the single most frequent bigram, and the
+# fraction of trigram occurrences belonging to trigrams that appear more
+# than once.  All three are pure hash-aggregates over exploded n-grams —
+# map-side partial aggregation, no window over the corpus, no UDF; the
+# divisions are single int→double IEEE operations so both engines agree
+# bitwise (plans/registry.py determinism contract).
+# ---------------------------------------------------------------------------
+@register(
+    "T6_repetition_signals",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM words),
+    uq AS (SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_uniq FROM w GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bga AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM bgc GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words)
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    tga AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+             SUM(c) AS tot
+      FROM tgc GROUP BY doc_id
+    )
+    SELECT uq.doc_id,
+           uq.n_words,
+           CAST(uq.n_uniq AS DOUBLE) / uq.n_words AS unique_word_ratio,
+           CASE WHEN bga.tot > 0 THEN CAST(bga.top_c AS DOUBLE) / bga.tot ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN tga.tot > 0 THEN CAST(tga.dup_occ AS DOUBLE) / tga.tot ELSE 0.0 END AS dup_trigram_frac
+    FROM uq LEFT JOIN bga ON uq.doc_id = bga.doc_id
+            LEFT JOIN tga ON uq.doc_id = tga.doc_id
+    ORDER BY uq.doc_id
+    """,
+    doc="Gopher-style repetition filters: unique-word ratio, top-bigram fraction, duplicated-trigram fraction (training-data quality).",
+)
+def t6_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    w = docs.select("doc_id", F.explode("ws").alias("w"))
+    uq = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"), F.countDistinct("w").alias("n_uniq")
+    )
+    bg_arr = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', ws[i-1], ws[i]))"
+    )
+    bg = docs.select("doc_id", F.explode(bg_arr).alias("g"))
+    bgc = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bga = bgc.groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_bg"))
+    tg_arr = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+    )
+    tg = docs.select("doc_id", F.explode(tg_arr).alias("g"))
+    tgc = tg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tga = tgc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occ"),
+        F.sum("c").alias("tot_tg"),
+    )
+    return (
+        uq.join(bga, "doc_id", "left")
+        .join(tga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_uniq").cast("double") / F.col("n_words")).alias("unique_word_ratio"),
+            F.when(F.col("tot_bg") > 0, F.col("top_c").cast("double") / F.col("tot_bg"))
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            F.when(F.col("tot_tg") > 0, F.col("dup_occ").cast("double") / F.col("tot_tg"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -94,3 +94,32 @@ def test_fidelity_gates_prune_scan_columns(spark):
         assert m, f"{name}: no FileScan"
         cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
         assert cols <= allowed, f"{name}: scan reads {cols}"
+
+
+def test_mx1_sample_filter_is_scan_predicate(spark):
+    # the keep/drop hash predicate must run in the scan stage (no shuffle
+    # at all before the final orderBy): at 100 TB a mixing pass that
+    # shuffles is a cluster-killer
+    plan = _plan(spark, "MX1_stratified_source_sample")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
+    assert not exchanges, exchanges
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_mx2_window_is_partitioned_by_source(spark):
+    plan = _plan(spark, "MX2_token_budget_packing")
+    assert "Window" in plan
+    assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan), plan[:3000]
+
+
+def test_d21_no_cartesian_product(spark):
+    # pair generation is the banded equi-join from D16; CC joins on node
+    plan = _plan(spark, "D21_neardup_cluster_collapse")
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_t6_aggregates_are_partial(spark):
+    # n-gram stats must partial-aggregate map-side (hash aggregate pairs),
+    # never sort the corpus globally before aggregation
+    plan = _plan(spark, "T6_repetition_signals")
+    assert "HashAggregate" in plan, plan[:2000]
