@@ -38,6 +38,7 @@ HEADLINE = [
     "T1_token_stats",
     "G1_connected_components",
     "CUR1_curation_end_to_end",
+    "CUR2_curation_update_scenario",
 ]
 
 
@@ -75,10 +76,13 @@ def main() -> None:
     # curation throughput at this SF (batch scales with the part table;
     # comparable to BASELINE.md's rec/s numbers, which is the reference's
     # own metric for this pipeline)
-    cur = "CUR1_curation_end_to_end"
-    if cur in timings and timings[cur] > 0:
-        out["cur1_rows"] = rowcounts[cur]
-        out["cur1_rec_per_sec"] = round(rowcounts[cur] / timings[cur], 1)
+    for key, name in (("cur1", "CUR1_curation_end_to_end"), ("cur2", "CUR2_curation_update_scenario")):
+        if name in timings and timings[name] > 0:
+            out[f"{key}_rows"] = rowcounts[name]
+            # cur2 includes building the preload catalog (a second full
+            # curate pass), so its rec/s is a conservative lower bound on
+            # update throughput — same framing as BASELINE.md's update run
+            out[f"{key}_rec_per_sec"] = round(rowcounts[name] / timings[name], 1)
     print(json.dumps(out))
 
 

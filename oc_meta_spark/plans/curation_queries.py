@@ -268,6 +268,24 @@ def so1_idset_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nationkey")
 
 
+def _cur_meta(part: DataFrame) -> DataFrame:
+    """Synthetic 11-column metadata batch derived from the part table
+    (shared input of the CUR1 fresh and CUR2 update gates)."""
+    return part.select(
+        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/p"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
+        F.lit("2024-01").alias("pub_date"),
+        F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]")).alias("venue"),
+        (F.col("p_size") % 5 + 1).cast("string").alias("volume"),
+        F.lit("").alias("issue"),
+        F.lit("").alias("page"),
+        F.lit("journal article").alias("type"),
+        F.col("p_brand").alias("publisher"),
+        F.lit("").alias("editor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUR1 — the full curation pipeline end-to-end on synthesized metadata rows
 # (rows-only check: the oracle cannot express the whole pipeline in one SQL
@@ -290,21 +308,33 @@ def cur1_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.curation import curate
     from oc_meta_spark.schemas import META_INPUT_SCHEMA
 
-    part = _t(spark, sf_dir, "part")
-    meta = part.select(
-        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/p"), F.col("p_partkey").cast("string")).alias("id"),
-        F.col("p_name").alias("title"),
-        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
-        F.lit("2024-01").alias("pub_date"),
-        F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]")).alias("venue"),
-        (F.col("p_size") % 5 + 1).cast("string").alias("volume"),
-        F.lit("").alias("issue"),
-        F.lit("").alias("page"),
-        F.lit("journal article").alias("type"),
-        F.col("p_brand").alias("publisher"),
-        F.lit("").alias("editor"),
-    )
+    meta = _cur_meta(_t(spark, sf_dir, "part"))
     result = curate(meta)
+    return result.curated.drop("row_id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# CUR2 — UPDATE-scenario curation (rows-only): BASELINE.md's second headline
+# number is the reference's preloaded-store run (46.28 rec/s with 2700
+# preexisting entities).  Here a tenth of the batch is curated first and its
+# deltas become the catalog; the FULL batch is then curated against that
+# store, so the timed run exercises every update path at once — explicit
+# id hits, venue/volume/issue resolution against preexisting hierarchy,
+# agent-chain reuse, equalizer field precedence, and silencer-free
+# modification provenance.
+# ---------------------------------------------------------------------------
+@register(
+    "CUR2_curation_update_scenario",
+    None,
+    doc="curate() against a preloaded catalog (10% preload, full-batch update) — the reference's update benchmark shape.",
+)
+def cur2_curation_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import EntityCatalog, curate
+
+    meta = _cur_meta(_t(spark, sf_dir, "part"))
+    preload = meta.filter(F.col("id").rlike(r"/p\d*0$"))
+    catalog = EntityCatalog.empty(spark).union(curate(preload))
+    result = curate(meta, catalog)
     return result.curated.drop("row_id").orderBy("id")
 
 
