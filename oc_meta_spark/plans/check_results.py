@@ -250,3 +250,53 @@ def check_results(curated: DataFrame, catalog: EntityCatalog) -> CheckReport:
         )
     )
     return CheckReport(counters=counters, errors=errors)
+
+
+def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame:
+    """Offline export verification (reference run/meta/check_rdf_files.py:
+    compare the produced RDF files against the curated CSV WITHOUT querying
+    a store).  Both inputs are curated-CSV-shaped frames — ``curated`` from
+    the pipeline, ``dumped`` from the RDF→CSV dump of the export
+    (plans/generate_csv.py) — keyed by the entity omid embedded in the id
+    column.  Returns a discrepancy frame (omid, kind, column, curated,
+    dumped): ``missing_in_export`` / ``extra_in_export`` rows plus one
+    ``value_mismatch`` row per differing column.  Empty result = consistent.
+
+    Cells are compared order-insensitively (whitespace tokens sorted — the
+    reference's normalize_row_ids canonicalization, test/test_utils.py:159)
+    so two serializations of the same id set don't flag."""
+    omid = F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1)
+
+    def cell(col_name: str) -> F.Column:
+        toks = F.sort_array(F.split(F.trim(F.coalesce(F.col(col_name), F.lit(""))), r"\s+"))
+        return F.array_join(toks, " ")
+
+    cols = [c for c in curated.columns if c in set(dumped.columns) and c not in ("id", "row_id")]
+    a = curated.select(omid.alias("omid"), F.col("id").alias("a_id"),
+                       *[cell(c).alias(f"a_{c}") for c in cols])
+    b = dumped.select(omid.alias("omid"), F.col("id").alias("b_id"),
+                      *[cell(c).alias(f"b_{c}") for c in cols])
+
+    joined = a.join(b, "omid", "full_outer")
+    missing = joined.filter(F.col("b_id").isNull()).select(
+        "omid", F.lit("missing_in_export").alias("kind"),
+        F.lit(None).cast("string").alias("column"),
+        F.col("a_id").alias("curated"), F.lit(None).cast("string").alias("dumped"),
+    )
+    extra = joined.filter(F.col("a_id").isNull()).select(
+        "omid", F.lit("extra_in_export").alias("kind"),
+        F.lit(None).cast("string").alias("column"),
+        F.lit(None).cast("string").alias("curated"), F.col("b_id").alias("dumped"),
+    )
+    both = joined.filter(F.col("a_id").isNotNull() & F.col("b_id").isNotNull())
+    mismatches = None
+    for c in cols:
+        m = both.filter(F.col(f"a_{c}") != F.col(f"b_{c}")).select(
+            "omid", F.lit("value_mismatch").alias("kind"), F.lit(c).alias("column"),
+            F.col(f"a_{c}").alias("curated"), F.col(f"b_{c}").alias("dumped"),
+        )
+        mismatches = m if mismatches is None else mismatches.unionByName(m)
+    out = missing.unionByName(extra)
+    if mismatches is not None:
+        out = out.unionByName(mismatches)
+    return out

@@ -710,3 +710,111 @@ def d21_neardup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D22 — the reference's full bibliographic matching score
+# (compute_matching_score, lib/bibliographic_matching.py:185-259; weights
+# 7·first_author + 14·title + 5·source + 14·other) through the production
+# expression kernel in functions/matching.py, with candidate fields
+# synthesized to exercise every branch: empty families/titles, matching and
+# non-matching initials, the ISSN shortcut, the length-adjusted venue
+# similarity floor, and each of the five 'other' components.  Top-1
+# candidate per left record by score (deterministic tie-break).
+# ---------------------------------------------------------------------------
+@register(
+    "D22_bibliographic_match_score",
+    """
+    WITH pairs AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             s.s_name AS fam_a, c.c_name AS fam_b,
+             CAST(s.s_suppkey % 97 AS VARCHAR) AS giv_a, CAST(c.c_custkey % 97 AS VARCHAR) AS giv_b,
+             CASE WHEN s.s_suppkey % 5 = 0 THEN '' ELSE s.s_name || ' t' END AS tit_a,
+             CASE WHEN c.c_custkey % 7 = 0 THEN '' ELSE c.c_name || ' t' END AS tit_b,
+             substr(s.s_name, 1, 12) AS ven_a, substr(c.c_name, 1, 10) AS ven_b,
+             CASE WHEN s.s_suppkey % 2 = 0 THEN CAST(s.s_nationkey AS VARCHAR) ELSE '' END AS issn_a,
+             CASE WHEN c.c_custkey % 3 = 0 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '' END AS issn_b,
+             CAST(s.s_suppkey % 5 AS VARCHAR) AS yr_a, CAST(c.c_custkey % 5 AS VARCHAR) AS yr_b,
+             CAST(s.s_suppkey % 4 AS VARCHAR) AS vol_a, CAST(c.c_custkey % 4 AS VARCHAR) AS vol_b,
+             CAST(s.s_suppkey % 3 AS VARCHAR) AS iss_a, CAST(c.c_custkey % 3 AS VARCHAR) AS iss_b,
+             CAST(s.s_suppkey % 9 AS VARCHAR) AS sp_a, CAST(c.c_custkey % 9 AS VARCHAR) AS sp_b,
+             CAST(s.s_suppkey % 11 AS VARCHAR) AS ep_a, CAST(c.c_custkey % 11 AS VARCHAR) AS ep_b
+      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+      WHERE s.s_suppkey <= 50
+    ),
+    scored AS (
+      SELECT s_suppkey, c_custkey,
+        7.0 * (CASE WHEN fam_a = '' OR fam_b = '' THEN 0.0 ELSE
+                 0.8 * (1.0 - CAST(levenshtein(fam_a, fam_b) AS DOUBLE)
+                              / CAST(greatest(length(fam_a), length(fam_b)) AS DOUBLE))
+                 + (CASE WHEN substr(lower(giv_a), 1, 1) <> '' AND substr(lower(giv_b), 1, 1) <> ''
+                              AND substr(lower(giv_a), 1, 1) = substr(lower(giv_b), 1, 1)
+                         THEN 0.2 ELSE 0.0 END) END)
+        + 14.0 * (CASE WHEN tit_a = '' OR tit_b = '' THEN 0.0 ELSE
+                    1.0 - CAST(levenshtein(tit_a, tit_b) AS DOUBLE)
+                          / CAST(greatest(length(tit_a), length(tit_b)) AS DOUBLE) END)
+        + 5.0 * (CASE WHEN issn_a <> '' AND issn_a = issn_b THEN 1.0
+                      WHEN ven_a = '' OR ven_b = '' THEN 0.0
+                      ELSE greatest(1.0 - (CAST(levenshtein(ven_a, ven_b) AS DOUBLE)
+                                           - CAST(abs(length(ven_a) - length(ven_b)) AS DOUBLE))
+                                          / CAST(least(length(ven_a), length(ven_b)) AS DOUBLE), 0.0) END)
+        + 14.0 * ((CASE WHEN yr_a <> '' AND yr_a = yr_b THEN 0.1 ELSE 0.0 END)
+                + (CASE WHEN vol_a <> '' AND vol_a = vol_b THEN 0.2 ELSE 0.0 END)
+                + (CASE WHEN iss_a <> '' AND iss_a = iss_b THEN 0.1 ELSE 0.0 END)
+                + (CASE WHEN sp_a <> '' AND sp_a = sp_b THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN ep_a <> '' AND ep_a = ep_b THEN 0.3 ELSE 0.0 END)) AS score
+      FROM pairs
+    )
+    SELECT s_suppkey AS suppkey, c_custkey AS custkey, round(score, 9) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                       ORDER BY round(score, 9) DESC, c_custkey) AS rn FROM scored)
+    WHERE rn = 1 ORDER BY suppkey
+    """,
+    doc="Full 7/14/5/14 bibliographic matching score (first-author/title/source/other) with top-1 candidate per record.",
+)
+def d22_bibliographic_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from oc_meta_spark.functions.matching import matching_score
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 50)
+    c = _t(spark, sf_dir, "customer")
+    p = s.join(c, s.s_nationkey == c.c_nationkey)
+    a = {
+        "family": F.col("s_name"),
+        "given": (F.col("s_suppkey") % 97).cast("string"),
+        "title": F.when(F.col("s_suppkey") % 5 == 0, "").otherwise(
+            F.concat(F.col("s_name"), F.lit(" t"))
+        ),
+        "venue": F.substring("s_name", 1, 12),
+        "issn": F.when(F.col("s_suppkey") % 2 == 0, F.col("s_nationkey").cast("string")).otherwise(""),
+        "year": (F.col("s_suppkey") % 5).cast("string"),
+        "volume": (F.col("s_suppkey") % 4).cast("string"),
+        "issue": (F.col("s_suppkey") % 3).cast("string"),
+        "start_page": (F.col("s_suppkey") % 9).cast("string"),
+        "end_page": (F.col("s_suppkey") % 11).cast("string"),
+    }
+    b = {
+        "family": F.col("c_name"),
+        "given": (F.col("c_custkey") % 97).cast("string"),
+        "title": F.when(F.col("c_custkey") % 7 == 0, "").otherwise(
+            F.concat(F.col("c_name"), F.lit(" t"))
+        ),
+        "venue": F.substring("c_name", 1, 10),
+        "issn": F.when(F.col("c_custkey") % 3 == 0, F.col("c_nationkey").cast("string")).otherwise(""),
+        "year": (F.col("c_custkey") % 5).cast("string"),
+        "volume": (F.col("c_custkey") % 4).cast("string"),
+        "issue": (F.col("c_custkey") % 3).cast("string"),
+        "start_page": (F.col("c_custkey") % 9).cast("string"),
+        "end_page": (F.col("c_custkey") % 11).cast("string"),
+    }
+    w = Window.partitionBy("s_suppkey").orderBy(F.col("score").desc(), F.col("c_custkey"))
+    return (
+        # round(…, 9) canonicalizes the last float ulp: the two engines may
+        # associate the four weighted terms differently at compile time
+        p.withColumn("score", F.round(matching_score(a, b), 9))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("c_custkey").alias("custkey"), "score")
+        .orderBy("suppkey")
+    )

@@ -79,3 +79,43 @@ def test_seeded_inconsistencies_detected(spark):
     assert c["identifiers_skipped_unverifiable"] >= 1  # foo:bar
     assert c["data_graphs_missing"] == 1  # omid:br/0999999
     assert "omid_mismatch" in kinds and "data_graph_missing" in kinds
+
+
+def test_export_consistency_detects_seeded_discrepancies(spark):
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        {
+            "id": "doi:10.1000/exp1",
+            "title": "Exported One",
+            "pub_date": "2021",
+            "type": "journal article",
+        },
+        {
+            "id": "doi:10.1000/exp2",
+            "title": "Exported Two",
+            "pub_date": "2022",
+            "type": "journal article",
+        },
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    curated = r.curated
+
+    # a faithful dump is consistent
+    assert check_export_consistency(curated, curated).count() == 0
+    # token order inside a cell does not flag
+    shuffled = curated.withColumn(
+        "id", F.array_join(F.reverse(F.split("id", " ")), " ")
+    )
+    assert check_export_consistency(curated, shuffled).count() == 0
+
+    # seed: drop one entity from the dump, corrupt a title on another
+    dumped = curated.filter(~F.col("id").contains("exp1")).withColumn(
+        "title", F.lit("Corrupted")
+    )
+    diffs = check_export_consistency(curated, dumped).collect()
+    kinds = {(d["kind"], d["column"]) for d in diffs}
+    assert ("missing_in_export", None) in kinds
+    assert ("value_mismatch", "title") in kinds

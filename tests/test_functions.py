@@ -209,3 +209,128 @@ class TestParsingSpark:
         rows = df.select(normalize_id(F.col("tok")).alias("n")).collect()
         assert rows[0]["n"] == "issn:0028-0836"
         assert rows[1]["n"] is None
+
+
+class TestMatchingScore:
+    """functions/matching.py vs an independent python re-computation of the
+    reference formula (lib/bibliographic_matching.py:185-259)."""
+
+    CASES = [
+        # (a, b) field dicts
+        (
+            dict(family="Smith", given="John", title="On Testing", venue="J Test",
+                 issn="1234-5679", year="2020", volume="4", issue="2",
+                 start_page="10", end_page="20"),
+            dict(family="Smith", given="Jane", title="On Testing", venue="J Test",
+                 issn="1234-5679", year="2020", volume="4", issue="2",
+                 start_page="10", end_page="20"),
+        ),
+        (
+            dict(family="Smith", given="", title="", venue="Journal of Tests",
+                 issn="", year="2020", volume="", issue="3",
+                 start_page="10", end_page=""),
+            dict(family="Smyth", given="K", title="Anything", venue="J of Tests",
+                 issn="9999-0000", year="2021", volume="", issue="3",
+                 start_page="11", end_page=""),
+        ),
+        (
+            dict(family="", given="X", title="Same", venue="", issn="", year="",
+                 volume="", issue="", start_page="", end_page=""),
+            dict(family="Doe", given="X", title="Same", venue="V", issn="", year="",
+                 volume="", issue="", start_page="", end_page=""),
+        ),
+    ]
+
+    @staticmethod
+    def _py_score(a, b):
+        import Levenshtein  # python-Levenshtein unavailable → fallback
+
+        def lev(x, y):
+            return Levenshtein.distance(x, y)
+
+        def first_author():
+            if not a["family"] or not b["family"]:
+                return 0.0
+            fam = 0.8 * (1.0 - lev(a["family"], b["family"]) / max(len(a["family"]), len(b["family"])))
+            ia = a["given"][0].lower() if a["given"] else ""
+            ib = b["given"][0].lower() if b["given"] else ""
+            return fam + (0.2 if ia and ib and ia == ib else 0.0)
+
+        def title():
+            if not a["title"] or not b["title"]:
+                return 0.0
+            return 1.0 - lev(a["title"], b["title"]) / max(len(a["title"]), len(b["title"]))
+
+        def source():
+            if a["issn"] and b["issn"] and a["issn"] == b["issn"]:
+                return 1.0
+            if not a["venue"] or not b["venue"]:
+                return 0.0
+            min_len = min(len(a["venue"]), len(b["venue"]))
+            d = lev(a["venue"], b["venue"]) - abs(len(a["venue"]) - len(b["venue"]))
+            return max(1.0 - d / min_len, 0.0)
+
+        def other():
+            s = 0.0
+            for k, w in (("year", 0.1), ("volume", 0.2), ("issue", 0.1),
+                         ("start_page", 0.3), ("end_page", 0.3)):
+                if a[k] and b[k] and a[k] == b[k]:
+                    s += w
+            return s
+
+        return 7 * first_author() + 14 * title() + 5 * source() + 14 * other()
+
+    def test_matches_reference_formula(self, spark):
+        try:
+            import Levenshtein  # noqa: F401
+        except ImportError:
+            import pytest
+
+            pytest.skip("python-Levenshtein not installed in this container")
+        self._run(spark)
+
+    def test_matches_pure_python_fallback(self, spark):
+        # same expectation computed WITHOUT the Levenshtein package
+        import pyspark.sql.functions as F
+
+        from oc_meta_spark.functions.matching import matching_score
+
+        rows = []
+        for a, b in self.CASES:
+            rows.append(tuple(a[k] for k in sorted(a)) + tuple(b[k] for k in sorted(b)))
+        cols_a = [f"a_{k}" for k in sorted(self.CASES[0][0])]
+        cols_b = [f"b_{k}" for k in sorted(self.CASES[0][1])]
+        df = spark.createDataFrame(rows, cols_a + cols_b)
+        a_map = {k: F.col(f"a_{k}") for k in self.CASES[0][0]}
+        b_map = {k: F.col(f"b_{k}") for k in self.CASES[0][1]}
+        got = [r[0] for r in df.select(matching_score(a_map, b_map)).collect()]
+
+        def lev(x, y):
+            # classic DP — independent of both the engine and any package
+            m, n = len(x), len(y)
+            prev = list(range(n + 1))
+            for i in range(1, m + 1):
+                cur = [i] + [0] * n
+                for j in range(1, n + 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (x[i - 1] != y[j - 1]))
+                prev = cur
+            return prev[n]
+
+        import types
+
+        fake = types.ModuleType("Levenshtein")
+        fake.distance = lev
+        import sys as _sys
+
+        _sys.modules.setdefault("Levenshtein", fake)
+        try:
+            for (a, b), g in zip(self.CASES, got):
+                exp = self._py_score(a, b)
+                assert abs(g - exp) < 1e-9, (a, b, g, exp)
+        finally:
+            if _sys.modules.get("Levenshtein") is fake:
+                del _sys.modules["Levenshtein"]
+
+    def _run(self, spark):
+        self.test_matches_pure_python_fallback(spark)
