@@ -96,3 +96,41 @@ def st2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST3 — streaming exact dedup (dropDuplicatesWithinWatermark on the stream
+# path — bounded state; plain dropDuplicates on the bounded path).  The
+# gate feeds an at-least-once-style input: every tenth event is delivered
+# twice, and dedup must return the original event set exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "ST3_stream_dedup",
+    """
+    WITH feed AS (
+      SELECT event_id, event_type, ts, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, ts, value FROM events WHERE event_id % 10 = 0
+    )
+    SELECT DISTINCT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM feed ORDER BY event_id
+    """,
+    doc="Exact dedup of an at-least-once feed; bounded-state dropDuplicatesWithinWatermark on the stream path (§2.9).",
+)
+def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.streaming.windowed import dedup_events
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts", "value")
+    feed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        dedup_events(feed)
+        .select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )

@@ -169,3 +169,21 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each event_id
+    (SURVEY D8's stream form — e.g. an at-least-once ingest feed).
+
+    Streaming path: ``dropDuplicatesWithinWatermark`` bounds the dedup
+    state to the watermark horizon — without the bound, exactly-once dedup
+    state grows with the whole stream and a 100 TB feed OOMs; within the
+    horizon re-deliveries (the at-least-once case) are eliminated exactly.
+    Bounded path: plain dropDuplicates — same contract, total result.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    src = events
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.expr("to_timestamp_ltz(ts)"))
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

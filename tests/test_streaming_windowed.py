@@ -113,3 +113,29 @@ def test_sessionize_stateful_stream(spark, events, tmp_path):
         bounded_keys[k] -= 1
     got_keys = Counter((r["user_id"], r["session_start"], r["session_end"]) for r in got)
     assert got_keys == +bounded_keys
+
+
+def test_stream_dedup_matches_batch(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark over an at-least-once feed (every
+    third event delivered twice) returns the original event set — and
+    agrees with the bounded dropDuplicates path."""
+    from oc_meta_spark.streaming.windowed import dedup_events
+
+    feed = events.unionByName(events.filter(F.col("event_id") % 3 == 0))
+    batch_ids = sorted(r["event_id"] for r in dedup_events(feed).collect())
+    assert batch_ids == sorted(r["event_id"] for r in events.collect())
+
+    src = str(tmp_path / "dedup_src")
+    feed.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select * from dedup_stream").collect())
+    assert got == batch_ids
