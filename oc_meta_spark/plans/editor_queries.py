@@ -179,17 +179,20 @@ def pv1_prov_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PT1 — duplicate-partOf resolution over a synthesized 3-level hierarchy:
 # venue 'br/v<nation>' ← volume 'br/m<cust>' ← issue 'br/i<cust>'.  Each
 # case BR 'br/c<cust>' claims BOTH its volume and its issue (same venue ⇒
-# keep the issue); custkey%4==0 cases claim a volume from the NEXT nation
-# instead (different venues ⇒ manual review).
+# keep the issue); custkey%4==0 cases claim the NEXT customer's volume
+# (block-of-50 wrap, so the partner exists at every SF) — manual review
+# whenever that partner sits in a different venue.
 # ---------------------------------------------------------------------------
 @register(
     "PT1_duplicate_part_of_repair",
     """
-    WITH cust AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer WHERE c_custkey <= 400),
+    WITH cust AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer WHERE c_custkey < 400),
     cases AS (
+      -- partner = next customer within the same block of 50 (wraps): block
+      -- pairing is closed under every SF's customer count (multiples of 50)
       SELECT a.k, a.n AS own_n,
              CASE WHEN a.k % 4 = 0 THEN b.n ELSE a.n END AS vol_n
-      FROM cust a JOIN cust b ON b.k = (a.k % 400) + 1
+      FROM cust a JOIN cust b ON b.k = a.k - (a.k % 50) + ((a.k % 50) + 1) % 50
     )
     SELECT 'br/c' || CAST(k AS VARCHAR) AS br_omid,
            CASE WHEN own_n = vol_n THEN 'fixed' ELSE 'manual_review' END AS status,
@@ -202,7 +205,7 @@ def pv1_prov_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pt1_duplicate_part_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.patches import fix_duplicate_part_of
 
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
     k = F.col("c_custkey").cast("string")
     venues = cust.select(
         F.concat(F.lit("br/v"), F.col("c_nationkey").cast("string")).alias("omid"),
@@ -225,7 +228,10 @@ def pt1_duplicate_part_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(*[cols[c].alias(c) for c in ("omid", "type", "title", "pub_date", "seq_id", "part_of", "embodiment")])
 
     br = as_br(venues).unionByName(as_br(volumes)).unionByName(as_br(issues))
-    other_vol = F.concat(F.lit("br/m"), ((F.col("c_custkey") % 400) + 1).cast("string"))
+    partner = (
+        F.col("c_custkey") - (F.col("c_custkey") % 50) + ((F.col("c_custkey") % 50) + 1) % 50
+    )
+    other_vol = F.concat(F.lit("br/m"), partner.cast("string"))
     own_vol = F.concat(F.lit("br/m"), k)
     edges = (
         cust.select(
