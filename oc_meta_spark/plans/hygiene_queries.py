@@ -1,0 +1,122 @@
+"""Corpus-hygiene operators: benchmark decontamination and PII redaction.
+
+Two more steps a production training-data pipeline runs between dedup and
+shard-writing:
+
+- DC1 — decontamination: find corpus documents that share any word n-gram
+  with a benchmark/eval set.  Same inverted-index shape as the D18 Jaccard
+  join (explode n-grams, equi-join on the gram, aggregate per pair) —
+  candidate volume is O(shared grams), never corpus × benchmark.  At 100 TB
+  the benchmark side is tiny and broadcasts; the corpus side's gram
+  explosion is a narrow map feeding one shuffle keyed on the gram.
+- DC2 — PII redaction: regex rewrite of email-shaped and phone-shaped
+  substrings.  Pure per-row projection (scan-stage, zero shuffle); the
+  patterns use a dialect-neutral regex subset so the SQL oracle and the
+  JVM path agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+# benchmark set: every 50th document; 5-word grams
+_BENCH_MOD = 50
+_NGRAM = 5
+
+
+@register(
+    "DC1_benchmark_decontamination",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_NGRAM - 2})) AS i FROM words)
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id, b.bench_id
+    ORDER BY c.doc_id, b.bench_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any 5-gram with the eval set (inverted-index join, broadcastable benchmark side).",
+)
+def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(1, greatest(size(ws) - {_NGRAM - 1}, 0)), "
+        f"i -> concat_ws(' ', {', '.join(f'ws[i+{j}-1]' for j in range(_NGRAM))}))"
+    )
+    grams = docs.select("doc_id", F.explode(gram_arr).alias("g")).dropDuplicates(
+        ["doc_id", "g"]
+    )
+    bench = grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+# dialect-neutral patterns: no \\d / \\b shorthand differences — explicit
+# classes and anchors shared by RE2-style and Java regex engines
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PHONE_RE = "[+][0-9]{2}[- ][0-9]{3}[- ][0-9]{4,7}"
+
+
+@register(
+    "DC2_pii_redaction",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'contact me at user' || CAST(doc_id AS VARCHAR) || '@example.org thanks'
+               WHEN 1 THEN 'call +39 051 2098555 or +44 020 79460000 now'
+               WHEN 2 THEN 'no personal data here'
+               ELSE 'mixed a.b-c_d@mail.co and +12 345 67890 inline'
+             END AS text
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id, text,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+    FROM seeded ORDER BY doc_id
+    """,
+    doc="PII redaction: email/phone regex rewrite with per-doc match counts (scan-stage projection, zero shuffle).",
+)
+def dc2_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 400)
+    text = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("contact me at user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.org thanks")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("call +39 051 2098555 or +44 020 79460000 now"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("no personal data here"))
+        .otherwise(F.lit("mixed a.b-c_d@mail.co and +12 345 67890 inline"))
+    )
+    seeded = docs.select("doc_id", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return seeded.select(
+        "doc_id",
+        "text",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+    ).orderBy("doc_id")

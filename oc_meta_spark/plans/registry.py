@@ -59,5 +59,6 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
+    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
 
     return QUERIES

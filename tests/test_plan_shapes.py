@@ -123,3 +123,16 @@ def test_t6_aggregates_are_partial(spark):
     # never sort the corpus globally before aggregation
     plan = _plan(spark, "T6_repetition_signals")
     assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_dc1_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "DC1_benchmark_decontamination")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_dc2_redaction_is_scan_stage(spark):
+    plan = _plan(spark, "DC2_pii_redaction")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
+    assert not exchanges, exchanges
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
