@@ -264,8 +264,14 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
 
     Cells are compared order-insensitively (whitespace tokens sorted — the
     reference's normalize_row_ids canonicalization, test/test_utils.py:159)
-    so two serializations of the same id set don't flag."""
-    omid = F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1)
+    so two serializations of the same id set don't flag.
+
+    Rows whose id cell lacks an ``omid:br/...`` token cannot be keyed: they
+    are reported as ``malformed_id`` discrepancies on their own side and
+    EXCLUDED from the join (an empty-string extract would otherwise collapse
+    every malformed row on both sides onto one key, fanning out bogus
+    value_mismatch rows many-to-many)."""
+    omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1), F.lit(""))
 
     def cell(col_name: str) -> F.Column:
         toks = F.sort_array(F.split(F.trim(F.coalesce(F.col(col_name), F.lit(""))), r"\s+"))
@@ -276,6 +282,23 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
                        *[cell(c).alias(f"a_{c}") for c in cols])
     b = dumped.select(omid.alias("omid"), F.col("id").alias("b_id"),
                       *[cell(c).alias(f"b_{c}") for c in cols])
+
+    malformed = (
+        a.filter(F.col("omid").isNull()).select(
+            "omid", F.lit("malformed_id_in_curated").alias("kind"),
+            F.lit(None).cast("string").alias("column"),
+            F.col("a_id").alias("curated"), F.lit(None).cast("string").alias("dumped"),
+        )
+        .unionByName(
+            b.filter(F.col("omid").isNull()).select(
+                "omid", F.lit("malformed_id_in_export").alias("kind"),
+                F.lit(None).cast("string").alias("column"),
+                F.lit(None).cast("string").alias("curated"), F.col("b_id").alias("dumped"),
+            )
+        )
+    )
+    a = a.filter(F.col("omid").isNotNull())
+    b = b.filter(F.col("omid").isNotNull())
 
     joined = a.join(b, "omid", "full_outer")
     missing = joined.filter(F.col("b_id").isNull()).select(
@@ -296,7 +319,7 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
             F.col(f"a_{c}").alias("curated"), F.col(f"b_{c}").alias("dumped"),
         )
         mismatches = m if mismatches is None else mismatches.unionByName(m)
-    out = missing.unionByName(extra)
+    out = malformed.unionByName(missing).unionByName(extra)
     if mismatches is not None:
         out = out.unionByName(mismatches)
     return out

@@ -237,9 +237,14 @@ _SHINGLES_SQL = """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
+    # Guarded against Spark's descending sequence(1, 0): a sub-3-word doc
+    # must yield zero shingles, not spurious partials from concat_ws dropping
+    # the null out-of-range elements (the oracle's range(1, len-1) is empty).
     sh = F.expr(
-        "transform(sequence(1, greatest(size(ws) - 2, 0)), "
-        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) "
+        "ELSE array() END"
     )
     return (
         docs.select("doc_id", F.split("text", " ").alias("ws"))

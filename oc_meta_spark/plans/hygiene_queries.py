@@ -52,9 +52,16 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
+    # Guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], so an unguarded
+    # transform over sub-N-word docs would emit spurious partial grams
+    # (concat_ws silently drops the null out-of-range elements).  Docs with
+    # fewer than N words must produce zero grams, matching the oracle's
+    # range(1, len - N + 2) which is empty there.
     gram_arr = F.expr(
-        f"transform(sequence(1, greatest(size(ws) - {_NGRAM - 1}, 0)), "
-        f"i -> concat_ws(' ', {', '.join(f'ws[i+{j}-1]' for j in range(_NGRAM))}))"
+        f"CASE WHEN size(ws) >= {_NGRAM} THEN "
+        f"transform(sequence(1, size(ws) - {_NGRAM - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'ws[i+{j}-1]' for j in range(_NGRAM))})) "
+        f"ELSE array() END"
     )
     grams = docs.select("doc_id", F.explode(gram_arr).alias("g")).dropDuplicates(
         ["doc_id", "g"]

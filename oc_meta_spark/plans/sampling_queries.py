@@ -27,7 +27,12 @@ from oc_meta_spark.plans.registry import register
 from oc_meta_spark.sources.tables import load_table
 
 # Knuth's multiplicative constant; doc_id → pseudo-uniform 32-bit value.
+# doc_id is reduced modulo 2^31 BEFORE the multiply: 2^31 * 2654435761 ≈
+# 5.7e18 < 2^63-1, so the product stays in int64 range in every engine.
+# Unreduced, a doc_id above ~3.5e9 would overflow — Spark (non-ANSI) wraps
+# silently while DuckDB raises, breaking the cross-engine determinism claim.
 _KNUTH = 2654435761
+_M31 = 2147483648
 _M32 = 4294967296
 
 # mixing weights: fraction of each source to KEEP (everything else: 0.5);
@@ -48,16 +53,18 @@ def _rate_sql() -> str:
     "MX1_stratified_source_sample",
     f"""
     SELECT doc_id, source,
-           CAST((doc_id * {_KNUTH}) % {_M32} AS DOUBLE) / {_M32} AS u
+           CAST(((doc_id % {_M31}) * {_KNUTH}) % {_M32} AS DOUBLE) / {_M32} AS u
     FROM documents
-    WHERE CAST((doc_id * {_KNUTH}) % {_M32} AS DOUBLE) / {_M32} < {_rate_sql()}
+    WHERE CAST(((doc_id % {_M31}) * {_KNUTH}) % {_M32} AS DOUBLE) / {_M32} < {_rate_sql()}
     ORDER BY doc_id
     """,
     doc="Deterministic per-source stratified sampling via multiplicative hash (corpus mixing weights).",
 )
 def mx1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    u = ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)).cast("double") / F.lit(_M32)
+    u = (((F.col("doc_id") % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)).cast(
+        "double"
+    ) / F.lit(_M32)
     rate = F.lit(_DEFAULT_RATE)
     for s, r in sorted(_RATES.items()):
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)

@@ -209,27 +209,82 @@ def x3_lsh_bucketed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X4 — embedding-cosine near-duplicate pairs above a threshold, bucketed
-# (the embedding leg of the dedup family; threshold membership is stable
-# because cosines are bitwise identical across engines).
+# X4 — embedding-cosine near-duplicate pairs above a threshold.  Candidate
+# generation uses the SAME multi-table 16-bit sign-LSH blocking as X3 (2^16
+# buckets per table, two disjoint coordinate blocks): candidates are pairs
+# sharing a bucket in EITHER table, then an exact cosine verify applies the
+# threshold.  Round 1 flagged this structure on X3 and round 2 flagged it
+# here: a fixed 16-bucket blocking degenerates toward O(N²/16) at 100 TB,
+# while 2^16-bucket tables keep the per-bucket self-join bounded as N grows
+# (bucket occupancy ~N/65536 per table).  Threshold membership is stable
+# because cosines are bitwise identical across engines (sequential-fold
+# contract at module top).  The legacy 4-bit blocking survives only as a
+# recall-test configuration (``x4_neardup_4bit`` below, not registered).
 # ---------------------------------------------------------------------------
+_X4_THRESH = 0.3
+
+
 @register(
     "X4_embedding_neardup_pairs",
     f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_BUCKET.format(a='embedding')} AS bucket FROM embeddings
+      SELECT vec_id, embedding,
+             {_B1.format(a='embedding')} AS b1,
+             {_B2.format(a='embedding')} AS b2
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, x.vec_id AS vec_b
+      FROM b a JOIN b x ON a.b1 = x.b1 AND a.vec_id < x.vec_id
+      UNION
+      SELECT a.vec_id AS vec_a, x.vec_id AS vec_b
+      FROM b a JOIN b x ON a.b2 = x.b2 AND a.vec_id < x.vec_id
     )
-    SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            {_DOT.format(a='a.embedding', b='x.embedding')}
              / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) AS cosine
-    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    FROM cand c
+    JOIN b a ON a.vec_id = c.vec_a
+    JOIN b x ON x.vec_id = c.vec_b
     WHERE {_DOT.format(a='a.embedding', b='x.embedding')}
-             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) > 0.3
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) > {_X4_THRESH}
     ORDER BY vec_a, vec_b
     """,
-    doc="Bucketed cosine-threshold near-dup pairs (embedding dedup).",
+    doc="Embedding near-dup pairs: multi-table 16-bit sign-LSH blocking + exact cosine-threshold verify.",
 )
 def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket("embedding", LSH_BITS, 0).alias("b1"),
+        _bucket("embedding", LSH_BITS, LSH_BITS).alias("b2"),
+    )
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    x = b.select(F.col("vec_id").alias("vec_b"), F.col("b1").alias("x1"), F.col("b2").alias("x2"))
+    cand = (
+        a.join(x, (F.col("a1") == F.col("x1")) & (F.col("vec_a") < F.col("vec_b"))).select("vec_a", "vec_b")
+        .unionByName(
+            a.join(x, (F.col("a2") == F.col("x2")) & (F.col("vec_a") < F.col("vec_b"))).select("vec_a", "vec_b")
+        )
+        .dropDuplicates()
+    )
+    ea = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    ex = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ex"))
+    cos = _dot("ea", "ex") / (_norm("ea") * _norm("ex"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(ex, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > _X4_THRESH)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def x4_neardup_4bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy 4-bit/16-bucket blocking — recall-comparison test config only
+    (NOT registered; the coarse buckets over-generate candidates, so its
+    pair set is a superset used to pin the 16-bit variant's recall)."""
     emb = load_table(spark, "embeddings", sf_dir)
     b = emb.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
     a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
@@ -238,7 +293,7 @@ def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(x, (F.col("bucket") == F.col("bx")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") > 0.3)
+        .filter(F.col("cosine") > _X4_THRESH)
         .orderBy("vec_a", "vec_b")
     )
 

@@ -528,14 +528,21 @@ def t6_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     uq = w.groupBy("doc_id").agg(
         F.count("*").alias("n_words"), F.countDistinct("w").alias("n_uniq")
     )
+    # Guarded against Spark's descending sequence(1, 0): a 1-word doc must
+    # yield zero bigrams, not a spurious partial gram from concat_ws dropping
+    # the null out-of-range element.
     bg_arr = F.expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', ws[i-1], ws[i]))"
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i])) "
+        "ELSE array() END"
     )
     bg = docs.select("doc_id", F.explode(bg_arr).alias("g"))
     bgc = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     bga = bgc.groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_bg"))
     tg_arr = F.expr(
-        "transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) "
+        "ELSE array() END"
     )
     tg = docs.select("doc_id", F.explode(tg_arr).alias("g"))
     tgc = tg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
