@@ -112,6 +112,55 @@ def sparql_update(graph: Column, deletes: Column, inserts: Column) -> Column:
     )
 
 
+def own_triple_rows(catalog) -> "DataFrame":  # noqa: F821 — duck-typed EntityCatalog
+    """(entity_omid, t) — every entity's own triples, rendered exactly as a
+    DELETE-DATA body line.  Used by full-entity invalidation snapshots
+    (entity deletion, merge absorption): the snapshot's update_query is the
+    DELETE of the union of these per entity.  Duck-typed over the catalog
+    (attributes br/ra/re/id/entity_id/ar) to avoid a plans↔functions import
+    cycle.  Pure projections + one union — callers should semi-join their
+    target set BEFORE aggregating so only touched entities render."""
+
+    def rows(df, subj: str, column: str, obj: Column | None = None):
+        t = (
+            triple(F.col(subj), column, F.col(column))
+            if obj is None
+            else F.when(obj.isNotNull(), F.concat(uri(F.col(subj)), obj))
+        )
+        return df.select(F.col(subj).alias("entity_omid"), t.alias("t")).filter(
+            F.col("t").isNotNull()
+        )
+
+    datacite = "http://purl.org/spar/datacite/"
+    pro = "http://purl.org/spar/pro/"
+    parts = [
+        rows(catalog.br, "omid", "title"),
+        rows(catalog.br, "omid", "pub_date"),
+        rows(catalog.br, "omid", "seq_id"),
+        rows(catalog.br, "omid", "part_of"),
+        rows(catalog.br, "omid", "embodiment"),
+        rows(catalog.ra, "omid", "name"),
+        rows(catalog.ra, "omid", "family"),
+        rows(catalog.ra, "omid", "given"),
+        rows(catalog.re, "omid", "start_page"),
+        rows(catalog.re, "omid", "end_page"),
+        rows(catalog.id, "omid", "literal_value", obj=F.concat(
+            F.lit(f" <{PREDICATES['literal_value']}> "), literal(F.col("value")))),
+        rows(catalog.id, "omid", "uses_scheme", obj=F.concat(
+            F.lit(f" <{PREDICATES['uses_scheme']}> <{datacite}"), F.col("schema"), F.lit(">"))),
+        rows(catalog.entity_id, "entity_omid", "has_identifier", obj=F.concat(
+            F.lit(f" <{PREDICATES['has_identifier']}> "), uri(F.col("id_omid")))),
+        rows(catalog.ar, "omid", "with_role", obj=F.concat(
+            F.lit(f" <{PREDICATES['with_role']}> <{pro}"), F.col("role"), F.lit(">"))),
+        rows(catalog.ar, "omid", "is_held_by", obj=F.concat(
+            F.lit(f" <{PREDICATES['is_held_by']}> "), uri(F.col("ra_omid")))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver-side replay (tests / time-travel consumers).  Test-scale by design:
 # it reconstructs ONE entity's prior triple set from one snapshot's delta.

@@ -57,6 +57,12 @@ from oc_meta_spark.functions.cleaning import (
     normalize_hyphens,
 )
 from oc_meta_spark.functions.ids import clean_id_cell_udf
+from oc_meta_spark.functions.prov_deltas import (
+    kind_graph as _pd_kind_graph,
+    sparql_update as _pd_sparql_update,
+    triple as _pd_triple,
+    uri as _pd_uri,
+)
 from oc_meta_spark.functions.parsing import parse_agent_cell_udf
 from oc_meta_spark.functions.volume_issue import repair_vi_full_udf
 from oc_meta_spark.operators.cc import connected_components
@@ -1958,8 +1964,32 @@ def curate(
         # enrichment) — one snapshot per entity per batch
         .dropDuplicates()
     )
+    # SPARQL-update delta per modified entity (reference ProvSet,
+    # run/meta_process.py:280-288; rendering functions/prov_deltas.py):
+    # curation modifies an existing entity in exactly two ways — a new
+    # identifier link, or a given-name enrichment — both pure INSERTs.
+    ins_triples = (
+        entity_id_new.select(
+            "entity_omid",
+            F.concat(
+                _pd_uri(F.col("entity_omid")),
+                F.lit(" <http://purl.org/spar/datacite/hasIdentifier> "),
+                _pd_uri(F.col("id_omid")),
+            ).alias("t"),
+        )
+        .unionByName(
+            ra_updates.select(
+                F.col("omid").alias("entity_omid"),
+                _pd_triple(F.col("omid"), "given", F.col("given")).alias("t"),
+            ).filter(F.col("t").isNotNull())
+        )
+        .groupBy("entity_omid")
+        .agg(F.sort_array(F.collect_set("t")).alias("ins_ts"))
+    )
     prov_new = prov_new.unionByName(
-        modified.join(prev_max, "entity_omid", "left").select(
+        modified.join(prev_max, "entity_omid", "left")
+        .join(ins_triples, "entity_omid", "left")
+        .select(
             "entity_omid",
             (F.coalesce("prev_n", F.lit(0)) + 1).cast("int").alias("snapshot"),
             F.lit(batch_ts).alias("generated_at"),
@@ -1968,7 +1998,11 @@ def curate(
             F.lit(resp_agent).alias("resp_agent"),
             F.lit(None).cast("string").alias("primary_source"),
             F.lit("entity modified").alias("description"),
-            F.lit(None).cast("string").alias("update_query"),
+            _pd_sparql_update(
+                _pd_kind_graph(F.col("entity_omid")),
+                F.array().cast("array<string>"),
+                F.coalesce(F.col("ins_ts"), F.array().cast("array<string>")),
+            ).alias("update_query"),
         )
     )
 

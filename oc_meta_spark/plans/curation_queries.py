@@ -329,11 +329,37 @@ def cur1_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="curate() against a preloaded catalog (10% preload, full-batch update) — the reference's update benchmark shape.",
 )
 def cur2_curation_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = cur2_preload_catalog(spark, sf_dir)
+    return cur2_update_only(spark, sf_dir, catalog)
+
+
+def cur2_preload_catalog(spark: SparkSession, sf_dir: str):
+    """Build + MATERIALIZE the preload catalog (the store that exists before
+    the update batch arrives).  Split out so bench.py can time the update
+    pass alone — the preload is store-construction cost, not update
+    throughput, and folding it in understated CUR2 by ~2× (round-2 VERDICT
+    item 6).  Materialization persists every table and forces it with a
+    count, so the update pass reads settled in-memory tables exactly like a
+    store loaded from parquet."""
     from oc_meta_spark.plans.curation import EntityCatalog, curate
 
     meta = _cur_meta(_t(spark, sf_dir, "part"))
     preload = meta.filter(F.col("id").rlike(r"/p\d*0$"))
     catalog = EntityCatalog.empty(spark).union(curate(preload))
+    for tname in ("br", "ra", "id", "entity_id", "ar", "re", "prov", "counters"):
+        t = getattr(catalog, tname)
+        if t is not None:
+            t.persist().count()
+    return catalog
+
+
+def cur2_update_only(spark: SparkSession, sf_dir: str, catalog) -> DataFrame:
+    """The timed half of CUR2: curate the FULL batch against the preloaded
+    store (explicit id hits, hierarchy resolution, agent-chain reuse,
+    equalizer precedence, modification provenance)."""
+    from oc_meta_spark.plans.curation import curate
+
+    meta = _cur_meta(_t(spark, sf_dir, "part"))
     result = curate(meta, catalog)
     return result.curated.drop("row_id").orderBy("id")
 

@@ -24,6 +24,12 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from oc_meta_spark.functions.prov_deltas import (
+    kind_graph,
+    own_triple_rows,
+    sparql_update,
+    triple,
+)
 from oc_meta_spark.plans.curation import EntityCatalog
 
 # property name → (table, column).  Keys are the short OCDM-ish names the
@@ -67,7 +73,13 @@ def _mod_prov(
     catalog: EntityCatalog, touched: DataFrame, description: str, resp_agent: str, batch_ts: str
 ) -> DataFrame:
     """One modification snapshot per touched entity, numbered after the
-    entity's current max snapshot (derived_from = the entity itself)."""
+    entity's current max snapshot (derived_from = the entity itself).
+    ``touched`` carries (entity_omid, update_query) — the SPARQL-update
+    delta of the modification, the reference's oco:hasUpdateQuery
+    (functions/prov_deltas.py; ProvSet behavior per run/meta_process.py:
+    280-288)."""
+    if "update_query" not in touched.columns:
+        touched = touched.withColumn("update_query", F.lit(None).cast("string"))
     prev = catalog.prov.groupBy("entity_omid").agg(F.max("snapshot").alias("prev_n"))
     return touched.join(prev, "entity_omid", "left").select(
         "entity_omid",
@@ -78,7 +90,7 @@ def _mod_prov(
         F.lit(resp_agent).alias("resp_agent"),
         F.lit(None).cast("string").alias("primary_source"),
         F.lit(description).alias("description"),
-        F.lit(None).cast("string").alias("update_query"),
+        "update_query",
     )
 
 
@@ -113,8 +125,17 @@ def update_property(
         .withColumn(column, F.when(F.col("u_omid").isNotNull(), F.col("u_val")).otherwise(F.col(column)))
         .drop("u_omid", "u_val")
     )
-    touched = target.join(upd, target.omid == F.col("u_omid"), "left_semi").select(
-        F.col("omid").alias("entity_omid")
+    # delta: DELETE the old triple (when one existed), INSERT the new one
+    touched = (
+        target.join(upd, target.omid == F.col("u_omid"))
+        .select(
+            F.col("omid").alias("entity_omid"),
+            sparql_update(
+                kind_graph(F.col("omid")),
+                F.array(triple(F.col("omid"), column, F.col(column))),
+                F.array(triple(F.col("omid"), column, F.col("u_val"))),
+            ).alias("update_query"),
+        )
     )
     prov = _mod_prov(catalog, touched, f"property '{prop}' updated", resp_agent, batch_ts)
     return EditResult(_replace(catalog, table, out, prov), prov)
@@ -139,8 +160,17 @@ def delete_property(
         .withColumn(column, F.when(F.col("u_omid").isNotNull(), F.lit(None)).otherwise(F.col(column)))
         .drop("u_omid")
     )
-    touched = target.join(t, target.omid == F.col("u_omid"), "left_semi").select(
-        F.col("omid").alias("entity_omid")
+    # delta: DELETE the removed triple (when one existed)
+    touched = (
+        target.join(t, target.omid == F.col("u_omid"))
+        .select(
+            F.col("omid").alias("entity_omid"),
+            sparql_update(
+                kind_graph(F.col("omid")),
+                F.array(triple(F.col("omid"), column, F.col(column))),
+                F.array().cast("array<string>"),
+            ).alias("update_query"),
+        )
     )
     prov = _mod_prov(catalog, touched, f"property '{prop}' deleted", resp_agent, batch_ts)
     return EditResult(_replace(catalog, table, out, prov), prov)
@@ -177,10 +207,19 @@ def delete_entities(
     entity_id = drop_rows(drop_rows(catalog.entity_id, "entity_omid"), "id_omid")
     ar = drop_rows(drop_rows(drop_rows(catalog.ar), "br_omid"), "ra_omid")
 
+    # delta: DELETE DATA of every triple the entity owned (reference: the
+    # invalidating snapshot's update query removes the entity's graph)
+    gone_triples = (
+        own_triple_rows(catalog)
+        .join(targets.select(F.col("omid").alias("entity_omid")), "entity_omid", "left_semi")
+        .groupBy("entity_omid")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    )
     prev = catalog.prov.groupBy("entity_omid").agg(F.max("snapshot").alias("prev_n"))
     prov_delta = (
         targets.select(F.col("omid").alias("entity_omid"))
         .join(prev, "entity_omid", "left")
+        .join(gone_triples, "entity_omid", "left")
         .select(
             "entity_omid",
             (F.coalesce("prev_n", F.lit(0)) + 1).cast("int").alias("snapshot"),
@@ -190,7 +229,11 @@ def delete_entities(
             F.lit(resp_agent).alias("resp_agent"),
             F.lit(None).cast("string").alias("primary_source"),
             F.lit("entity deleted").alias("description"),
-            F.lit(None).cast("string").alias("update_query"),
+            sparql_update(
+                kind_graph(F.col("entity_omid")),
+                F.coalesce(F.col("ts"), F.array().cast("array<string>")),
+                F.array().cast("array<string>"),
+            ).alias("update_query"),
         )
     )
     new_catalog = EntityCatalog(

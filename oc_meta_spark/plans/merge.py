@@ -28,6 +28,13 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from oc_meta_spark.functions.prov_deltas import (
+    kind_graph,
+    own_triple_rows,
+    sparql_update,
+    triple,
+    uri,
+)
 from oc_meta_spark.operators.cc import connected_components
 from oc_meta_spark.operators.traversal import resolve_chains
 from oc_meta_spark.plans.curation import EntityCatalog
@@ -96,6 +103,48 @@ class MergeResult:
     n_merged: int
 
 
+def _absorb(
+    table: DataFrame, mapping: DataFrame, fields: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Default (non-Expression) merge semantics for one entity table:
+    drop merged rows, fill each survivor's EMPTY fields from its merged
+    entities (lowest-omid donor per field).  Returns (new_table,
+    fill_triples) where fill_triples is (entity_omid, t) — the INSERT
+    lines for the survivor's merge-snapshot update_query."""
+    donors = (
+        mapping.join(
+            table.withColumnRenamed("omid", "m_omid"), F.col("m") == F.col("m_omid")
+        )
+        .groupBy(F.col("s").alias("omid"))
+        .agg(
+            *[
+                F.expr(
+                    f"min_by({f}, CASE WHEN {f} IS NOT NULL AND {f} <> '' THEN m END)"
+                ).alias(f"_fill_{f}")
+                for f in fields
+            ]
+        )
+    )
+    kept = table.join(mapping.select(F.col("m").alias("omid")), "omid", "left_anti")
+    joined = kept.join(F.broadcast(donors), "omid", "left")
+    fill_parts = [
+        joined.select(
+            F.col("omid").alias("entity_omid"),
+            F.when(
+                F.nullif(F.col(f), F.lit("")).isNull(), triple(F.col("omid"), f, F.col(f"_fill_{f}"))
+            ).alias("t"),
+        ).filter(F.col("t").isNotNull())
+        for f in fields
+    ]
+    fills = fill_parts[0]
+    for p in fill_parts[1:]:
+        fills = fills.unionByName(p)
+    out = joined
+    for f in fields:
+        out = out.withColumn(f, F.coalesce(F.nullif(F.col(f), F.lit("")), F.col(f"_fill_{f}")))
+    return out.drop(*[f"_fill_{f}" for f in fields]), fills
+
+
 def apply_merges(
     catalog: EntityCatalog,
     instructions: DataFrame,
@@ -138,18 +187,36 @@ def apply_merges(
     # duplicates of a surviving chain slot (same br, role, ra).
     ar = rewrite(rewrite(catalog.ar, "br_omid"), "ra_omid").dropDuplicates(["br_omid", "role", "ra_omid"])
     # br: merged rows dropped (survivor keeps its own row — the reference's
-    # prefer_self); containment links rewritten to survivors.
+    # prefer_self, used ONLY when both entities are Expressions,
+    # core/editor.py:266-276); containment links rewritten to survivors.
     br = rewrite(catalog.br.join(merged_set, "omid", "left_anti"), "part_of")
-    ra = catalog.ra.join(merged_set, "omid", "left_anti")
+    # ra / re: NON-Expression kinds merge with oc_ocdm's default semantics
+    # (editor.py:275-276): the merged entity's literals fill the survivor's
+    # EMPTY fields (survivor's own values still win — absorption, not
+    # overwrite).  Donor value per field = the lowest-omid merged entity
+    # that has one (deterministic; the reference applies pairwise merges in
+    # instruction order, which plan_merges emits sorted).
+    ra, ra_fills = _absorb(catalog.ra, mapping, ["name", "family", "given"])
+    re_tbl, re_fills = _absorb(catalog.re, mapping, ["start_page", "end_page"])
     id_tbl = catalog.id  # ID entities themselves are deduped by D9 separately
-    re_tbl = catalog.re
 
     # Provenance: invalidation snapshot for merged; merge snapshot for
     # survivors with derived_from = [survivor, merged...] (≥2 ⇒ merge).
+    # Both carry SPARQL-update deltas (functions/prov_deltas.py; reference
+    # ProvSet via run/meta_process.py:280-288): the merged entity's snapshot
+    # DELETEs its own triples; the survivor's snapshot INSERTs what it
+    # gained — moved identifier links plus non-Expression absorption fills.
     prev_max = catalog.prov.groupBy("entity_omid").agg(F.max("snapshot").alias("prev_n"))
+    gone_triples = (
+        own_triple_rows(catalog)
+        .join(merged_set.withColumnRenamed("omid", "entity_omid"), "entity_omid", "left_semi")
+        .groupBy("entity_omid")
+        .agg(F.sort_array(F.collect_list("t")).alias("del_ts"))
+    )
     inval = (
         merged_set.withColumnRenamed("omid", "entity_omid")
         .join(prev_max, "entity_omid", "left")
+        .join(gone_triples, "entity_omid", "left")
         .select(
             "entity_omid",
             (F.coalesce("prev_n", F.lit(0)) + 1).cast("int").alias("snapshot"),
@@ -159,14 +226,40 @@ def apply_merges(
             F.lit(resp_agent).alias("resp_agent"),
             F.lit(None).cast("string").alias("primary_source"),
             F.lit("entity merged and invalidated").alias("description"),
-            F.lit(None).cast("string").alias("update_query"),
+            sparql_update(
+                kind_graph(F.col("entity_omid")),
+                F.coalesce(F.col("del_ts"), F.array().cast("array<string>")),
+                F.array().cast("array<string>"),
+            ).alias("update_query"),
         )
+    )
+    # survivor gains: identifier links that moved over (not already owned)
+    moved_links = (
+        catalog.entity_id.join(mapping, F.col("entity_omid") == F.col("m"))
+        .select(F.col("s").alias("entity_omid"), "id_omid")
+        .join(catalog.entity_id, ["entity_omid", "id_omid"], "left_anti")
+        .dropDuplicates()
+        .select(
+            "entity_omid",
+            F.concat(
+                uri(F.col("entity_omid")),
+                F.lit(" <http://purl.org/spar/datacite/hasIdentifier> "),
+                uri(F.col("id_omid")),
+            ).alias("t"),
+        )
+    )
+    gained = (
+        moved_links.unionByName(ra_fills)
+        .unionByName(re_fills)
+        .groupBy("entity_omid")
+        .agg(F.sort_array(F.collect_set("t")).alias("ins_ts"))
     )
     merge_snap = (
         mapping.groupBy("s")
         .agg(F.sort_array(F.collect_set("m")).alias("merged_list"))
         .withColumnRenamed("s", "entity_omid")
         .join(prev_max, "entity_omid", "left")
+        .join(gained, "entity_omid", "left")
         .select(
             "entity_omid",
             (F.coalesce("prev_n", F.lit(0)) + 1).cast("int").alias("snapshot"),
@@ -176,7 +269,11 @@ def apply_merges(
             F.lit(resp_agent).alias("resp_agent"),
             F.lit(None).cast("string").alias("primary_source"),
             F.lit("entities merged").alias("description"),
-            F.lit(None).cast("string").alias("update_query"),
+            sparql_update(
+                kind_graph(F.col("entity_omid")),
+                F.array().cast("array<string>"),
+                F.coalesce(F.col("ins_ts"), F.array().cast("array<string>")),
+            ).alias("update_query"),
         )
     )
     prov_delta = inval.unionByName(merge_snap)
