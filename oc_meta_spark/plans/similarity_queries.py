@@ -281,6 +281,99 @@ def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X6 — the same near-dup plan as X4 run over a corpus that CONTAINS planted
+# near-duplicates, so the oracle-checked result is non-trivial.  The synthetic
+# embeddings are near-random (max pairwise cosine < 0.5 at every SF), which
+# is the honest negative case for X4 — its 100-TB-safe blocking correctly
+# returns (almost) nothing there.  This gate augments the table inside the
+# query with perturbed copies of the first 40 vectors: coordinates 33..64
+# (outside BOTH sign-bit blocks) get x·0.9 + 0.01, giving cosine ≈ 0.99
+# pairs that share b1 and b2 by construction.  The perturbation is float→
+# double→float IEEE arithmetic, bitwise identical in both engines, so the
+# full pipeline — augmentation, blocking, exact verify — is hash-checked.
+# ---------------------------------------------------------------------------
+_X6_PLANT = 40
+_PERTURB_SQL = (
+    "list_concat(embedding[1:32], "
+    "list_transform(embedding[33:64], x -> CAST(CAST(x AS DOUBLE) * 0.9 + 0.01 AS FLOAT)))"
+)
+
+
+@register(
+    "X6_embedding_neardup_planted",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, {_PERTURB_SQL} AS embedding
+      FROM embeddings WHERE vec_id < {_X6_PLANT}
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             {_B1.format(a='embedding')} AS b1,
+             {_B2.format(a='embedding')} AS b2
+      FROM aug
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, x.vec_id AS vec_b
+      FROM b a JOIN b x ON a.b1 = x.b1 AND a.vec_id < x.vec_id
+      UNION
+      SELECT a.vec_id AS vec_a, x.vec_id AS vec_b
+      FROM b a JOIN b x ON a.b2 = x.b2 AND a.vec_id < x.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_DOT.format(a='a.embedding', b='x.embedding')}
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) AS cosine
+    FROM cand c
+    JOIN b a ON a.vec_id = c.vec_a
+    JOIN b x ON x.vec_id = c.vec_b
+    WHERE {_DOT.format(a='a.embedding', b='x.embedding')}
+             / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='x.embedding')}) > {_X4_THRESH}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="X4's near-dup plan over a corpus with planted perturbed copies — non-trivial oracle check of blocking + verify.",
+)
+def x6_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 32),
+            F.transform(
+                F.slice("embedding", 33, 32),
+                lambda x: (x.cast("double") * 0.9 + 0.01).cast("float"),
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    b = aug.select(
+        "vec_id",
+        "embedding",
+        _bucket("embedding", LSH_BITS, 0).alias("b1"),
+        _bucket("embedding", LSH_BITS, LSH_BITS).alias("b2"),
+    )
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    x = b.select(F.col("vec_id").alias("vec_b"), F.col("b1").alias("x1"), F.col("b2").alias("x2"))
+    cand = (
+        a.join(x, (F.col("a1") == F.col("x1")) & (F.col("vec_a") < F.col("vec_b"))).select("vec_a", "vec_b")
+        .unionByName(
+            a.join(x, (F.col("a2") == F.col("x2")) & (F.col("vec_a") < F.col("vec_b"))).select("vec_a", "vec_b")
+        )
+        .dropDuplicates()
+    )
+    ea = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    ex = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ex"))
+    cos = _dot("ea", "ex") / (_norm("ea") * _norm("ex"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(ex, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > _X4_THRESH)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def x4_neardup_4bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy 4-bit/16-bucket blocking — recall-comparison test config only
     (NOT registered; the coarse buckets over-generate candidates, so its
