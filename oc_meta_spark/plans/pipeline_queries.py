@@ -1,0 +1,192 @@
+"""End-to-end corpus-preparation pipeline gate (the LLM-side analog of
+CUR1): quality filter → exact dedup → deterministic stratified sample →
+per-source rollup, chained exactly as a training-data prep job would run
+them.  Each stage is an already-oracle-proven primitive (T1/T3 token and
+ratio stats, D8 hash dedup, MX1 multiplicative-hash sampling); this gate
+pins that they COMPOSE — filter pushdown through the dedup aggregate, one
+shuffle per keyed stage, no corpus-wide window.
+
+Determinism: every predicate is integer arithmetic (ratio thresholds are
+cross-multiplied, the sampling hash compares against a scaled integer), so
+both engines agree bitwise with no float contract needed.
+
+Scale notes (100 TB): the quality filter is a scan-stage projection and
+prunes first; dedup shuffles on md5(text) with map-side combine; the
+sample predicate is scan-local; the rollup is a small hash aggregate keyed
+on source.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+# quality gates: ≥ MIN_WORDS words, unique-word ratio ≥ 3/10
+_MIN_WORDS = 30
+_UNIQ_NUM, _UNIQ_DEN = 3, 10
+# sampling: keep u < 1/2 of the 32-bit hash space (MX1's reduced Knuth hash)
+_KNUTH = 2654435761
+_M31 = 2147483648
+_M32 = 4294967296
+_KEEP_NUM, _KEEP_DEN = 1, 2
+
+
+@register(
+    "P1_corpus_prep_pipeline",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM stats
+      WHERE n_words >= {_MIN_WORDS}
+        AND n_uniq * {_UNIQ_DEN} >= n_words * {_UNIQ_NUM}
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS h,
+             MIN(source) AS source, MIN(n_words) AS n_words
+      FROM quality GROUP BY md5(text)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE ((doc_id % {_M31}) * {_KNUTH}) % {_M32} * {_KEEP_DEN} < {_M32} * {_KEEP_NUM}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sampled GROUP BY source ORDER BY source
+    """,
+    doc="Corpus-prep pipeline: quality filter → exact dedup → hash sample → per-source rollup (stages compose; integer-only predicates).",
+)
+def p1_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_uniq"),
+    )
+    quality = stats.filter(
+        (F.col("n_words") >= _MIN_WORDS)
+        & (F.col("n_uniq") * _UNIQ_DEN >= F.col("n_words") * _UNIQ_NUM)
+    )
+    deduped = (
+        quality.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_words").alias("n_words"),
+        )
+    )
+    sampled = deduped.filter(
+        ((F.col("doc_id") % _M31) * _KNUTH) % _M32 * _KEEP_DEN < _M32 * _KEEP_NUM
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D23 — cross-document exact repeated-span removal (the "exact substring
+# dedup" of Lee et al. 2021, "Deduplicating Training Data Makes Language
+# Models Better" — public paper; suffix arrays there, relational n-gram
+# spans here).  Any 10-word span occurring in ≥2 distinct documents is
+# removed from EVERY document, and the gate returns the rewritten text's
+# fingerprint.  Scale shape: gram explosion is a narrow map (~10× words),
+# the duplicate-gram set is one hash aggregate keyed on the gram, covered
+# positions stay bounded by document length, and the rewrite is a per-row
+# lambda filter — no window over the corpus, no UDF.
+# ---------------------------------------------------------------------------
+_SPAN = 10
+
+
+@register(
+    "D23_cross_doc_span_dedup",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i,
+             {" || ' ' || ".join(f"ws[i+{j}]" for j in range(_SPAN))} AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN - 2})) AS i FROM words)
+    ),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT doc_id, i FROM g JOIN dup USING (g)),
+    covset AS (
+      SELECT doc_id, list(p) AS lp
+      FROM (SELECT DISTINCT doc_id, unnest(range(i, i + {_SPAN})) AS p FROM occ)
+      GROUP BY doc_id
+    ),
+    out AS (
+      SELECT w.doc_id,
+             len(w.ws) AS n_words,
+             CASE WHEN c.lp IS NULL THEN w.ws
+                  ELSE list_filter(w.ws, (x, ii) -> NOT list_contains(c.lp, ii))
+             END AS kept
+      FROM words w LEFT JOIN covset c USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — a fully-deduped doc must hash ''
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM out ORDER BY doc_id
+    """,
+    doc="Exact repeated-span removal: 10-word spans shared across documents are cut from every text (Lee et al. 2021 substring dedup, relational form).",
+)
+def d23_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    # (position, gram) pairs; guarded for sub-span docs (descending
+    # sequence(1,0) would emit spurious partials — see DC1/T6)
+    gram_structs = F.expr(
+        f"CASE WHEN size(ws) >= {_SPAN} THEN "
+        f"transform(sequence(1, size(ws) - {_SPAN - 1}), "
+        f"i -> struct(i AS i, concat_ws(' ', {', '.join(f'ws[i+{j}-1]' for j in range(_SPAN))}) AS g)) "
+        f"ELSE array() END"
+    )
+    grams = docs.select("doc_id", F.explode(gram_structs).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    occ = grams.join(dup, "g", "left_semi")
+    covset = (
+        occ.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (_SPAN - 1))).alias("p"))
+        .dropDuplicates(["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("lp"))
+    )
+    out = docs.join(covset, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.when(F.col("lp").isNull(), F.col("ws"))
+        .otherwise(F.filter("ws", lambda x, i: ~F.array_contains("lp", i + 1)))
+        .alias("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("kept", " ")).alias("cleaned_md5"),
+    ).orderBy("doc_id")

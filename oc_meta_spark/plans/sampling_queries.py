@@ -114,3 +114,122 @@ def mx2_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tok").cast("long").alias("cum_tok"),
         F.floor((F.col("cum_tok") - 1) / _BUDGET).cast("long").alias("bin"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MX3 — mixture rebalancing with epoch upsampling: given per-source mixing
+# WEIGHTS and a total token budget, compute how many full passes (epochs)
+# over each source to take plus a deterministic fractional pass for the
+# remainder — the domain-reweighting step of LLM corpus assembly (the
+# public DoReMi / Pile recipe shape: weights in, per-source duplication
+# factors out).  The fractional epoch reuses MX1's multiplicative hash as
+# the keep predicate, so the achieved token count is exact and identical
+# in both engines.
+#
+# Integer-exactness bound: products stay in int64 when per-source token
+# counts are below 2^31 (hash < 2^32 times tokens, remainder times 2^32).
+# At 100 TB, per-source totals exceed that — switch the remainder
+# predicate to the double form u < rem/tokens (bias < 2^-21) or split
+# sources into shards first; the plan shape is unchanged.
+#
+# Scale shape: two small aggregates (per-source rollup, scalar totals)
+# broadcast back; the remainder keep-test is a scan predicate on the fact
+# table; one final groupBy(source) — no window, no corpus-wide shuffle
+# beyond the keyed rollups.
+# ---------------------------------------------------------------------------
+_MX3_WMOD = 4  # weight_s = (source ordinal % 4) + 1 — a fixed mixing table
+
+
+@register(
+    "MX3_mixture_epoch_upsampling",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens,
+             CAST(CAST(substr(source, 4) AS INTEGER) % {_MX3_WMOD} + 1 AS BIGINT) AS weight
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS budget, CAST(SUM(weight) AS BIGINT) AS wsum
+      FROM per_src
+    ),
+    plan AS (
+      SELECT p.*, (t.budget * p.weight) // t.wsum AS target_tokens
+      FROM per_src p CROSS JOIN tot t
+    ),
+    epochs AS (
+      SELECT *, target_tokens // tokens AS full_epochs,
+             target_tokens % tokens AS rem_tokens
+      FROM plan
+    ),
+    rem_kept AS (
+      SELECT e.source, CAST(COALESCE(SUM(k.n_tok), 0) AS BIGINT) AS rem_achieved
+      FROM epochs e LEFT JOIN toks k
+        ON k.source = e.source
+       AND ((k.doc_id % {_M31}) * {_KNUTH}) % {_M32} * e.tokens < e.rem_tokens * {_M32}
+      GROUP BY e.source
+    )
+    SELECT e.source, e.n_docs, e.tokens, e.weight,
+           CAST(e.target_tokens AS BIGINT) AS target_tokens,
+           CAST(e.full_epochs AS BIGINT) AS full_epochs,
+           CAST(e.full_epochs * e.tokens + r.rem_achieved AS BIGINT) AS achieved_tokens
+    FROM epochs e JOIN rem_kept r ON r.source = e.source
+    ORDER BY e.source
+    """,
+    doc="Mixture rebalancing: per-source epoch upsampling to weighted token targets, hash-deterministic fractional pass.",
+)
+def mx3_mixture_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    ).withColumn(
+        "weight",
+        (F.substring("source", 4, 10).cast("int") % _MX3_WMOD + 1).cast("long"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("long").alias("budget"),
+        F.sum("weight").cast("long").alias("wsum"),
+    )
+    plan = per_src.join(F.broadcast(tot)).withColumn(
+        "target_tokens", F.floor((F.col("budget") * F.col("weight")) / F.col("wsum"))
+    )
+    epochs = plan.withColumn(
+        "full_epochs", F.floor(F.col("target_tokens") / F.col("tokens"))
+    ).withColumn(
+        "rem_tokens", F.col("target_tokens") % F.col("tokens")
+    )
+    e = F.broadcast(epochs.select("source", "tokens", "rem_tokens"))
+    u = ((F.col("doc_id") % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
+    rem_kept = (
+        e.join(
+            toks.select("doc_id", F.col("source").alias("ksrc"), "n_tok"),
+            (F.col("ksrc") == F.col("source"))
+            & (u * F.col("tokens") < F.col("rem_tokens") * F.lit(_M32)),
+            "left",
+        )
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("rem_achieved"))
+    )
+    return (
+        epochs.join(rem_kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "weight",
+            F.col("target_tokens").cast("long").alias("target_tokens"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            (F.col("full_epochs") * F.col("tokens") + F.col("rem_achieved"))
+            .cast("long")
+            .alias("achieved_tokens"),
+        )
+        .orderBy("source")
+    )

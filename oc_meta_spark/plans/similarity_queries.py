@@ -487,3 +487,99 @@ def x5_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "cosine", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public paper): cluster the
+# corpus by embedding (X5's deterministic k-centroid assignment), then
+# within each cluster drop every vector that has an eps-cosine semantic
+# duplicate with a smaller id (min-id survivor per dup group).  Run over
+# the X6 planted corpus so the oracle-checked result is non-trivial: the
+# planted perturbed copies (cos ≈ 0.99 to their originals) land in the
+# original's cell and are removed; the near-random base corpus survives.
+#
+# Scale shape: the centroid table broadcasts (k rows), assignment is one
+# narrow N×k map, and the eps self-join keys on the cell id — candidates
+# never cross cells.  Production k grows with N (SemDeDup uses ~100k
+# clusters at web scale) so cells stay bounded; k=16 is the test config.
+# ---------------------------------------------------------------------------
+_X7_EPS = 0.9
+
+
+@register(
+    "X7_semantic_dedup",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, {_PERTURB_SQL} AS embedding
+      FROM embeddings WHERE vec_id < {_X6_PLANT}
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               {_DOT.format(a='embedding', b='ce')}
+                 / ({_NORM.format(a='embedding')} * {_NORM.format(a='ce')}) DESC, cid) AS rn
+      FROM aug CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+              / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) > {_X7_EPS}
+    )
+    SELECT c.vec_id, c.cid, (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """,
+    doc="SemDeDup: k-centroid clustering + within-cluster eps-cosine dedup (min-id survivor), over the planted corpus.",
+)
+def x7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 32),
+            F.transform(
+                F.slice("embedding", 33, 32),
+                lambda x: (x.cast("double") * 0.9 + 0.01).cast("float"),
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    cos_vc = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    cells = (
+        aug.join(F.broadcast(cents))
+        .withColumn("_cos", cos_vc)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = cells.select(F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = cells.select(F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos_ab = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    dup = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_ab > _X7_EPS)
+        .select(F.col("id_b").alias("vec_id"))
+        .dropDuplicates()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.join(dup, "vec_id", "left")
+        .select("vec_id", "cid", F.col("_dup").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )

@@ -79,8 +79,21 @@ def _short(uri: str) -> str:
     return uri.removeprefix(_META)
 
 
+# Driver-side parsing budget: fixtures and store bootstraps only.  A real
+# dump must go through the partition-parallel JSON-LD reader (module
+# docstring) — fail loudly rather than quietly serialize a bulk load.
+_MAX_TURTLE_BYTES = 64 * 1024 * 1024
+
+
 def catalog_from_turtle(spark: SparkSession, text: str) -> EntityCatalog:
     """OCDM Turtle → EntityCatalog (the curate()-ready store shape)."""
+    if len(text) > _MAX_TURTLE_BYTES:
+        raise ValueError(
+            f"catalog_from_turtle is a driver-side fixture loader (got "
+            f"{len(text) / 1e6:.0f} MB > {_MAX_TURTLE_BYTES / 1e6:.0f} MB); "
+            "bulk RDF loads must use the JSON-LD reader "
+            "(plans/generate_csv.py), which parses partition-parallel."
+        )
     triples = parse_turtle(text)
     by_subject: dict[str, dict[str, list[str]]] = {}
     for s, p, o in triples:

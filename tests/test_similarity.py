@@ -118,3 +118,20 @@ def test_ivf_ann_recall_floor_vs_bruteforce(spark, sf_dir):
         got.setdefault(r["qid"], set()).add(r["vec_id"])
     recalls = [len(gt[q] & got.get(q, set())) / len(gt[q]) for q in gt]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_x7_semdedup_removes_planted(spark, sf_dir):
+    """X7's cluster-then-dedup must remove most planted semantic dups (the
+    perturbed copies, cos ≈ 0.99 to their originals) while keeping every
+    original: the min-id survivor rule always deletes the copy (id+100000),
+    and recall loss is limited to copies whose argmax centroid differs from
+    the original's (rare — the perturbation barely moves the direction)."""
+    from oc_meta_spark.plans.similarity_queries import _X6_PLANT, x7_semantic_dedup
+
+    df = x7_semantic_dedup(spark, sf_dir).cache()
+    removed = df.filter(~F.col("kept")).select("vec_id")
+    planted_removed = removed.filter(F.col("vec_id") >= 100000).count()
+    base_removed = removed.filter(F.col("vec_id") < 100000).count()
+    df.unpersist()
+    assert base_removed == 0, "an original was deleted"
+    assert planted_removed >= int(0.75 * _X6_PLANT), planted_removed
