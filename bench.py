@@ -32,6 +32,10 @@ HEADLINE = [
     "D8_exact_dedup",
     "D16_minhash_lsh_near_dup",
     "D18_jaccard_similarity_join",
+    "D23_cross_doc_span_dedup",
+    "P1_corpus_prep_pipeline",
+    "X7_semantic_dedup",
+    "MX3_mixture_epoch_upsampling",
     "X2_cosine_topk_bruteforce",
     "X3_lsh_bucketed_nn",
     "X5_ivf_ann",

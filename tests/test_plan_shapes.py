@@ -136,3 +136,42 @@ def test_dc2_redaction_is_scan_stage(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
     assert not exchanges, exchanges
     assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_d23_no_cartesian_and_gram_agg_hashes(spark):
+    # dup-gram detection is one hash aggregate on the gram + a left-semi
+    # equi-join back — never a document×document comparison
+    plan = _plan(spark, "D23_cross_doc_span_dedup")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_x7_eps_join_keys_on_cell(spark):
+    # the N×k centroid assignment is an intentional broadcast nested-loop
+    # (k rows, appears once per reuse of the cells subtree); the eps dedup
+    # self-join must key on the cell id — an EQUI join (sort-merge / hash),
+    # never cartesian candidate generation
+    plan = _plan(spark, "X7_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", plan), plan[:3000]
+    # every nested-loop in the plan is a centroid broadcast (k-row side)
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") == plan.count(
+        "BroadcastNestedLoopJoin"
+    ), plan[:3000]
+
+
+def test_p1_pipeline_single_scan_no_cartesian(spark):
+    # the composed pipeline reads documents once: quality predicate in the
+    # scan stage, dedup + rollup as keyed hash aggregates on top
+    plan = _plan(spark, "P1_corpus_prep_pipeline")
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mx3_totals_broadcast_back(spark):
+    # the scalar totals and the per-source epoch table are tiny — they must
+    # come back as broadcasts, never shuffle the fact table against them
+    plan = _plan(spark, "MX3_mixture_epoch_upsampling")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan[:3000]
