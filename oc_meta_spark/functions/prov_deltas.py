@@ -168,6 +168,37 @@ def own_triple_rows(catalog) -> "DataFrame":  # noqa: F821 — duck-typed Entity
 _BLOCK_RE = _re.compile(r"(DELETE|INSERT) DATA \{ GRAPH <[^>]*> \{ (.*?) \} \}")
 
 
+def append_snapshots(prov, delta):  # type: (DataFrame, DataFrame) -> DataFrame
+    """Append new snapshots and CLOSE each entity's previous head: oc_ocdm
+    sets ``prov:invalidatedAtTime`` on snapshot *n* when *n+1* is
+    generated, and the reference's post-merge audit checks exactly that
+    every non-last snapshot carries an invalidation time
+    (``run/merge/check_merged_ids_results.py:33-130``).  The previous
+    head's ``invalidated_at`` becomes the new snapshot's
+    ``generated_at``; already-closed snapshots are untouched.
+
+    One equi-join on ``entity_omid`` — the delta side is the batch's
+    entity set; at scale this is the read-modify-write a Delta MERGE
+    would express (see SCALING.md store notes)."""
+    head = delta.groupBy("entity_omid").agg(
+        F.min("snapshot").alias("_new_n"),
+        F.min("generated_at").alias("_new_ts"),
+    )
+    closed = (
+        prov.join(head, "entity_omid", "left")
+        .withColumn(
+            "invalidated_at",
+            F.when(
+                (F.col("snapshot") == F.col("_new_n") - 1)
+                & F.col("invalidated_at").isNull(),
+                F.col("_new_ts"),
+            ).otherwise(F.col("invalidated_at")),
+        )
+        .drop("_new_n", "_new_ts")
+    )
+    return closed.unionByName(delta)
+
+
 def parse_update(update_query: str) -> tuple[set[str], set[str]]:
     """→ (deleted_triples, inserted_triples) as sets of rendered triples."""
     deleted: set[str] = set()

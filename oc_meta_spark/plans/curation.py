@@ -58,6 +58,7 @@ from oc_meta_spark.functions.cleaning import (
 )
 from oc_meta_spark.functions.ids import clean_id_cell_udf
 from oc_meta_spark.functions.prov_deltas import (
+    append_snapshots,
     kind_graph as _pd_kind_graph,
     sparql_update as _pd_sparql_update,
     triple as _pd_triple,
@@ -191,7 +192,7 @@ class EntityCatalog:
             entity_id=self.entity_id.unionByName(delta.entity_id_new),
             ar=self.ar.unionByName(delta.ar_new),
             re=self.re.unionByName(delta.re_new),
-            prov=self.prov.unionByName(delta.prov_new),
+            prov=append_snapshots(self.prov, delta.prov_new),
             counters=delta.counters_new,
         )
 

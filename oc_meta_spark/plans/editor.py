@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from oc_meta_spark.functions.prov_deltas import (
+    append_snapshots,
     kind_graph,
     own_triple_rows,
     sparql_update,
@@ -100,7 +101,7 @@ def _replace(catalog: EntityCatalog, table: str, df: DataFrame, prov_delta: Data
         for f in ("br", "ra", "id", "entity_id", "ar", "re", "prov", "counters")
     }
     kwargs[table] = df
-    kwargs["prov"] = catalog.prov.unionByName(prov_delta)
+    kwargs["prov"] = append_snapshots(catalog.prov, prov_delta)
     return EntityCatalog(**kwargs)
 
 
@@ -243,7 +244,7 @@ def delete_entities(
         entity_id=entity_id,
         ar=ar,
         re=re,
-        prov=catalog.prov.unionByName(prov_delta),
+        prov=append_snapshots(catalog.prov, prov_delta),
         counters=catalog.counters,
     )
     return EditResult(new_catalog, prov_delta)

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from oc_meta_spark.functions.prov_deltas import (
+    append_snapshots,
     kind_graph,
     own_triple_rows,
     sparql_update,
@@ -287,7 +288,7 @@ def apply_merges(
             entity_id=entity_id,
             ar=ar,
             re=re_tbl,
-            prov=catalog.prov.unionByName(prov_delta),
+            prov=append_snapshots(catalog.prov, prov_delta),
         ),
         prov_delta=prov_delta,
         n_merged=n_merged,

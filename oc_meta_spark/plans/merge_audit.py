@@ -165,7 +165,7 @@ def audit_merges(catalog: EntityCatalog, instructions: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.max("snapshot").over(w).alias("mx"),
         F.min("snapshot").over(w).alias("mn"),
-        F.count_distinct(F.col("snapshot")).over(w).alias("nd"),
+        F.size(F.collect_set("snapshot").over(w)).alias("nd"),
     )
 
     def prov_issue(cond, issue: str, role_filter: str | None = None) -> DataFrame:
