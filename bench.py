@@ -36,6 +36,8 @@ HEADLINE = [
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",
+    "AS1_asof_attribution_join",
+    "RJ1_incident_window_join",
     "X2_cosine_topk_bruteforce",
     "X3_lsh_bucketed_nn",
     "X5_ivf_ann",

@@ -63,6 +63,7 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
     import oc_meta_spark.plans.pipeline_queries  # noqa: F401
     import oc_meta_spark.plans.curation_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
