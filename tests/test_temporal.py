@@ -88,3 +88,41 @@ def test_rj1_plan_is_equi_join(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_asof_matches_bruteforce_on_random_streams(spark):
+    """Seeded random streams with heavy ts collisions (500-second universe
+    for 300 rights) — the union+window plan must agree with the O(L·R)
+    brute force, max-(ts, id) pick, everywhere."""
+    import random
+
+    rnd = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lefts = [
+        (i, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(500)))
+        for i in range(200)
+    ]
+    rights = [
+        (
+            1000 + i,
+            rnd.randrange(5),
+            base + dt.timedelta(seconds=rnd.randrange(500)),
+            float(i),
+        )
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        rights, "r_id long, user_id long, c_ts timestamp_ntz, r_value double"
+    )
+    got = {
+        r.event_id: r.r_id
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="c_ts",
+            payload=["r_id", "r_value"], tiebreak="r_id",
+        ).collect()
+    }
+    for eid, key, lts in lefts:
+        cands = [(ts, rid) for rid, k, ts, _ in rights if k == key and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)
