@@ -190,3 +190,78 @@ def d23_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") - F.size("kept")).cast("long").alias("n_removed"),
         F.md5(F.array_join("kept", " ")).alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T7 — model-based quality classifier: the linear-classifier slot of the
+# public corpus pipelines (CCNet / GPT-3 / LLaMA data prep all gate
+# documents on a learned quality score; fasttext-style linear model over
+# surface features).  Fixed, documented weights over T3-style features;
+# the logistic link is replaced by the SOFTSIGN form
+#   sigma(z) ~ 0.5 + z / (2 * (1 + |z|))
+# because true exp() differs across libm implementations in the last ulp,
+# while +, *, /, abs are correctly-rounded IEEE ops — so the score is
+# bitwise identical in Spark and DuckDB (same association order written
+# out on both sides).  Decision boundary keep = (z >= 0) is unchanged by
+# the substitution (both links are monotone with sigma(0) = 0.5).
+#
+# Scale shape: narrow per-row map over one scan — no shuffle before the
+# final orderBy; weights are literals, never a join.
+# ---------------------------------------------------------------------------
+_T7_W = {
+    "bias": -2.1,
+    "n_words": 0.015,  # longer docs score higher, saturating via softsign
+    "uniq": 2.4,  # type-token ratio
+    "stop": 1.8,  # stopword fraction (natural text has stopwords)
+}
+_T7_STOP = ("the", "a", "of", "and", "to", "in")
+_T7_STOP_SQL = ", ".join(f"'{w}'" for w in _T7_STOP)
+
+
+@register(
+    "T7_quality_classifier",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_T7_STOP_SQL}))) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, n_words,
+             {_T7_W['bias']}e0 + {_T7_W['n_words']}e0 * n_words
+               + {_T7_W['uniq']}e0 * (CAST(n_uniq AS DOUBLE) / n_words)
+               + {_T7_W['stop']}e0 * (CAST(n_stop AS DOUBLE) / n_words) AS z
+      FROM feats
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           0.5e0 + z / (2e0 * (1e0 + abs(z))) AS score,
+           z >= 0 AS keep
+    FROM z ORDER BY doc_id
+    """,
+    doc="Model-based quality classifier: fixed-weight linear model over surface features, softsign link (IEEE-exact in both engines).",
+)
+def t7_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_uniq"),
+        F.size(F.filter(ws, lambda w: w.isin(*_T7_STOP))).alias("n_stop"),
+    )
+    # identical association order to the SQL: ((bias + a) + b) + c
+    z = (
+        F.lit(_T7_W["bias"])
+        + F.lit(_T7_W["n_words"]) * F.col("n_words")
+        + F.lit(_T7_W["uniq"]) * (F.col("n_uniq").cast("double") / F.col("n_words"))
+        + F.lit(_T7_W["stop"]) * (F.col("n_stop").cast("double") / F.col("n_words"))
+    )
+    zc = feats.withColumn("z", z)
+    return zc.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.lit(0.5) + F.col("z") / (F.lit(2) * (F.lit(1) + F.abs("z")))).alias("score"),
+        (F.col("z") >= 0).alias("keep"),
+    ).orderBy("doc_id")
