@@ -127,3 +127,148 @@ def dc2_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DC3 — FUZZY benchmark decontamination: DC1's exact 5-gram match misses
+# paraphrased leakage, so the public decontamination recipes pair it with
+# a near-dup pass (MinHash between corpus and benchmark — e.g. the GPT-3
+# appendix / open dataset-cleaning pipelines).  The benchmark side is
+# synthesized in-query as perturbed copies of the first 20 documents
+# (every 15th word dropped — high shingle overlap, zero exact 5-gram
+# guarantee), so the oracle-checked result is non-trivial: planted pairs
+# survive the true-Jaccard verify, cross noise does not.
+#
+# Plan shape: shingle → k=8 MinHash → 4 bands × 2 rows (band match prob
+# ≈ 1-(1-j²)⁴: ~0.9 at the planted j≈0.65, ~1% at noise j≈0.05) →
+# candidates on (band, bucket) equi-join — benchmark side tiny, broadcast
+# — → exact shingle-Jaccard verify ≥ 0.3.  Same block-then-verify 100 TB
+# shape as D16; determinism is exact (md5 minhashes, double division).
+# ---------------------------------------------------------------------------
+_DC3_BENCH_N = 20
+_DC3_DROP = 15
+_DC3_K = 8
+_DC3_ROWS_PER_BAND = 2
+_DC3_THRESH = "0.3e0"
+
+
+@register(
+    "DC3_fuzzy_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id + 500000 AS bench_id,
+             array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % {_DC3_DROP} != 0), ' ') AS text
+      FROM documents WHERE doc_id < {_DC3_BENCH_N}
+    ),
+    cs AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    ),
+    bs AS (
+      SELECT DISTINCT bench_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM (SELECT bench_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT bench_id, string_split(text, ' ') AS ws FROM bench))
+    ),
+    cmh AS (
+      SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM cs CROSS JOIN (SELECT unnest(range({_DC3_K})) AS k) GROUP BY doc_id, k
+    ),
+    bmh AS (
+      SELECT bench_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM bs CROSS JOIN (SELECT unnest(range({_DC3_K})) AS k) GROUP BY bench_id, k
+    ),
+    cb AS (
+      SELECT doc_id, k // {_DC3_ROWS_PER_BAND} AS band,
+             md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM cmh GROUP BY doc_id, k // {_DC3_ROWS_PER_BAND}
+    ),
+    bb AS (
+      SELECT bench_id, k // {_DC3_ROWS_PER_BAND} AS band,
+             md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM bmh GROUP BY bench_id, k // {_DC3_ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id, b.bench_id
+      FROM cb c JOIN bb b ON c.band = b.band AND c.bucket = b.bucket
+    ),
+    inter AS (
+      SELECT cand.doc_id, cand.bench_id, COUNT(*) AS ni
+      FROM cand
+      JOIN cs ON cs.doc_id = cand.doc_id
+      JOIN bs ON bs.bench_id = cand.bench_id AND bs.s = cs.s
+      GROUP BY cand.doc_id, cand.bench_id
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS nc FROM cs GROUP BY doc_id),
+    bsz AS (SELECT bench_id, COUNT(*) AS nb FROM bs GROUP BY bench_id)
+    SELECT i.doc_id, i.bench_id,
+           CAST(i.ni AS DOUBLE) / (c.nc + b.nb - i.ni) AS jaccard
+    FROM inter i
+    JOIN csz c ON c.doc_id = i.doc_id
+    JOIN bsz b ON b.bench_id = i.bench_id
+    WHERE CAST(i.ni AS DOUBLE) / (c.nc + b.nb - i.ni) >= {_DC3_THRESH}
+    ORDER BY i.doc_id, i.bench_id
+    """,
+    doc="Fuzzy decontamination: MinHash-banded corpus x benchmark near-dup with exact Jaccard verify, over in-query perturbed benchmark copies.",
+)
+def dc3_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.dedup_queries import _shingles
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < _DC3_BENCH_N).select(
+        (F.col("doc_id") + 500000).alias("bench_id"),
+        F.array_join(
+            F.filter(F.split("text", " "), lambda x, i: (i + 1) % _DC3_DROP != 0), " "
+        ).alias("text"),
+    )
+    cs = _shingles(docs)
+    bs = _shingles(bench.withColumnRenamed("bench_id", "doc_id")).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    ks = spark.range(_DC3_K).select(F.col("id").cast("int").alias("k"))
+
+    def minhash_bands(sh: DataFrame, key: str) -> DataFrame:
+        mh = (
+            sh.crossJoin(F.broadcast(ks))
+            .groupBy(key, "k")
+            .agg(F.min(F.md5(F.concat_ws("#", "s", "k"))).alias("h"))
+        )
+        return (
+            mh.withColumn("band", F.floor(F.col("k") / _DC3_ROWS_PER_BAND))
+            .groupBy(key, "band")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("k", "h"))),
+                            lambda x: x["h"],
+                        ),
+                        "|",
+                    )
+                ).alias("bucket")
+            )
+        )
+
+    cb = minhash_bands(cs, "doc_id")
+    bb = minhash_bands(bs, "bench_id")
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "bucket"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates()
+    )
+    inter = (
+        cand.join(cs, "doc_id")
+        .join(bs, ["bench_id", "s"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    csz = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    bsz = bs.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("nc") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(csz, "doc_id")
+        .join(F.broadcast(bsz), "bench_id")
+        .select("doc_id", "bench_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("doc_id", "bench_id")
+    )

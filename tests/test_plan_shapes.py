@@ -175,3 +175,20 @@ def test_mx3_totals_broadcast_back(spark):
     plan = _plan(spark, "MX3_mixture_epoch_upsampling")
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan[:3000]
+
+
+def test_t7_classifier_is_scan_stage(spark):
+    # the quality model is a narrow per-row map: no shuffle before the
+    # final orderBy, single scan
+    plan = _plan(spark, "T7_quality_classifier")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
+    assert not exchanges, exchanges
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+
+
+def test_dc3_blocks_then_verifies(spark):
+    # fuzzy decontamination must candidate on (band, bucket) — an equi
+    # join — and broadcast the tiny benchmark side; never corpus×benchmark
+    plan = _plan(spark, "DC3_fuzzy_decontamination")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
