@@ -5,8 +5,9 @@ keyless interval (range) join, built as scalable compositions.
   with ``right_ts <= left_ts`` (backward-inclusive).  NOT implemented as
   a theta-join (O(L·R) per key) but as the union+running-window form:
   tag both sides, union, one window per key ordered by (ts, side,
-  tiebreak), carry the right payload forward with ``last(ignorenulls)``,
-  keep left rows.  One shuffle on the key, one sort — the same cost as a
+  tiebreak), carry the right payload forward as a single packed struct
+  with ``last(ignorenulls)`` (so the payload is always one real right
+  row, never a per-column mixture), keep left rows.  One shuffle on the key, one sort — the same cost as a
   sort-merge join, independent of how many right rows precede each left
   row.  (The pattern pandas ``merge_asof`` / Flink temporal joins use,
   expressed relationally.)
@@ -52,21 +53,31 @@ def asof_join(
     ``payload`` columns; ``payload`` names must not collide with left
     columns.  Ties on ``right_ts`` resolve to the greatest ``tiebreak``.
     Left rows with no prior right row keep null payload.
+
+    The payload travels as ONE struct column: a right row's struct is
+    non-null even when individual fields are NULL, so a single
+    ``last(ignorenulls)`` always returns the whole latest right row
+    verbatim (NULL fields included).  Per-column fills would instead
+    backfill a NULL field from an OLDER right row, producing a torn row
+    that matches no real right row.
     """
+    import pyspark.sql.types as T
+
     l_cols = left.columns
+    pay_type = T.StructType([T.StructField(p, right.schema[p].dataType) for p in payload])
     lu = left.select(
         *l_cols,
         F.lit(1).alias("_side"),
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None).cast(pay_type).alias("_payload"),
     )
     ru = right.select(
         *[F.lit(None).cast(left.schema[c.name].dataType).alias(c.name) if c.name != key else F.col(key) for c in left.schema],
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_ts"),
         F.col(tiebreak).alias("_tie"),
-        *payload,
+        F.struct(*payload).alias("_payload"),
     )
     u = lu.unionByName(ru)
     # rights sort before lefts at equal ts (inclusive semantics); among
@@ -79,9 +90,12 @@ def asof_join(
     filled = u.select(
         *l_cols,
         F.col("_side"),
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(*l_cols, *[F.col(f"_payload.{p}").alias(p) for p in payload])
+    )
 
 
 def interval_join(
