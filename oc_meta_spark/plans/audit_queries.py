@@ -16,9 +16,10 @@ Synthesis (k = c_custkey < 400; all arithmetic shared by both engines):
   · missing survivor k=200 · nameless survivor k≡80 (mod 160) ·
   identifier-less survivor k≡40 (mod 100) · surviving head invalidated
   k≡0 (mod 120) · first snapshot derived k≡0 (mod 160) · merge snapshot
-  not self-derived k≡40 (mod 160) · merged creation snapshot dropped
-  k≡1 (mod 200) (fires both chain-length checks) · merged head left
-  open k≡41 (mod 120).
+  not self-derived k≡40 (mod 160) · merge snapshot deriving ONLY from
+  itself (not multi-derived) k≡120 (mod 160) · merged creation snapshot
+  dropped k≡1 (mod 200) (fires both chain-length checks) · merged head
+  left open k≡41 (mod 120).
 """
 
 from __future__ import annotations
@@ -60,6 +61,8 @@ def _omid(col) -> F.Column:
         FROM surv WHERE k % 160 = 0
       UNION ALL SELECT 'snapshot not derived from own chain', COUNT(*)
         FROM surv WHERE k % 160 = 40
+      UNION ALL SELECT 'merge snapshot not multi-derived', COUNT(*)
+        FROM surv WHERE k % 160 = 120
       UNION ALL SELECT 'merged entity not invalidated', COUNT(*)
         FROM mrg WHERE k % 120 = 41
       UNION ALL SELECT 'fewer than two snapshots', COUNT(*)
@@ -134,6 +137,7 @@ def ma1_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("invalidated_at"),
         F.when(F.col("k") % 160 == 40, F.array(partner, _omid(F.col("k"))))
+        .when(F.col("k") % 160 == 120, self_arr)  # merge snapshot deriving only from itself
         .otherwise(F.array(_omid(F.col("k")), partner))
         .alias("derived_from"),
         F.lit("agent").alias("resp_agent"),

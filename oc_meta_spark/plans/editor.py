@@ -189,7 +189,10 @@ def delete_entities(
     held by or contexting the entity removed, identifier links dropped),
     and an invalidation snapshot closes the provenance chain — deleted
     entities stay visible in history, like merged ones."""
-    t = F.broadcast(targets.select(F.col("omid").alias("gone")))
+    # Unhinted: deletion target lists are usually tiny (AQE broadcasts them
+    # at runtime), but a bulk purge could be arbitrarily large — a static
+    # broadcast hint would force executor OOM in that case.
+    t = targets.select(F.col("omid").alias("gone"))
 
     def drop_rows(df: DataFrame, col: str = "omid") -> DataFrame:
         return df.join(t, df[col] == F.col("gone"), "left_anti")

@@ -146,6 +146,12 @@ def dc2_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape as D16; determinism is exact (md5 minhashes, double division).
 # ---------------------------------------------------------------------------
 _DC3_BENCH_N = 20
+# Synthetic benchmark ids live at doc_id + this offset; the constant is
+# baked into the oracle SQL, so the builder asserts max(doc_id) < offset
+# at run time and fails loudly instead of letting real ids silently
+# collide with planted ones above the safe scale factor (sf0.1 max
+# doc_id ≈ 2e3).
+_DC3_OFFSET = 500000
 _DC3_DROP = 15
 _DC3_K = 8
 _DC3_ROWS_PER_BAND = 2
@@ -156,7 +162,7 @@ _DC3_THRESH = "0.3e0"
     "DC3_fuzzy_decontamination",
     f"""
     WITH bench AS (
-      SELECT doc_id + 500000 AS bench_id,
+      SELECT doc_id + {_DC3_OFFSET} AS bench_id,
              array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % {_DC3_DROP} != 0), ' ') AS text
       FROM documents WHERE doc_id < {_DC3_BENCH_N}
     ),
@@ -214,9 +220,12 @@ _DC3_THRESH = "0.3e0"
 def dc3_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.dedup_queries import _shingles
 
+    from oc_meta_spark.plans.similarity_queries import assert_planted_offset_safe
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    assert_planted_offset_safe(docs, "doc_id", _DC3_OFFSET, "DC3_fuzzy_decontamination")
     bench = docs.filter(F.col("doc_id") < _DC3_BENCH_N).select(
-        (F.col("doc_id") + 500000).alias("bench_id"),
+        (F.col("doc_id") + _DC3_OFFSET).alias("bench_id"),
         F.array_join(
             F.filter(F.split("text", " "), lambda x, i: (i + 1) % _DC3_DROP != 0), " "
         ).alias("text"),

@@ -127,7 +127,12 @@ def _absorb(
         )
     )
     kept = table.join(mapping.select(F.col("m").alias("omid")), "omid", "left_anti")
-    joined = kept.join(F.broadcast(donors), "omid", "left")
+    # No broadcast hint: the donor table has one row per surviving entity,
+    # which is unbounded in a corpus-scale dedup campaign (D9/D10 at 10^8
+    # ids).  AQE still picks a broadcast join at runtime when the side is
+    # actually small; a static F.broadcast hint would force it regardless
+    # of size and OOM the executors.
+    joined = kept.join(donors, "omid", "left")
     fill_parts = [
         joined.select(
             F.col("omid").alias("entity_omid"),
@@ -171,9 +176,13 @@ def apply_merges(
     mapping = final.select(F.col("merged_entity").alias("m"), F.col("surviving_entity").alias("s"))
 
     def rewrite(df: DataFrame, col: str) -> DataFrame:
+        # Unhinted join: the merged→survivor mapping is one row per merged
+        # entity — small in an incremental batch, unbounded in a full-corpus
+        # dedup campaign.  Let AQE choose broadcast vs shuffle at runtime
+        # from the mapping's actual size.
         m = mapping.withColumnRenamed("m", col)
         return (
-            df.join(F.broadcast(m), col, "left")
+            df.join(m, col, "left")
             .withColumn(col, F.coalesce("s", col))
             .drop("s")
         )

@@ -162,6 +162,7 @@ def audit_merges(catalog: EntityCatalog, instructions: DataFrame) -> DataFrame:
         "invalidated_at",
         "generated_at",
         "derived_from",
+        "description",
         F.count(F.lit(1)).over(w).alias("n"),
         F.max("snapshot").over(w).alias("mx"),
         F.min("snapshot").over(w).alias("mn"),
@@ -214,6 +215,16 @@ def audit_merges(catalog: EntityCatalog, instructions: DataFrame) -> DataFrame:
         ),
         "snapshot not derived from own chain",
     )
+    # Merge snapshots must be MULTI-derived (survivor chain + ≥1 merged
+    # entity): the reference treats ≥2 wasDerivedFrom as the merge marker
+    # (run/find/merged_entities.py:23-65), so a merge-described snapshot
+    # deriving only from itself is a broken merge record even though its
+    # derived_from[0] is its own chain.
+    merge_underived = prov_issue(
+        (F.col("description") == "entities merged")
+        & (F.size("derived_from") < 2),
+        "merge snapshot not multi-derived",
+    )
     # entities in the merge list with no provenance at all
     no_prov = (
         participants.join(
@@ -242,6 +253,7 @@ def audit_merges(catalog: EntityCatalog, instructions: DataFrame) -> DataFrame:
         merged_live,
         first_derived,
         later_underived,
+        merge_underived,
         no_prov,
     ):
         out = out.unionByName(part)

@@ -294,10 +294,52 @@ def x4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full pipeline — augmentation, blocking, exact verify — is hash-checked.
 # ---------------------------------------------------------------------------
 _X6_PLANT = 40
+# Planted copies get ids shifted by this offset.  The oracle SQL bakes the
+# constant in, so it cannot scale with the data: if a real vec_id ever
+# reaches the offset, planted ids would silently collide with real rows and
+# corrupt the X6/X7 gate semantics with no failure signal.  The builders
+# therefore assert max(vec_id) < offset at run time (one narrow max-agg over
+# a tiny gate table) and fail loudly instead.  sf0.1 max vec_id is 1999.
+_PLANT_OFFSET = 100000
 _PERTURB_SQL = (
     "list_concat(embedding[1:32], "
     "list_transform(embedding[33:64], x -> CAST(CAST(x AS DOUBLE) * 0.9 + 0.01 AS FLOAT)))"
 )
+
+
+def assert_planted_offset_safe(
+    df: DataFrame, id_col: str, offset: int, gate: str
+) -> None:
+    """Fail loudly if real ids reach the planted-id offset (see
+    _PLANT_OFFSET note).  Cost: one max-agg job over a single narrow
+    column of a gate-scale table."""
+    mx = df.agg(F.max(id_col).alias("mx")).first()["mx"]
+    if mx is not None and mx >= offset:
+        raise ValueError(
+            f"{gate}: max({id_col})={mx} >= planted-id offset {offset}; "
+            "planted rows would collide with real ids and silently corrupt "
+            "the oracle — raise the offset constant (in BOTH the builder "
+            "and the oracle SQL) before running at this scale factor"
+        )
+
+
+def _augmented_corpus(emb: DataFrame, gate: str) -> DataFrame:
+    """The X6/X7 planted corpus: the base embeddings plus perturbed copies
+    of the first _X6_PLANT vectors at vec_id + _PLANT_OFFSET (cos ≈ 0.99
+    to their originals; float→double→float IEEE arithmetic, bitwise
+    identical in Spark and DuckDB)."""
+    assert_planted_offset_safe(emb, "vec_id", _PLANT_OFFSET, gate)
+    planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 32),
+            F.transform(
+                F.slice("embedding", 33, 32),
+                lambda x: (x.cast("double") * 0.9 + 0.01).cast("float"),
+            ),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
 
 
 @register(
@@ -306,7 +348,7 @@ _PERTURB_SQL = (
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, {_PERTURB_SQL} AS embedding
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id, {_PERTURB_SQL} AS embedding
       FROM embeddings WHERE vec_id < {_X6_PLANT}
     ),
     b AS (
@@ -336,17 +378,7 @@ _PERTURB_SQL = (
 )
 def x6_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.slice("embedding", 1, 32),
-            F.transform(
-                F.slice("embedding", 33, 32),
-                lambda x: (x.cast("double") * 0.9 + 0.01).cast("float"),
-            ),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(planted)
+    aug = _augmented_corpus(emb, "X6_embedding_neardup_planted")
     b = aug.select(
         "vec_id",
         "embedding",
@@ -502,8 +534,27 @@ def x5_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the centroid table broadcasts (k rows), assignment is one
 # narrow N×k map, and the eps self-join keys on the cell id — candidates
 # never cross cells.  Production k grows with N (SemDeDup uses ~100k
-# clusters at web scale) so cells stay bounded; k=16 is the test config.
+# clusters at web scale) so cells stay bounded; round-5: k is now
+# parametrized by corpus size (x7_cluster_count: ceil(N/128) with an IVF_K
+# floor), identically in builder and oracle.
 # ---------------------------------------------------------------------------
+# Production k grows with N: SemDeDup bounds the within-cell eps self-join
+# by keeping cell populations near a constant (~_X7_TARGET_CELL vectors per
+# cell; the paper uses ~100k clusters at web scale).  k is a pure integer
+# function of the augmented corpus size, computed identically in the Spark
+# builder (driver-side count) and the DuckDB oracle (scalar subquery with
+# the same ceil-division arithmetic), so the two engines always pick the
+# same centroid set.  The IVF_K floor keeps the gate config stable at test
+# scale (k = 16 for every shipped sf; growth kicks in above ~2048 vectors).
+_X7_TARGET_CELL = 128
+
+
+def x7_cluster_count(n_corpus: int) -> int:
+    """SemDeDup cell count for an n_corpus-vector corpus: ceil(n/128)
+    with an IVF_K floor — linear in N so cells stay bounded."""
+    return max(IVF_K, -(-n_corpus // _X7_TARGET_CELL))
+
+
 _X7_EPS = 0.9
 
 
@@ -513,12 +564,16 @@ _X7_EPS = 0.9
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, {_PERTURB_SQL} AS embedding
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id, {_PERTURB_SQL} AS embedding
       FROM embeddings WHERE vec_id < {_X6_PLANT}
     ),
     c AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+      SELECT cid, ce FROM (
+        SELECT vec_id AS cid, embedding AS ce,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn
+        FROM embeddings
+      ) WHERE crn <= GREATEST({IVF_K},
+          ((SELECT COUNT(*) FROM aug) + {_X7_TARGET_CELL - 1}) // {_X7_TARGET_CELL})
     ),
     assign AS (
       SELECT vec_id, embedding, cid,
@@ -542,20 +597,11 @@ _X7_EPS = 0.9
 )
 def x7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.slice("embedding", 1, 32),
-            F.transform(
-                F.slice("embedding", 33, 32),
-                lambda x: (x.cast("double") * 0.9 + 0.01).cast("float"),
-            ),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(planted)
+    aug = _augmented_corpus(emb, "X7_semantic_dedup")
+    k = x7_cluster_count(aug.count())
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(IVF_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     )
     cos_vc = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))

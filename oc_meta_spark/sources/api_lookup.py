@@ -106,11 +106,17 @@ def enrich_from_api(
     df: DataFrame,
     fetch: Fetch | None = None,
     id_col: str = "id",
-    broadcast_lookup: bool = True,
+    broadcast_lookup: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Join API metadata onto fact rows: distinct-fetch then equi-join
-    (duplicated ids cost one call, not one per row)."""
+    (duplicated ids cost one call, not one per row).
+
+    ``broadcast_lookup`` defaults to False: the lookup table has one row
+    per distinct id, which at corpus scale (10^8 distinct DOIs) would OOM
+    executors under a forced broadcast.  AQE still broadcasts it at
+    runtime when it is actually small; pass True only when the caller
+    KNOWS the id set is bounded."""
     lookup = fetch_metadata_table(df, fetch=fetch, id_col=id_col, **kwargs)
     if broadcast_lookup:
         lookup = F.broadcast(lookup)

@@ -131,6 +131,25 @@ def test_merge_history_chains(spark, catalog):
     assert hist == {"br/02": "br/01", "br/03": "br/01"}
 
 
+def test_apply_merges_has_no_static_broadcast_hint(spark):
+    """Scale pin (round-5 fix): the merged→survivor mapping and the
+    _absorb donor table are unbounded in a corpus-scale dedup campaign,
+    so the merge path must NOT carry an explicit broadcast hint — a
+    static ``F.broadcast`` cannot be overridden by AQE and becomes an
+    executor-OOM trigger at 10^8 ids.  AQE still broadcasts at runtime
+    when the side is actually small; this asserts nobody re-adds the
+    hint (it shows up as ResolvedHint in the analyzed logical plan)."""
+    cat = _catalog(spark)
+    instr = spark.createDataFrame(
+        [("br/01", "br/02")], ["surviving_entity", "merged_entity"]
+    )
+    res = apply_merges(cat, instr)
+    for name in ("br", "ra", "re", "entity_id", "ar", "prov"):
+        df = getattr(res.catalog, name)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, f"{name}: static broadcast hint\n{analyzed[:2000]}"
+
+
 def test_apply_merges_chain_collapse(spark):
     """Instructions with chains (C→B, B→A) must resolve to A directly."""
     cat = _catalog(spark)

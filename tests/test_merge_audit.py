@@ -146,3 +146,25 @@ def test_append_snapshots_only_closes_predecessor(spark):
     assert rows[("br/01", 2)] == "t2"  # predecessor closed with new time
     assert rows[("br/01", 3)] is None
     assert rows[("br/02", 1)] is None  # unrelated entity untouched
+
+
+def test_merge_snapshot_must_be_multi_derived(spark, merged):
+    """Round-5 fix: a merge-described snapshot deriving ONLY from itself
+    passes the derived_from[0]==self check but is still a broken merge
+    record — the reference marks merges by >=2 wasDerivedFrom
+    (run/find/merged_entities.py:23-65)."""
+    res, instr = merged
+    cat = res.catalog
+    is_merge_head = (F.col("entity_omid") == "br/01") & (F.col("snapshot") == 2)
+    bad_prov = cat.prov.withColumn(
+        "derived_from",
+        F.when(is_merge_head, F.array(F.lit("br/01"))).otherwise(F.col("derived_from")),
+    )
+    bad = EntityCatalog(
+        br=cat.br, ra=cat.ra, id=cat.id, entity_id=cat.entity_id,
+        ar=cat.ar, re=cat.re, prov=bad_prov,
+    )
+    found = {(i.omid, i.issue) for i in audit_merges(bad, instr).collect()}
+    assert ("br/01", "merge snapshot not multi-derived") in found
+    # and ONLY that new issue appears: self-derivation chain is intact
+    assert ("br/01", "snapshot not derived from own chain") not in found

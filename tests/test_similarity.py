@@ -135,3 +135,38 @@ def test_x7_semdedup_removes_planted(spark, sf_dir):
     df.unpersist()
     assert base_removed == 0, "an original was deleted"
     assert planted_removed >= int(0.75 * _X6_PLANT), planted_removed
+
+
+def test_planted_offset_guard_fails_loudly(spark):
+    """Round-5 guard: ids at/above the planted offset must raise instead of
+    silently colliding with planted rows (X6/X7/DC3 oracle corruption)."""
+    import pytest
+
+    from oc_meta_spark.plans.similarity_queries import (
+        _PLANT_OFFSET,
+        assert_planted_offset_safe,
+    )
+
+    ok = spark.createDataFrame([(0,), (1999,)], "vec_id long")
+    assert_planted_offset_safe(ok, "vec_id", _PLANT_OFFSET, "X6")  # no raise
+    bad = spark.createDataFrame([(0,), (_PLANT_OFFSET,)], "vec_id long")
+    with pytest.raises(ValueError, match="planted-id offset"):
+        assert_planted_offset_safe(bad, "vec_id", _PLANT_OFFSET, "X6")
+
+
+def test_x7_cluster_count_scales_with_corpus():
+    """Cell-count scaling pin: k stays at the IVF_K floor for gate-scale
+    corpora and grows linearly (bounded ~128-vector cells) beyond it."""
+    from oc_meta_spark.plans.similarity_queries import (
+        IVF_K,
+        _X7_TARGET_CELL,
+        x7_cluster_count,
+    )
+
+    assert x7_cluster_count(540) == IVF_K     # sf0.01 augmented corpus
+    assert x7_cluster_count(2040) == IVF_K    # sf0.1 augmented corpus
+    assert x7_cluster_count(10_000) == 79     # ceil(10000/128)
+    assert x7_cluster_count(1_000_000) == 7813
+    # bounded cells: population never exceeds target once k leaves the floor
+    for n in (10_000, 123_457, 1_000_000):
+        assert n / x7_cluster_count(n) <= _X7_TARGET_CELL

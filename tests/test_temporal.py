@@ -41,6 +41,32 @@ def test_asof_backward_inclusive_ties_and_missing(spark):
     assert got[3] == (None, None)
 
 
+def test_asof_null_payload_is_atomic(spark):
+    # Regression pin for the round-4 struct-packing fix: the as-of match
+    # must take the latest right ROW atomically (pandas merge_asof
+    # semantics).  If the latest row carries a NULL payload field, the
+    # left row receives that NULL — a torn per-column last(ignorenulls)
+    # would backfill the field from an OLDER row instead.  AS1's bench
+    # data has no NULL payloads, which is exactly how the original bug
+    # stayed invisible; this hand-built frame is the only thing pinning it.
+    left = spark.createDataFrame(
+        [(1, 10, _ts(20))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(5), 100, 1.0),    # older row with a real r_value
+            (10, _ts(15), 101, None),  # latest row: r_value is NULL
+        ],
+        "user_id long, c_ts timestamp_ntz, r_id long, r_value double",
+    )
+    [row] = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="c_ts",
+        payload=["r_id", "r_value"], tiebreak="r_id",
+    ).collect()
+    assert row.r_id == 101
+    assert row.r_value is None  # NOT 1.0 backfilled from r_id=100
+
+
 def test_interval_join_bucket_boundaries(spark):
     # interval straddles a bucket boundary; points at both inclusive ends
     iv = spark.createDataFrame(
