@@ -274,7 +274,12 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1), F.lit(""))
 
     def cell(col_name: str) -> F.Column:
-        toks = F.sort_array(F.split(F.trim(F.coalesce(F.col(col_name), F.lit(""))), r"\s+"))
+        # brackets become standalone tokens before the sort so two group
+        # serializations that differ only in id ORDER inside the brackets
+        # ("[issn:x omid:y]" vs "[omid:y issn:x]" — the dump puts omids
+        # first, the curator last) canonicalize identically
+        spaced = F.regexp_replace(F.coalesce(F.col(col_name), F.lit("")), r"([\[\]])", r" $1 ")
+        toks = F.sort_array(F.split(F.trim(spaced), r"\s+"))
         return F.array_join(toks, " ")
 
     cols = [c for c in curated.columns if c in set(dumped.columns) and c not in ("id", "row_id")]

@@ -2099,14 +2099,19 @@ def curate(
                 F.lit(""),
             ),
             F.lit(" ["),
+            # nullif: no stray space when the venue has no external ids yet
+            # (same concat_ws empty-string pitfall as a_ids_str)
             F.concat_ws(
                 " ",
-                F.array_join(
-                    F.concat(
-                        F.array_distinct(v_batch_toks),
-                        F.array_except(F.coalesce(F.col("v_cat_toks"), arr_empty), v_batch_toks),
+                F.nullif(
+                    F.array_join(
+                        F.concat(
+                            F.array_distinct(v_batch_toks),
+                            F.array_except(F.coalesce(F.col("v_cat_toks"), arr_empty), v_batch_toks),
+                        ),
+                        " ",
                     ),
-                    " ",
+                    F.lit(""),
                 ),
                 F.concat(F.lit("omid:"), F.col("venue_omid")),
             ),
@@ -2162,17 +2167,24 @@ def curate(
         )
         .withColumn(
             "a_ids_str",
+            # nullif: an id-less agent must serialize as "[omid:ra/x]", not
+            # "[ omid:ra/x]" — concat_ws skips NULL parts but keeps the
+            # separator for empty strings (reference format, e.g.
+            # test/testcases: "Name [omid:ra/0614]")
             F.concat_ws(
                 " ",
-                F.array_join(
-                    F.concat(
-                        F.array_distinct(F.coalesce(F.col("ra_b_toks"), arr_empty)),
-                        F.array_except(
-                            F.coalesce(F.col("ra_c_toks"), arr_empty),
-                            F.coalesce(F.col("ra_b_toks"), arr_empty),
+                F.nullif(
+                    F.array_join(
+                        F.concat(
+                            F.array_distinct(F.coalesce(F.col("ra_b_toks"), arr_empty)),
+                            F.array_except(
+                                F.coalesce(F.col("ra_c_toks"), arr_empty),
+                                F.coalesce(F.col("ra_b_toks"), arr_empty),
+                            ),
                         ),
+                        " ",
                     ),
-                    " ",
+                    F.lit(""),
                 ),
                 F.concat(F.lit("omid:"), F.col("ra_omid")),
             ),

@@ -368,25 +368,39 @@ def cur2_update_only(spark: SparkSession, sf_dir: str, catalog) -> DataFrame:
 # RT1 — inverse ETL round trip: curate a small batch, export the catalog to
 # JSON-LD rows, re-import them through the RDF→CSV dump (rows-only: the
 # full pipeline is not one SQL statement; its components are gated above).
+# RT2 projects the same trip to DuckDB-checkable fixpoint invariants.
 # ---------------------------------------------------------------------------
-@register(
-    "RT1_rdf_csv_round_trip",
-    None,
-    doc="curate → JSON-LD export → generate_csv dump; returns the dumped 11-column rows (S9/S11 inverse ETL).",
-)
-def rt1_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oc_meta_spark.plans.curation import EntityCatalog, curate
-    from oc_meta_spark.plans.generate_csv import dump_csv, parse_jsonld
-    from oc_meta_spark.sources.export import entity_jsonld_rows
+def _rt_meta(part: DataFrame, constant_venue: bool) -> DataFrame:
+    """The round-trip input batch synthesized from part (p_partkey ≤ 50).
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
-    meta = part.select(
+    ``constant_venue=False`` (RT1) keeps each row's own p_type as the venue
+    display name — exercising the dump's canonical-name resolution, which
+    makes the venue column deliberately NOT a fixpoint.  ``True`` (RT2)
+    pins one display name so every column round-trips exactly; RT2 also
+    plants a shared ORCID on every 5th author so external-id ordering
+    across the trip (curator appends the omid, the dump leads with it) is
+    exercised under the canonicalized comparison."""
+    venue = (
+        F.lit("Reference Venue [issn:2049-3630]")
+        if constant_venue
+        else F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]"))
+    )
+    author = F.concat(F.lit("Maker, "), F.col("p_brand"))
+    if constant_venue:
+        author = F.concat(
+            author,
+            F.when(F.col("p_partkey") % 5 == 0, F.lit(" [orcid:0000-0001-5109-3700]")).otherwise(
+                F.lit("")
+            ),
+        )
+    tag = "rt2" if constant_venue else "rt"
+    return part.filter(F.col("p_partkey") <= 50).select(
         F.col("p_partkey").alias("row_id"),
-        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit("/rt"), F.col("p_partkey").cast("string")).alias("id"),
+        F.concat(F.lit("doi:10."), (4000 + F.col("p_partkey") % 100).cast("string"), F.lit(f"/{tag}"), F.col("p_partkey").cast("string")).alias("id"),
         F.col("p_name").alias("title"),
-        F.concat(F.lit("Maker, "), F.col("p_brand")).alias("author"),
+        author.alias("author"),
         F.lit("2024-01").alias("pub_date"),
-        F.concat(F.col("p_type"), F.lit(" [issn:2049-3630]")).alias("venue"),
+        venue.alias("venue"),
         (F.col("p_size") % 5 + 1).cast("string").alias("volume"),
         F.lit("").alias("issue"),
         F.lit("").alias("page"),
@@ -394,10 +408,89 @@ def rt1_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("publisher"),
         F.lit("").alias("editor"),
     )
+
+
+def _rt_trip(spark: SparkSession, sf_dir: str, constant_venue: bool):
+    """curate → JSON-LD export → parse → CSV dump; returns (curated, dumped)."""
+    from oc_meta_spark.plans.curation import EntityCatalog, curate
+    from oc_meta_spark.plans.generate_csv import dump_csv, parse_jsonld
+    from oc_meta_spark.sources.export import entity_jsonld_rows
+
+    meta = _rt_meta(_t(spark, sf_dir, "part"), constant_venue)
     result = curate(meta)
     catalog = EntityCatalog.empty(spark).union(result)
     jsonld = entity_jsonld_rows(catalog).select("jsonld")
-    return dump_csv(parse_jsonld(jsonld)).orderBy("id")
+    return result.curated, dump_csv(parse_jsonld(jsonld))
+
+
+@register(
+    "RT1_rdf_csv_round_trip",
+    None,
+    doc="curate → JSON-LD export → generate_csv dump; returns the dumped 11-column rows (S9/S11 inverse ETL).",
+)
+def rt1_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, dumped = _rt_trip(spark, sf_dir, constant_venue=False)
+    return dumped.orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# RT2 — the round-trip FIXPOINT oracle (round-6: the RT1 partial oracle,
+# CUR3/CUR4 invariant-projection technique).  The trip's output cannot
+# hash-match a SQL recompute (minted omids), but its fixpoint structure is
+# derivable from the raw part table: every curated article row must come
+# back from the export→import trip with identical cell content (compared
+# under check_export_consistency's bracket-token canonicalization), the
+# only extra dumped row is the ONE venue journal entity (the dump emits
+# Journal BRs as rows and skips JournalVolume/JournalIssue — reference
+# run/meta/generate_csv.py:383-390), and nothing goes missing or
+# malformed.  A lossy export, a mis-parsed JSON-LD field, a broken chain
+# reconstruction, or a dropped entity each break a distinct counter.
+# ---------------------------------------------------------------------------
+@register(
+    "RT2_round_trip_fixpoint",
+    """
+    WITH s AS (
+      SELECT COUNT(DISTINCT p_partkey) AS n FROM part WHERE p_partkey <= 50
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'rows_curated' AS metric, n FROM s
+      UNION ALL SELECT 'rows_dumped', n + 1 FROM s
+      UNION ALL SELECT 'extra_in_export', 1
+      UNION ALL SELECT 'missing_in_export', 0
+      UNION ALL SELECT 'value_mismatch', 0
+      UNION ALL SELECT 'malformed_id_in_curated', 0
+      UNION ALL SELECT 'malformed_id_in_export', 0
+    ) ORDER BY metric
+    """,
+    doc="Round-trip fixpoint invariants: per-kind row counts + zero cross-trip discrepancies — the RT1 partial oracle.",
+)
+def rt2_round_trip_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    curated, dumped = _rt_trip(spark, sf_dir, constant_venue=True)
+    disc = check_export_consistency(curated, dumped)
+    kinds = (
+        "extra_in_export",
+        "missing_in_export",
+        "value_mismatch",
+        "malformed_id_in_curated",
+        "malformed_id_in_export",
+    )
+    base = (
+        curated.agg(F.count(F.lit(1)).cast("long").alias("rows_curated"))
+        .crossJoin(dumped.agg(F.count(F.lit(1)).cast("long").alias("rows_dumped")))
+        .crossJoin(
+            disc.agg(
+                *[F.count(F.when(F.col("kind") == k, 1)).cast("long").alias(k) for k in kinds]
+            )
+        )
+    )
+    stack = ", ".join(f"'{m}', {m}" for m in ("rows_curated", "rows_dumped", *kinds))
+    return (
+        base.selectExpr(f"stack(7, {stack}) AS (metric, n)")
+        .select("metric", F.col("n").cast("long").alias("n"))
+        .orderBy("metric")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +525,133 @@ def vr1_check_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = curate(meta)
     catalog = EntityCatalog.empty(spark).union(result)
     return check_results(result.curated, catalog).counters
+
+
+# ---------------------------------------------------------------------------
+# VR2 — the check_results COUNTER oracle (round-6: the VR1 partial oracle,
+# MA1's planted-violation pattern).  check_results runs over an
+# EntityCatalog the DuckDB oracle cannot build, so this gate synthesizes
+# a curated frame + store FROM the customer table with one violation
+# family per residue class mod 20 (k = c_custkey < 500; all arithmetic
+# shared by both engines), drives the REAL kernel, and re-derives the
+# 15-counter FileResult vector independently in SQL (reference
+# run/meta/check_results.py:46-85 counter semantics):
+#
+# - every row: "doi:10.1/vr<k> omid:br/<k>" with the store linking the
+#   doi to br/<k> and one creation snapshot per br;
+# - k≡2:  extra unverifiable-schema token  → identifiers_skipped_unverifiable
+# - k≡3:  extra pmid absent from the store → identifiers_without_omids
+# - k≡5:  extra ISSN with a bad check digit → identifiers_skipped_invalid
+# - k≡7:  store links the doi to br/<k+1000> → identifiers_with_omid_mismatch,
+#         and br/<k+1000> has no provenance → omids_without_provenance
+# - k≡11: csv omid token is br/<k+2000> (absent) → data_graphs_missing +
+#         prov_graphs_missing, and the doi probe disagrees → mismatch
+# - k≡13: br/<k> has no provenance snapshot → prov_graphs_missing +
+#         omids_without_provenance
+# ---------------------------------------------------------------------------
+@register(
+    "VR2_check_results_planted",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 500),
+    s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE k % 20 = 2) AS c2,
+             COUNT(*) FILTER (WHERE k % 20 = 3) AS c3,
+             COUNT(*) FILTER (WHERE k % 20 = 5) AS c5,
+             COUNT(*) FILTER (WHERE k % 20 = 7) AS c7,
+             COUNT(*) FILTER (WHERE k % 20 = 11) AS c11,
+             COUNT(*) FILTER (WHERE k % 20 = 13) AS c13
+      FROM ks
+    )
+    SELECT CAST(n AS BIGINT) AS total_rows,
+           CAST(n AS BIGINT) AS rows_with_ids,
+           CAST(2 * n + c2 + c3 + c5 AS BIGINT) AS total_identifiers,
+           CAST(n AS BIGINT) AS omid_schema_identifiers,
+           CAST(c5 AS BIGINT) AS identifiers_skipped_invalid,
+           CAST(c2 AS BIGINT) AS identifiers_skipped_unverifiable,
+           CAST(n - c7 - c11 AS BIGINT) AS identifiers_with_omids,
+           CAST(c3 AS BIGINT) AS identifiers_without_omids,
+           CAST(c7 + c11 AS BIGINT) AS identifiers_with_omid_mismatch,
+           CAST(n - c11 AS BIGINT) AS data_graphs_found,
+           CAST(c11 AS BIGINT) AS data_graphs_missing,
+           CAST(n - c11 - c13 AS BIGINT) AS prov_graphs_found,
+           CAST(c11 + c13 AS BIGINT) AS prov_graphs_missing,
+           CAST(n - c7 - c13 AS BIGINT) AS omids_with_provenance,
+           CAST(c7 + c13 AS BIGINT) AS omids_without_provenance
+    FROM s
+    """,
+    doc="check_results FileResult counters over a synthesized store with one planted violation per residue class — the VR1 partial oracle.",
+)
+def vr2_check_results_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.check_results import check_results
+    from oc_meta_spark.plans.curation import EntityCatalog
+    from oc_meta_spark.schemas import ENTITY_TABLES
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500).select(
+        F.col("c_custkey").alias("k"), (F.col("c_custkey") % 20).alias("r")
+    )
+    _br = lambda col: F.concat(F.lit("br/"), col.cast("string"))
+    claimed = F.when(F.col("r") == 11, _br(F.col("k") + 2000)).otherwise(_br(F.col("k")))
+    extra = (
+        F.when(F.col("r") == 2, F.concat(F.lit(" zzz:x"), F.col("k").cast("string")))
+        .when(F.col("r") == 3, F.concat(F.lit(" pmid:77"), F.col("k").cast("string")))
+        .when(F.col("r") == 5, F.lit(" issn:0000-0002"))
+        .otherwise(F.lit(""))
+    )
+    curated = ks.select(
+        F.col("k").alias("row_id"),
+        F.concat(
+            F.lit("doi:10.1/vr"), F.col("k").cast("string"), F.lit(" omid:"), claimed, extra
+        ).alias("id"),
+        F.lit("").alias("author"),
+        F.lit("").alias("editor"),
+        F.lit("").alias("publisher"),
+        F.lit("").alias("venue"),
+    )
+    br = (
+        ks.select(_br(F.col("k")).alias("omid"))
+        .unionByName(ks.filter(F.col("r") == 7).select(_br(F.col("k") + 1000).alias("omid")))
+        .select(
+            "omid",
+            F.lit("journal article").alias("type"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("pub_date"),
+            F.lit(None).cast("string").alias("seq_id"),
+            F.lit(None).cast("string").alias("part_of"),
+            F.lit(None).cast("string").alias("embodiment"),
+        )
+    )
+    id_tbl = ks.select(
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("omid"),
+        F.lit("doi").alias("schema"),
+        F.concat(F.lit("10.1/vr"), F.col("k").cast("string")).alias("value"),
+    )
+    entity_id = ks.select(
+        F.when(F.col("r") == 7, _br(F.col("k") + 1000)).otherwise(_br(F.col("k"))).alias("entity_omid"),
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("id_omid"),
+    )
+    prov = ks.filter(F.col("r") != 13).select(
+        _br(F.col("k")).alias("entity_omid"),
+        F.lit(1).alias("snapshot"),
+        F.lit("2024-01-01T00:00:00").alias("generated_at"),
+        F.lit(None).cast("string").alias("invalidated_at"),
+        F.array(F.lit("x")).cast("array<string>").alias("derived_from"),
+        F.lit(None).cast("string").alias("resp_agent"),
+        F.lit(None).cast("string").alias("primary_source"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("update_query"),
+    )
+    empty = lambda name: spark.createDataFrame([], ENTITY_TABLES[name])
+    catalog = EntityCatalog(
+        br=br,
+        ra=empty("ra"),
+        id=id_tbl,
+        entity_id=entity_id,
+        ar=empty("ar"),
+        re=empty("re"),
+        prov=prov,
+    )
+    return check_results(curated, catalog).counters
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +792,11 @@ def cur4_curation_update_invariants(spark: SparkSession, sf_dir: str) -> DataFra
         skip_entity_kinds=("br:journal", "br:journal volume"),
         skip_issn_links=True,
     )
+    # materialize the (tiny) invariant projection BEFORE unpersisting the
+    # preload catalog it reads through — otherwise the caller's collect
+    # recomputes the whole preload lineage the materialization exists to
+    # settle (round-6 ADVICE)
+    out = out.localCheckpoint(eager=True)
     for tname in ("br", "ra", "id", "entity_id", "ar", "re", "prov", "counters"):
         t = getattr(catalog, tname)
         if t is not None:
@@ -640,8 +865,12 @@ def _invariant_projection(
         F.regexp_count(F.col("author"), F.lit(r"omid:ra/")).alias("a_refs"),
         F.regexp_count(F.col("publisher"), F.lit(r"omid:ra/")).alias("p_refs"),
         F.regexp_count(F.col("editor"), F.lit(r"omid:ra/")).alias("e_refs"),
-        F.regexp_extract(F.col("venue"), r"omid:(br/\S+)", 1).alias("v_omid"),
-        F.regexp_extract(F.col("author"), r"omid:(ra/\S+)", 1).alias("a_omid"),
+        # [^\]\s] not \S: the omid is usually the LAST token inside the
+        # bracket block, and \S+ would swallow the closing "]" (round-6
+        # ADVICE — distinct-counts held anyway, but the extracted value
+        # must be a clean omid if ever joined against catalog tables)
+        F.regexp_extract(F.col("venue"), r"omid:(br/[^\]\s]+)", 1).alias("v_omid"),
+        F.regexp_extract(F.col("author"), r"omid:(ra/[^\]\s]+)", 1).alias("a_omid"),
     )
     parts.append(
         c.agg(

@@ -383,8 +383,13 @@ def dump_csv(entities: DataFrame) -> DataFrame:
         )
         return agg.select(
             "e",
+            # nullif: entities with no literal ids serialize as "omid:x"
+            # without a trailing separator (concat_ws keeps the separator
+            # for empty strings, only skips NULLs)
             F.concat_ws(
-                " ", F.concat(F.lit("omid:"), F.col("e")), F.array_join("toks", " ")
+                " ",
+                F.concat(F.lit("omid:"), F.col("e")),
+                F.nullif(F.array_join("toks", " "), F.lit("")),
             ).alias("id_str"),
         )
 

@@ -52,29 +52,29 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-5 order: the dedup / text gates
-    (D16-D21, T6) were modified by the round-3 shingle-guard commit after
-    their last recorded rows, so they lead; hygiene / audit / temporal /
-    curation / similarity follow because round 5 touches them (planted-id
-    guards, merge-audit multi-derived check, asof regression, curation
-    invariant oracle, X7 k-parametrization); families whose rows are
-    current (fidelity/editor/stream/sampling/multimodal/pipeline/analytics)
-    register last.
+    predates a code change, first.  Round-6 order: editor (ED1's module was
+    touched in round 5 after its last recorded row) and the analytics
+    family (rows date from round 2) lead; graph (G3 likewise r2-stale)
+    next; curation (new RT2/VR2 oracles + serializer fix this round),
+    similarity (guard fold this round), and hygiene / audit / temporal /
+    multimodal fill the remaining prefix.  Families with current rows and
+    untouched code (dedup/text/fidelity/stream/sampling/pipeline) register
+    last.
     """
-    import oc_meta_spark.plans.dedup_queries  # noqa: F401
-    import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.editor_queries  # noqa: F401
+    import oc_meta_spark.plans.analytics  # noqa: F401
+    import oc_meta_spark.plans.graph_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
     import oc_meta_spark.plans.temporal_queries  # noqa: F401
-    import oc_meta_spark.plans.curation_queries  # noqa: F401
-    import oc_meta_spark.plans.similarity_queries  # noqa: F401
-    import oc_meta_spark.plans.graph_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.dedup_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
-    import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.pipeline_queries  # noqa: F401
-    import oc_meta_spark.plans.analytics  # noqa: F401
 
     return QUERIES

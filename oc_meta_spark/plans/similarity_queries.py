@@ -307,13 +307,8 @@ _PERTURB_SQL = (
 )
 
 
-def assert_planted_offset_safe(
-    df: DataFrame, id_col: str, offset: int, gate: str
-) -> None:
-    """Fail loudly if real ids reach the planted-id offset (see
-    _PLANT_OFFSET note).  Cost: one max-agg job over a single narrow
-    column of a gate-scale table."""
-    mx = df.agg(F.max(id_col).alias("mx")).first()["mx"]
+def _check_offset_value(mx, id_col: str, offset: int, gate: str) -> None:
+    """The pure guard: raise if an observed max id reaches the offset."""
     if mx is not None and mx >= offset:
         raise ValueError(
             f"{gate}: max({id_col})={mx} >= planted-id offset {offset}; "
@@ -323,12 +318,25 @@ def assert_planted_offset_safe(
         )
 
 
-def _augmented_corpus(emb: DataFrame, gate: str) -> DataFrame:
+def assert_planted_offset_safe(
+    df: DataFrame, id_col: str, offset: int, gate: str
+) -> None:
+    """Fail loudly if real ids reach the planted-id offset (see
+    _PLANT_OFFSET note).  Cost: one max-agg job over a single narrow
+    column of a gate-scale table.  Builders that already run a stats
+    action over the same table should instead fold max(id) into that
+    job and call _check_offset_value (X7 does)."""
+    mx = df.agg(F.max(id_col).alias("mx")).first()["mx"]
+    _check_offset_value(mx, id_col, offset, gate)
+
+
+def _augmented_corpus(emb: DataFrame, gate: str, skip_guard: bool = False) -> DataFrame:
     """The X6/X7 planted corpus: the base embeddings plus perturbed copies
     of the first _X6_PLANT vectors at vec_id + _PLANT_OFFSET (cos ≈ 0.99
     to their originals; float→double→float IEEE arithmetic, bitwise
     identical in Spark and DuckDB)."""
-    assert_planted_offset_safe(emb, "vec_id", _PLANT_OFFSET, gate)
+    if not skip_guard:
+        assert_planted_offset_safe(emb, "vec_id", _PLANT_OFFSET, gate)
     planted = emb.filter(F.col("vec_id") < _X6_PLANT).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
         F.concat(
@@ -597,8 +605,22 @@ _X7_EPS = 0.9
 )
 def x7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    aug = _augmented_corpus(emb, "X7_semantic_dedup")
-    k = x7_cluster_count(aug.count())
+    # ONE stats job covers both the offset guard's max and the corpus
+    # counts x7_cluster_count needs (round-6: previously a .first() guard
+    # job followed by aug.count() — two sequential full scans)
+    stats = emb.agg(
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("vec_id") < _X6_PLANT, 1)).alias("n_plant"),
+    ).first()
+    _check_offset_value(stats["mx"], "vec_id", _PLANT_OFFSET, "X7_semantic_dedup")
+    aug = _augmented_corpus(emb, "X7_semantic_dedup", skip_guard=True)
+    k = x7_cluster_count(stats["n"] + stats["n_plant"])
+    # Centroid draw: deterministic md5 order, NOT k-means (decision recorded
+    # in SCALING.md round-6): the dedup contract and cell boundedness hold
+    # for any centroid set, and a Lloyd refinement takes float-vector means
+    # whose summation order Spark and DuckDB cannot replicate bitwise.  At
+    # web scale swap this builder for k-means|| seeding (quality knob only).
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(k)

@@ -119,3 +119,52 @@ def test_export_consistency_detects_seeded_discrepancies(spark):
     kinds = {(d["kind"], d["column"]) for d in diffs}
     assert ("missing_in_export", None) in kinds
     assert ("value_mismatch", "title") in kinds
+
+
+def test_export_consistency_bracket_token_order(spark):
+    """Round-6 canonicalization pin: id ORDER inside a bracket block must
+    not flag — the dump leads with the omid, the curator appends it
+    ("N [issn:x omid:y]" vs "N [omid:y issn:x]").  Before brackets became
+    standalone tokens, the glued "[issn:x" / "[omid:y" tokens sorted
+    differently and every multi-id venue flagged as a value_mismatch."""
+    from pyspark.sql import Row
+
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    a = spark.createDataFrame(
+        [Row(id="doi:10.1/b1 omid:br/1", venue="V [issn:2049-3630 omid:br/9]")]
+    )
+    b = spark.createDataFrame(
+        [Row(id="omid:br/1 doi:10.1/b1", venue="V [omid:br/9 issn:2049-3630]")]
+    )
+    assert check_export_consistency(a, b).count() == 0
+    # a genuinely different id set still flags
+    c = spark.createDataFrame(
+        [Row(id="omid:br/1 doi:10.1/b1", venue="V [omid:br/9 issn:1476-4687]")]
+    )
+    diffs = check_export_consistency(a, c).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "venue")}
+
+
+def test_curated_idless_agent_has_no_stray_bracket_space(spark):
+    """Round-6 serializer pin: an id-less agent serializes as
+    "Name [omid:ra/x]" — reference format (e.g. test/testcases
+    "McSorley, Stephen [omid:ra/0614]") — not "Name [ omid:ra/x]"
+    (concat_ws keeps the separator for empty strings)."""
+    rows = [
+        {
+            "id": "doi:10.1000/sp1",
+            "title": "Spaced",
+            "author": "Author, NoId",
+            "venue": "Unided Venue [issn:2049-3630]",
+            "pub_date": "2020",
+            "type": "journal article",
+            "publisher": "Pub NoId",
+        }
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    row = r.curated.first()
+    for col in ("author", "publisher", "venue"):
+        assert "[ " not in row[col], (col, row[col])
+        assert " ]" not in row[col], (col, row[col])
+    assert row["author"].endswith("]") and "[omid:ra/" in row["author"]

@@ -38,10 +38,11 @@ def test_dc3_detects_most_planted_pairs(spark, sf_dir):
     """The planted perturbed copies (shingle Jaccard ~0.65) must be found
     at high rate — 4x2 banding gives ~0.9 recall there; cross-noise pairs
     are killed by the exact-Jaccard verify."""
+    from oc_meta_spark.plans.hygiene_queries import _DC3_OFFSET
     from oc_meta_spark.plans.registry import load_all
 
     rows = load_all()["DC3_fuzzy_decontamination"].builder(spark, sf_dir).collect()
-    planted = sum(1 for r in rows if r.bench_id - 500000 == r.doc_id)
+    planted = sum(1 for r in rows if r.bench_id - _DC3_OFFSET == r.doc_id)
     assert planted >= 14, planted  # of 20
     for r in rows:
         assert r.jaccard >= 0.3

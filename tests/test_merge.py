@@ -162,3 +162,75 @@ def test_apply_merges_chain_collapse(spark):
     # br/03's pmid link lands on br/01, not the intermediate br/02
     assert ("br/01", "id/3") in links
     assert not any(e == "br/02" for e, _ in links)
+
+
+def test_apply_merges_skewed_hub_survivor(spark):
+    """Skew stress for the de-hinted merge path (round-6): ONE survivor
+    absorbs 10^4 merged entities — the hub-author shape the reference
+    benchmarks with ``--preload-high-authors 2869`` (ATLAS collaboration,
+    run/benchmark/benchmark.py).  After round 5 removed the static
+    broadcast hints, AQE picks the join strategy at runtime; this pins
+    that the skewed survivor key still completes and produces correct
+    absorbed state, and that no rewrite join degenerates to a cartesian
+    product."""
+    n = 10_000
+    ks = spark.range(0, n + 1).select(F.col("id").cast("int").alias("k"))
+    _ra = lambda c: F.concat(F.lit("ra/"), c.cast("string"))
+    ra = ks.select(
+        _ra(F.col("k")).alias("omid"),
+        # survivor starts nameless so absorption has something to fill
+        F.when(F.col("k") == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Org "), F.col("k").cast("string")))
+        .alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    merged_ks = ks.filter(F.col("k") >= 1)
+    id_tbl = merged_ks.select(
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("omid"),
+        F.lit("orcid").alias("schema"),
+        F.concat(F.lit("v"), F.col("k").cast("string")).alias("value"),
+    )
+    entity_id = merged_ks.select(
+        _ra(F.col("k")).alias("entity_omid"),
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("id_omid"),
+    )
+    prov = ks.select(
+        _ra(F.col("k")).alias("entity_omid"),
+        F.lit(1).alias("snapshot"),
+        F.lit("t0").alias("generated_at"),
+        F.lit(None).cast("string").alias("invalidated_at"),
+        F.array().cast("array<string>").alias("derived_from"),
+        F.lit("agent").alias("resp_agent"),
+        F.lit(None).cast("string").alias("primary_source"),
+        F.lit("entity created").alias("description"),
+        F.lit(None).cast("string").alias("update_query"),
+    )
+    empty = lambda nm: spark.createDataFrame([], ENTITY_TABLES[nm])
+    cat = EntityCatalog(
+        br=empty("br"), ra=ra, id=id_tbl, entity_id=entity_id,
+        ar=empty("ar"), re=empty("re"), prov=prov,
+    )
+    instr = merged_ks.select(
+        F.lit("ra/0").alias("surviving_entity"),
+        _ra(F.col("k")).alias("merged_entity"),
+    )
+    res = apply_merges(cat, instr)
+    assert res.n_merged == n
+    assert res.catalog.ra.count() == 1
+    moved = res.catalog.entity_id
+    assert moved.count() == n
+    assert moved.filter(F.col("entity_omid") != "ra/0").count() == 0
+    # absorption: lowest-omid donor's name fills the nameless survivor
+    # (string order over omids: "ra/1" < "ra/10" < "ra/2")
+    assert res.catalog.ra.first()["name"] == "Org 1"
+    # ONE merge snapshot on the hub, deriving from survivor + all merged
+    snaps = res.prov_delta.filter(
+        (F.col("entity_omid") == "ra/0") & (F.size("derived_from") >= 2)
+    ).collect()
+    assert len(snaps) == 1
+    assert len(snaps[0]["derived_from"]) == n + 1
+    # plan shape: the skewed rewrite joins must not be cartesian
+    for nm in ("ra", "entity_id"):
+        plan = getattr(res.catalog, nm)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{nm}: cartesian in merge rewrite"
