@@ -262,9 +262,11 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     dumped): ``missing_in_export`` / ``extra_in_export`` rows plus one
     ``value_mismatch`` row per differing column.  Empty result = consistent.
 
-    Cells are compared order-insensitively (whitespace tokens sorted — the
-    reference's normalize_row_ids canonicalization, test/test_utils.py:159)
-    so two serializations of the same id set don't flag.
+    Cells are compared under the reference's normalize_row_ids
+    canonicalization (test/test_utils.py:159): id tokens are sorted inside
+    each bracket group so two serializations of the same id set don't
+    flag, while the "; "-separated entry order (author/editor sequence —
+    the hasNext discipline) remains significant.
 
     Rows whose id cell lacks an ``omid:br/...`` token cannot be keyed: they
     are reported as ``malformed_id`` discrepancies on their own side and
@@ -274,13 +276,33 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1), F.lit(""))
 
     def cell(col_name: str) -> F.Column:
-        # brackets become standalone tokens before the sort so two group
-        # serializations that differ only in id ORDER inside the brackets
-        # ("[issn:x omid:y]" vs "[omid:y issn:x]" — the dump puts omids
-        # first, the curator last) canonicalize identically
-        spaced = F.regexp_replace(F.coalesce(F.col(col_name), F.lit("")), r"([\[\]])", r" $1 ")
-        toks = F.sort_array(F.split(F.trim(spaced), r"\s+"))
-        return F.array_join(toks, " ")
+        # Per-GROUP canonicalization (the reference's normalize_row_ids,
+        # test/test_utils.py:159-165): sort id tokens only INSIDE each
+        # bracket block — "[issn:x omid:y]" and "[omid:y issn:x]" (curator
+        # appends omids, the dump leads with them) canonicalize
+        # identically — while the "; "-separated ENTRY order stays
+        # significant, so a dump that reconstructed the agent chain in the
+        # wrong order flags as a value_mismatch (hasNext/pos discipline is
+        # part of the round-trip contract).
+        raw = F.coalesce(F.col(col_name), F.lit(""))
+        entries = F.split(raw, _SEMI_OUTSIDE_BRACKETS)
+
+        def canon_entry(e: F.Column) -> F.Column:
+            outside = F.regexp_replace(
+                F.trim(F.regexp_replace(e, r"\[[^\]]*\]", "")), r"\s+", " "
+            )
+            inner = F.trim(F.regexp_extract(e, r"\[([^\]]*)\]", 1))
+            bracket = F.when(
+                e.rlike(r"\["),
+                F.concat(
+                    F.lit("["),
+                    F.array_join(F.array_sort(F.split(inner, r"\s+")), " "),
+                    F.lit("]"),
+                ),
+            )
+            return F.concat_ws(" ", F.nullif(outside, F.lit("")), bracket)
+
+        return F.array_join(F.transform(entries, canon_entry), "; ")
 
     cols = [c for c in curated.columns if c in set(dumped.columns) and c not in ("id", "row_id")]
     a = curated.select(omid.alias("omid"), F.col("id").alias("a_id"),

@@ -387,11 +387,16 @@ def _rt_meta(part: DataFrame, constant_venue: bool) -> DataFrame:
     )
     author = F.concat(F.lit("Maker, "), F.col("p_brand"))
     if constant_venue:
+        # two-entry chains: the dump must rebuild the hasNext order, and
+        # check_export_consistency's entry-order-significant comparison
+        # (round-6) verifies it survives the trip
         author = F.concat(
             author,
             F.when(F.col("p_partkey") % 5 == 0, F.lit(" [orcid:0000-0001-5109-3700]")).otherwise(
                 F.lit("")
             ),
+            F.lit("; Helper, H"),
+            (F.col("p_partkey") % 7).cast("string"),
         )
     tag = "rt2" if constant_venue else "rt"
     return part.filter(F.col("p_partkey") <= 50).select(

@@ -168,3 +168,35 @@ def test_curated_idless_agent_has_no_stray_bracket_space(spark):
         assert "[ " not in row[col], (col, row[col])
         assert " ]" not in row[col], (col, row[col])
     assert row["author"].endswith("]") and "[omid:ra/" in row["author"]
+
+
+def test_export_consistency_entry_order_significant(spark):
+    """Round-6: entry ORDER is part of the round-trip contract — a dump
+    that rebuilt the agent chain in the wrong order must flag, even
+    though the same entries in the same order with ids shuffled inside
+    their brackets must not."""
+    from pyspark.sql import Row
+
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    a = spark.createDataFrame(
+        [Row(
+            id="doi:10.1/o1 omid:br/1",
+            author="First, F [orcid:0000-0002-1825-0097 omid:ra/1]; Second, S [omid:ra/2]",
+        )]
+    )
+    same_order_shuffled_ids = spark.createDataFrame(
+        [Row(
+            id="omid:br/1 doi:10.1/o1",
+            author="First, F [omid:ra/1 orcid:0000-0002-1825-0097]; Second, S [omid:ra/2]",
+        )]
+    )
+    assert check_export_consistency(a, same_order_shuffled_ids).count() == 0
+    swapped = spark.createDataFrame(
+        [Row(
+            id="omid:br/1 doi:10.1/o1",
+            author="Second, S [omid:ra/2]; First, F [omid:ra/1 orcid:0000-0002-1825-0097]",
+        )]
+    )
+    diffs = check_export_consistency(a, swapped).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "author")}
