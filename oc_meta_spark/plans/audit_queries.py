@@ -180,3 +180,164 @@ def ma1_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("issue")
     )
+
+
+# ---------------------------------------------------------------------------
+# MRG1 — the merge EXECUTOR oracle (round-6).  apply_merges (D11,
+# plans/merge.py — the oc_ocdm merge + editor save analog,
+# core/editor.py:244-290) was covered by pytest and only indirectly by
+# MA1 (which audits a hand-built merged store, not the executor's
+# output).  This gate synthesizes a pre-merge RA store from the customer
+# table (k < 300; survivor k≡0 mod 3 absorbs k+1, pairs formed by an
+# explicit k→k+1 join so both engines see the same set even with key
+# gaps), runs the REAL executor, and projects the result to invariants a
+# DuckDB CTE re-derives from the same residues:
+#
+# - merged rows leave the live table, nothing else does;
+# - every identifier link survives and none points at a merged entity;
+# - inbound AR references are rewritten to the survivor;
+# - nameless survivors (k≡0 mod 9) absorb the donor's name;
+# - one invalidation snapshot per merged entity and one merge snapshot
+#   (derived_from ≥ 2) per survivor land in the provenance delta.
+# ---------------------------------------------------------------------------
+@register(
+    "MRG1_apply_merges_invariants",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+    p AS (
+      SELECT a.k AS s, b.k AS m FROM ks a JOIN ks b ON b.k = a.k + 1
+      WHERE a.k % 3 = 0
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM ks) AS n,
+             (SELECT COUNT(*) FROM p) AS np,
+             (SELECT COUNT(*) FROM p WHERE s % 9 = 0) AS nf
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'ra_rows' AS metric, n - np AS n FROM agg
+      UNION ALL SELECT 'ra_merged_remaining', 0 FROM agg
+      UNION ALL SELECT 'ra_filled_from_donor', nf FROM agg
+      UNION ALL SELECT 'entity_id_rows', n FROM agg
+      UNION ALL SELECT 'links_on_merged', 0 FROM agg
+      UNION ALL SELECT 'ar_rows', np FROM agg
+      UNION ALL SELECT 'ar_to_merged', 0 FROM agg
+      UNION ALL SELECT 'ar_to_survivor', np FROM agg
+      UNION ALL SELECT 'prov_invalidation_snaps', np FROM agg
+      UNION ALL SELECT 'prov_merge_snaps_derived2', np FROM agg
+    ) ORDER BY metric
+    """,
+    doc="apply_merges executor invariants over a synthesized pre-merge store — the D11 direct oracle.",
+)
+def mrg1_apply_merges_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.merge import apply_merges
+
+    ks = (
+        load_table(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("k"))
+        .filter(F.col("k") < 300)
+    )
+    pairs = (
+        ks.alias("a")
+        .join(ks.alias("b"), F.col("b.k") == F.col("a.k") + 1)
+        .filter(F.col("a.k") % 3 == 0)
+        .select(F.col("a.k").alias("s"), F.col("b.k").alias("m"))
+    )
+    ra = ks.select(
+        _omid(F.col("k")).alias("omid"),
+        F.when(F.col("k") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("N"), F.col("k").cast("string")))
+        .alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    id_tbl = ks.select(
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("omid"),
+        F.lit("orcid").alias("schema"),
+        F.concat(F.lit("v"), F.col("k").cast("string")).alias("value"),
+    )
+    entity_id = ks.select(
+        _omid(F.col("k")).alias("entity_omid"),
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("id_omid"),
+    )
+    ar = pairs.select(
+        F.concat(F.lit("ar/"), F.col("m").cast("string")).alias("omid"),
+        F.lit("br/0").alias("br_omid"),
+        F.lit("author").alias("role"),
+        _omid(F.col("m")).alias("ra_omid"),
+        F.lit(1).alias("pos"),
+    )
+    prov = ks.select(
+        _omid(F.col("k")).alias("entity_omid"),
+        F.lit(1).alias("snapshot"),
+        F.lit("t0").alias("generated_at"),
+        F.lit(None).cast("string").alias("invalidated_at"),
+        F.array().cast("array<string>").alias("derived_from"),
+        F.lit("agent").alias("resp_agent"),
+        F.lit(None).cast("string").alias("primary_source"),
+        F.lit("entity created").alias("description"),
+        F.lit(None).cast("string").alias("update_query"),
+    )
+    empty = lambda t: spark.createDataFrame([], ENTITY_TABLES[t])  # noqa: E731
+    cat = EntityCatalog(
+        br=empty("br"), ra=ra, id=id_tbl, entity_id=entity_id,
+        ar=ar, re=empty("re"), prov=prov,
+    )
+    instr = pairs.select(
+        _omid(F.col("s")).alias("surviving_entity"),
+        _omid(F.col("m")).alias("merged_entity"),
+    )
+    res = apply_merges(cat, instr)
+    merged = pairs.select(_omid(F.col("m")).alias("omid"))
+    surv = pairs.select(_omid(F.col("s")).alias("omid"))
+    filled = pairs.filter(F.col("s") % 9 == 0).select(
+        _omid(F.col("s")).alias("omid"),
+        F.concat(F.lit("N"), F.col("m").cast("string")).alias("donor_name"),
+    )
+    base = (
+        res.catalog.ra.agg(F.count(F.lit(1)).alias("ra_rows"))
+        .crossJoin(
+            res.catalog.ra.join(merged, "omid", "left_semi")
+            .agg(F.count(F.lit(1)).alias("ra_merged_remaining"))
+        )
+        .crossJoin(
+            res.catalog.ra.join(filled, "omid")
+            .filter(F.col("name") == F.col("donor_name"))
+            .agg(F.count(F.lit(1)).alias("ra_filled_from_donor"))
+        )
+        .crossJoin(res.catalog.entity_id.agg(F.count(F.lit(1)).alias("entity_id_rows")))
+        .crossJoin(
+            res.catalog.entity_id.join(
+                merged.withColumnRenamed("omid", "entity_omid"), "entity_omid", "left_semi"
+            ).agg(F.count(F.lit(1)).alias("links_on_merged"))
+        )
+        .crossJoin(res.catalog.ar.agg(F.count(F.lit(1)).alias("ar_rows")))
+        .crossJoin(
+            res.catalog.ar.join(
+                merged.withColumnRenamed("omid", "ra_omid"), "ra_omid", "left_semi"
+            ).agg(F.count(F.lit(1)).alias("ar_to_merged"))
+        )
+        .crossJoin(
+            res.catalog.ar.join(
+                surv.withColumnRenamed("omid", "ra_omid"), "ra_omid", "left_semi"
+            ).agg(F.count(F.lit(1)).alias("ar_to_survivor"))
+        )
+        .crossJoin(
+            res.prov_delta.filter(F.col("invalidated_at").isNotNull())
+            .agg(F.count(F.lit(1)).alias("prov_invalidation_snaps"))
+        )
+        .crossJoin(
+            res.prov_delta.filter(F.size("derived_from") >= 2)
+            .agg(F.count(F.lit(1)).alias("prov_merge_snaps_derived2"))
+        )
+    )
+    metrics = (
+        "ra_rows", "ra_merged_remaining", "ra_filled_from_donor", "entity_id_rows",
+        "links_on_merged", "ar_rows", "ar_to_merged", "ar_to_survivor",
+        "prov_invalidation_snaps", "prov_merge_snaps_derived2",
+    )
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return (
+        base.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, n)")
+        .select("metric", F.col("n").cast("long").alias("n"))
+        .orderBy("metric")
+    )

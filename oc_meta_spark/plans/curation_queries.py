@@ -905,3 +905,103 @@ def _invariant_projection(
             ~((F.col("metric") == "entities") & F.col("key").isin(*skip_entity_kinds))
         )
     return out.orderBy("metric", "key")
+
+
+# ---------------------------------------------------------------------------
+# VD2 — the export-verification kernel oracle (round-6).  The offline
+# export-vs-CSV check (plans/check_results.py::check_export_consistency —
+# the run/meta/check_rdf_files.py analog) was pytest-only; this gate
+# synthesizes a curated frame and a corrupted "dump" of it FROM the
+# customer table with one discrepancy family per residue class mod 16,
+# drives the REAL kernel, and re-derives the per-kind discrepancy counts
+# in SQL from the same modular predicates:
+#
+# - k≡1:  row dropped from the dump            → missing_in_export
+# - k≡2:  row only in the dump (omid br/<k+5000>) → extra_in_export
+# - k≡3:  title corrupted in the dump          → value_mismatch:title
+# - k≡4:  the two author entries swapped       → value_mismatch:author
+#         (entry ORDER is significant — the hasNext discipline)
+# - k≡5:  author ids shuffled INSIDE the bracket → no flag (per-bracket
+#         canonicalization accepts both legitimate serializations)
+# - k≡6:  dump id cell lost its omid token     → malformed_id_in_export,
+#         and the curated partner goes unmatched → missing_in_export too
+# ---------------------------------------------------------------------------
+@register(
+    "VD2_export_check_planted",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+    s AS (
+      SELECT COUNT(*) FILTER (WHERE k % 16 = 1) AS c1,
+             COUNT(*) FILTER (WHERE k % 16 = 2) AS c2,
+             COUNT(*) FILTER (WHERE k % 16 = 3) AS c3,
+             COUNT(*) FILTER (WHERE k % 16 = 4) AS c4,
+             COUNT(*) FILTER (WHERE k % 16 = 6) AS c6
+      FROM ks
+    )
+    SELECT kind, col, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'missing_in_export' AS kind, '' AS col, c1 + c6 AS n FROM s
+      UNION ALL SELECT 'extra_in_export', '', c2 FROM s
+      UNION ALL SELECT 'malformed_id_in_export', '', c6 FROM s
+      UNION ALL SELECT 'value_mismatch', 'title', c3 FROM s
+      UNION ALL SELECT 'value_mismatch', 'author', c4 FROM s
+    ) ORDER BY kind, col
+    """,
+    doc="check_export_consistency discrepancy counts over a dump with one planted corruption family per residue class.",
+)
+def vd2_export_check_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400).select(
+        F.col("c_custkey").alias("k"), (F.col("c_custkey") % 16).alias("r")
+    )
+    kstr = F.col("k").cast("string")
+    author_fwd = F.concat(
+        F.lit("First, F"), kstr,
+        F.lit(" [orcid:0000-0002-1825-0097 omid:ra/"), kstr, F.lit("a]; Second, S"), kstr,
+        F.lit(" [omid:ra/"), kstr, F.lit("b]"),
+    )
+    curated = ks.select(
+        F.concat(F.lit("doi:10.2/ec"), kstr, F.lit(" omid:br/"), kstr).alias("id"),
+        F.concat(F.lit("Title "), kstr).alias("title"),
+        author_fwd.alias("author"),
+    )
+    author_swapped = F.concat(
+        F.lit("Second, S"), kstr, F.lit(" [omid:ra/"), kstr, F.lit("b]; "),
+        F.lit("First, F"), kstr,
+        F.lit(" [orcid:0000-0002-1825-0097 omid:ra/"), kstr, F.lit("a]"),
+    )
+    author_shuffled_ids = F.concat(
+        F.lit("First, F"), kstr,
+        F.lit(" [omid:ra/"), kstr, F.lit("a orcid:0000-0002-1825-0097]; Second, S"), kstr,
+        F.lit(" [omid:ra/"), kstr, F.lit("b]"),
+    )
+    dumped = (
+        ks.filter(F.col("r") != 1)  # k≡1 dropped from the dump
+        .select(
+            F.when(F.col("r") == 6, F.concat(F.lit("doi:10.2/ec"), kstr))  # omid lost
+            .otherwise(F.concat(F.lit("omid:br/"), kstr, F.lit(" doi:10.2/ec"), kstr))
+            .alias("id"),
+            F.when(F.col("r") == 3, F.concat(F.lit("Corrupted "), kstr))
+            .otherwise(F.concat(F.lit("Title "), kstr))
+            .alias("title"),
+            F.when(F.col("r") == 4, author_swapped)
+            .when(F.col("r") == 5, author_shuffled_ids)
+            .otherwise(author_fwd)
+            .alias("author"),
+        )
+        .unionByName(
+            ks.filter(F.col("r") == 2).select(  # rows only the dump has
+                F.concat(F.lit("omid:br/"), (F.col("k") + 5000).cast("string")).alias("id"),
+                F.lit("Phantom").alias("title"),
+                F.lit("").alias("author"),
+            )
+        )
+    )
+    return (
+        check_export_consistency(curated, dumped)
+        .groupBy(
+            F.col("kind"), F.coalesce(F.col("column"), F.lit("")).alias("col")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("kind", "col")
+    )

@@ -704,3 +704,85 @@ def c9_volume_issue_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# OX1 — ORCID summary-XML extraction (S14; reference
+# run/orcid_process.py:77-103).  Synthesizes summary XML documents from
+# the customer table — with records missing the orcid path (dropped),
+# records without self-asserted DOIs (dropped), a missing family name
+# (empty string survives), and a second UPPERCASE DOI on every third
+# record (multi-DOI explode + lowercasing) — and feeds the PRODUCTION
+# regexp extractor; the oracle re-derives the expected (orcid, given,
+# family, doi) rows from the same residues without ever building XML.
+# ---------------------------------------------------------------------------
+@register(
+    "OX1_orcid_xml_extraction",
+    """
+    WITH ks AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey < 500 AND c_custkey % 13 <> 0 AND c_custkey % 11 <> 0
+    ),
+    base AS (
+      SELECT '0000-0001-' || lpad(CAST(k AS VARCHAR), 4, '0') || '-0003' AS orcid,
+             'G' || CAST(k AS VARCHAR) AS given,
+             CASE WHEN k % 7 = 0 THEN '' ELSE 'F' || CAST(k AS VARCHAR) END AS family,
+             k
+      FROM ks
+    )
+    SELECT orcid, given, family, doi FROM (
+      SELECT orcid, given, family, '10.5/x' || CAST(k AS VARCHAR) AS doi FROM base
+      UNION ALL
+      SELECT orcid, given, family, '10.5/y' || CAST(k AS VARCHAR) AS doi
+      FROM base WHERE k % 3 = 0
+    ) ORDER BY orcid, doi
+    """,
+    doc="ORCID summary-XML scan: regexp extraction of id/names/DOIs with multi-DOI explode (SURVEY S14).",
+)
+def ox1_orcid_xml_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.sources.orcid_xml import parse_orcid_summaries
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500).select(
+        F.col("c_custkey").alias("k")
+    )
+    kstr = F.col("k").cast("string")
+    orcid_tag = F.when(
+        F.col("k") % 13 != 0,
+        F.concat(
+            F.lit("<common:path>0000-0001-"), F.lpad(kstr, 4, "0"), F.lit("-0003</common:path>\n")
+        ),
+    ).otherwise(F.lit(""))
+    family_tag = F.when(
+        F.col("k") % 7 != 0,
+        F.concat(
+            F.lit("<personal-details:family-name>F"), kstr,
+            F.lit("</personal-details:family-name>\n"),
+        ),
+    ).otherwise(F.lit(""))
+    doi_tags = F.when(
+        F.col("k") % 11 != 0,
+        F.concat(
+            F.lit("<common:external-id-type>doi</common:external-id-type>\n"
+                  "<common:external-id-value> 10.5/x"), kstr, F.lit(" </common:external-id-value>\n"),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(
+                    F.lit("<common:external-id-type>doi</common:external-id-type>\n"
+                          "<common:external-id-value>10.5/Y"), kstr,
+                    F.lit("</common:external-id-value>\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    xml = ks.select(
+        F.concat(
+            F.lit("<record:record>\n"),
+            orcid_tag,
+            F.lit("<personal-details:given-names>G"), kstr,
+            F.lit("</personal-details:given-names>\n"),
+            family_tag,
+            doi_tags,
+            F.lit("</record:record>"),
+        ).alias("xml")
+    )
+    return parse_orcid_summaries(xml).orderBy("orcid", "doi")
