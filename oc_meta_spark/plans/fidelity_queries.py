@@ -786,3 +786,152 @@ def ox1_orcid_xml_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xml")
     )
     return parse_orcid_summaries(xml).orderBy("orcid", "doi")
+
+
+# ---------------------------------------------------------------------------
+# AP1 — external-API enrichment (S15; reference
+# lib/bibliographic_matching.py:50-83 / run/patches/has_next.py:314-465).
+# The transport is INJECTED (no network in this environment — container
+# policy, same as the multimodal codec stub), so the gate injects a
+# deterministic fake that is a pure arithmetic function of the looked-up
+# id and drives the REAL machinery: distinct-id dedup (97 distinct ids
+# serve ~2000 rows — one "call" each), mapInPandas batch fetch, not-found
+# rows (every 7th id), and the metadata equi-join back onto fact rows.
+# The oracle re-derives the joined result from the same arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "AP1_api_enrichment_join",
+    """
+    SELECT o_orderkey AS orderkey,
+           'doi:10.9/' || CAST(o_orderkey % 97 AS VARCHAR) AS id,
+           CASE WHEN (o_orderkey % 97) % 7 <> 0
+                THEN 'T' || CAST(o_orderkey % 97 AS VARCHAR) END AS title,
+           CASE WHEN (o_orderkey % 97) % 7 <> 0
+                THEN CAST(1900 + o_orderkey % 97 AS VARCHAR) END AS year,
+           CASE WHEN (o_orderkey % 97) % 7 <> 0
+                THEN 'V' || CAST((o_orderkey % 97) % 5 AS VARCHAR) END AS venue,
+           (o_orderkey % 97) % 7 <> 0 AS found
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY orderkey
+    """,
+    doc="Distinct-id API fetch (injected deterministic transport) + metadata join-back (SURVEY S15).",
+)
+def ap1_api_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.sources.api_lookup import enrich_from_api
+
+    def fake_fetch(ids):
+        out = []
+        for s in ids:
+            k = int(s.rsplit("/", 1)[1])
+            if k % 7 == 0:
+                out.append(None)
+            else:
+                out.append({"title": f"T{k}", "year": str(1900 + k), "venue": f"V{k % 5}"})
+        return out
+
+    rows = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(F.lit("doi:10.9/"), (F.col("o_orderkey") % 97).cast("string")).alias("id"),
+    )
+    enriched = enrich_from_api(rows, fetch=fake_fetch, batch_size=16)
+    return enriched.select("orderkey", "id", "title", "year", "venue", "found").orderBy("orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Z1 — zipped JSON-LD dump round trip (S4/S9; reference archived-dump
+# layout, one <kind>/<dir_split>.zip per split with <file_n>.json members
+# of one JSON-LD document per line).  Synthesizes a catalog from the
+# customer table (br + ra entities with id links at fixed residues),
+# drives the REAL writer (applyInPandas zip-per-split) into a temp dir
+# and the REAL reader (binaryFile scan + mapInPandas member unpack) back
+# out, and projects per-kind document counts plus id-link closure — all
+# re-derivable by the oracle from the same residues.
+# ---------------------------------------------------------------------------
+@register(
+    "Z1_zip_jsonld_round_trip",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+    s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE k % 3 = 0) AS nra,
+             COUNT(*) FILTER (WHERE k % 5 = 0) AS nid
+      FROM ks
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'docs_br' AS metric, n FROM s
+      UNION ALL SELECT 'docs_ra', nra FROM s
+      UNION ALL SELECT 'docs_with_id_links', nid FROM s
+      UNION ALL SELECT 'parse_failures', 0 FROM s
+    ) ORDER BY metric
+    """,
+    doc="Zip JSON-LD write → binaryFile+mapInPandas read-back: per-kind doc counts and id-link closure (SURVEY S4/S9).",
+)
+def z1_zip_jsonld_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from oc_meta_spark.plans.curation import EntityCatalog
+    from oc_meta_spark.schemas import ENTITY_TABLES
+    from oc_meta_spark.sources.zip_jsonld import read_zip_jsonld, write_zip_jsonld
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("k")
+    )
+    kstr = F.col("k").cast("string")
+    br = ks.select(
+        F.concat(F.lit("br/"), kstr).alias("omid"),
+        F.lit("journal article").alias("type"),
+        F.concat(F.lit("Z"), kstr).alias("title"),
+        F.lit("2024").alias("pub_date"),
+        F.lit(None).cast("string").alias("seq_id"),
+        F.lit(None).cast("string").alias("part_of"),
+        F.lit(None).cast("string").alias("embodiment"),
+    )
+    ra = ks.filter(F.col("k") % 3 == 0).select(
+        F.concat(F.lit("ra/"), kstr).alias("omid"),
+        F.concat(F.lit("Org"), kstr).alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    id_tbl = ks.filter(F.col("k") % 5 == 0).select(
+        F.concat(F.lit("id/"), kstr).alias("omid"),
+        F.lit("doi").alias("schema"),
+        F.concat(F.lit("10.7/z"), kstr).alias("value"),
+    )
+    entity_id = ks.filter(F.col("k") % 5 == 0).select(
+        F.concat(F.lit("br/"), kstr).alias("entity_omid"),
+        F.concat(F.lit("id/"), kstr).alias("id_omid"),
+    )
+    empty = lambda t: spark.createDataFrame([], ENTITY_TABLES[t])  # noqa: E731
+    cat = EntityCatalog(
+        br=br, ra=ra, id=id_tbl, entity_id=entity_id,
+        ar=empty("ar"), re=empty("re"), prov=empty("prov"),
+    )
+    tmp = tempfile.mkdtemp(prefix="z1_zip_")
+    try:
+        write_zip_jsonld(cat, tmp)
+        docs = read_zip_jsonld(spark, tmp).select("jsonld")
+        parsed = docs.select(
+            F.get_json_object("jsonld", "$['@id']").alias("at_id"),
+            F.get_json_object("jsonld", "$['datacite:hasIdentifier']").alias("links"),
+        )
+        base = (
+            parsed.agg(
+                F.count(F.when(F.col("at_id").contains("/br/"), 1)).alias("docs_br"),
+                F.count(F.when(F.col("at_id").contains("/ra/"), 1)).alias("docs_ra"),
+                F.count(
+                    F.when(F.col("at_id").contains("/br/") & F.col("links").isNotNull(), 1)
+                ).alias("docs_with_id_links"),
+                F.count(F.when(F.col("at_id").isNull(), 1)).alias("parse_failures"),
+            )
+        )
+        out = base.selectExpr(
+            "stack(4, 'docs_br', docs_br, 'docs_ra', docs_ra, "
+            "'docs_with_id_links', docs_with_id_links, "
+            "'parse_failures', parse_failures) AS (metric, n)"
+        ).select("metric", F.col("n").cast("long").alias("n")).orderBy("metric")
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
