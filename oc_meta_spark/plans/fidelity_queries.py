@@ -935,3 +935,166 @@ def z1_zip_jsonld_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CS1 — curated-CSV sink/scan round trip (S1/S2/S3/S5).  Synthesizes a
+# metadata batch from the customer table with HOSTILE cell content —
+# embedded double quotes, commas, a literal newline (multiline quoted
+# field), and a no-break space the scan projection must normalize — and
+# drives the REAL chunked quoteAll writer (rows_per_file=100 forces many
+# part files) into TWO nested subdirectories, then the REAL recursive
+# multiline reader back out.  The oracle recomputes the post-sanitize
+# rows directly (chr(34)/chr(10)/chr(160) arithmetic shared by both
+# engines: the nbsp must come back as a plain space).
+# ---------------------------------------------------------------------------
+@register(
+    "CS1_csv_sink_round_trip",
+    """
+    SELECT 'doi:10.8/c' || CAST(c_custkey AS VARCHAR) AS id,
+           'A ' || chr(34) || 'q' || CAST(c_custkey AS VARCHAR) || chr(34)
+             || ', b' || chr(10) || 'c' AS title,
+           'Fam' || CAST(c_custkey AS VARCHAR) || ' Given' AS author,
+           '2024-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) AS pub_date,
+           'V ' || CAST(c_custkey % 11 AS VARCHAR) AS venue,
+           CAST(c_custkey % 5 + 1 AS VARCHAR) AS volume,
+           CAST(c_custkey % 4 + 1 AS VARCHAR) AS issue,
+           CAST(c_custkey AS VARCHAR) || '-' || CAST(c_custkey + 8 AS VARCHAR) AS page,
+           'journal article' AS type,
+           'Pub' || CAST(c_custkey AS VARCHAR) AS publisher,
+           'Ed' || CAST(c_custkey AS VARCHAR) AS editor
+    FROM customer WHERE c_custkey < 500
+    ORDER BY id
+    """,
+    doc="Chunked quoteAll CSV write → recursive multiline sanitized read: hostile quotes/commas/newlines/nbsp (SURVEY S1-S3/S5).",
+)
+def cs1_csv_sink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from oc_meta_spark.sources.csv_input import read_metadata_csv
+    from oc_meta_spark.sources.export import write_curated_csv
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500).select(
+        F.col("c_custkey").alias("k")
+    )
+    kstr = F.col("k").cast("string")
+    batch = ks.select(
+        F.concat(F.lit("doi:10.8/c"), kstr).alias("id"),
+        # the author cell carries a literal no-break space (U+00A0);
+        # the reader's scan projection must hand back a plain space —
+        # the oracle writes the POST-sanitize form
+        F.concat(
+            F.lit('A "q'), kstr, F.lit('", b\nc')
+        ).alias("title"),
+        F.concat(F.lit("Fam"), kstr, F.lit(" Given")).alias("author"),
+        F.concat(F.lit("2024-0"), (F.col("k") % 9 + 1).cast("string")).alias("pub_date"),
+        F.concat(F.lit("V "), (F.col("k") % 11).cast("string")).alias("venue"),
+        (F.col("k") % 5 + 1).cast("string").alias("volume"),
+        (F.col("k") % 4 + 1).cast("string").alias("issue"),
+        F.concat(kstr, F.lit("-"), (F.col("k") + 8).cast("string")).alias("page"),
+        F.lit("journal article").alias("type"),
+        F.concat(F.lit("Pub"), kstr).alias("publisher"),
+        F.concat(F.lit("Ed"), kstr).alias("editor"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cs1_csv_")
+    try:
+        write_curated_csv(batch.filter(F.col("id").rlike(r"[02468]$")), f"{tmp}/even", rows_per_file=100)
+        write_curated_csv(batch.filter(F.col("id").rlike(r"[13579]$")), f"{tmp}/odd", rows_per_file=100)
+        out = read_metadata_csv(spark, tmp).orderBy("id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# NQ1 — N-Quads sink round trip (S10).  Synthesizes a catalog from the
+# customer table (the Z1 synthesis), streams it through the REAL
+# format_string quad builder and text sink, reads the files back, and
+# checks (a) per-kind distinct-subject counts against the residues and
+# (b) the read-back line multiset is exactly the built one (fixpoint:
+# zero missing, zero extra — a lossy text sink or a mangled escape
+# breaks it).
+# ---------------------------------------------------------------------------
+@register(
+    "NQ1_nquads_round_trip",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+    s AS (
+      SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE k % 3 = 0) AS nra FROM ks
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'subjects_br' AS metric, n FROM s
+      UNION ALL SELECT 'subjects_ra', nra FROM s
+      UNION ALL SELECT 'roundtrip_missing', 0 FROM s
+      UNION ALL SELECT 'roundtrip_extra', 0 FROM s
+    ) ORDER BY metric
+    """,
+    doc="N-Quads text sink round trip: per-kind subject counts + line-multiset fixpoint (SURVEY S10).",
+)
+def nq1_nquads_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from oc_meta_spark.plans.curation import EntityCatalog
+    from oc_meta_spark.schemas import ENTITY_TABLES
+    from oc_meta_spark.sources.export import nquads_rows, write_nquads
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("k")
+    )
+    kstr = F.col("k").cast("string")
+    br = ks.select(
+        F.concat(F.lit("br/"), kstr).alias("omid"),
+        F.lit("journal article").alias("type"),
+        # quote + newline in the title exercises _nq_escape through the trip
+        F.concat(F.lit('Q"t\\n'), kstr).alias("title"),
+        F.lit("2024").alias("pub_date"),
+        F.lit(None).cast("string").alias("seq_id"),
+        F.lit(None).cast("string").alias("part_of"),
+        F.lit(None).cast("string").alias("embodiment"),
+    )
+    ra = ks.filter(F.col("k") % 3 == 0).select(
+        F.concat(F.lit("ra/"), kstr).alias("omid"),
+        F.concat(F.lit("Org"), kstr).alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    empty = lambda t: spark.createDataFrame([], ENTITY_TABLES[t])  # noqa: E731
+    cat = EntityCatalog(
+        br=br, ra=ra, id=empty("id"), entity_id=empty("entity_id"),
+        ar=empty("ar"), re=empty("re"), prov=empty("prov"),
+    )
+    built = nquads_rows(cat).withColumnRenamed("line", "value")
+    tmp = tempfile.mkdtemp(prefix="nq1_quads_")
+    try:
+        write_nquads(cat, tmp)
+        back = spark.read.text(tmp)
+        subj = back.select(
+            F.regexp_extract("value", r"^<https://w3id\.org/oc/meta/([a-z]+)/([^>]*)>", 1).alias("kind"),
+            F.regexp_extract("value", r"^<([^>]*)>", 1).alias("subject"),
+        )
+        base = (
+            subj.agg(
+                F.countDistinct(F.when(F.col("kind") == "br", F.col("subject"))).alias("subjects_br"),
+                F.countDistinct(F.when(F.col("kind") == "ra", F.col("subject"))).alias("subjects_ra"),
+            )
+            .crossJoin(
+                built.join(back, "value", "left_anti")
+                .agg(F.count(F.lit(1)).alias("roundtrip_missing"))
+            )
+            .crossJoin(
+                back.join(built, "value", "left_anti")
+                .agg(F.count(F.lit(1)).alias("roundtrip_extra"))
+            )
+        )
+        out = base.selectExpr(
+            "stack(4, 'subjects_br', subjects_br, 'subjects_ra', subjects_ra, "
+            "'roundtrip_missing', roundtrip_missing, 'roundtrip_extra', roundtrip_extra) "
+            "AS (metric, n)"
+        ).select("metric", F.col("n").cast("long").alias("n")).orderBy("metric")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,12 @@ def write_curated_csv(df: DataFrame, path: str, rows_per_file: int = 3000) -> No
         df.write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
+        # RFC-4180 doubled quotes, NOT Spark's default backslash escape:
+        # the reference corpus is written by Python csv (doubled quotes)
+        # and read_metadata_csv parses with escape='"' — without this a
+        # title containing a double quote round-trips corrupted (caught
+        # by the CS1 gate)
+        .option("escape", '"')
         .option("maxRecordsPerFile", rows_per_file)
         .csv(path)
     )
