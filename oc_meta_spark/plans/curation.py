@@ -2042,17 +2042,23 @@ def curate(
     )
     batch_toks_of = _cp(batch_toks_of)
     arr_empty = F.array().cast("array<string>")
+    # nullif: a row with no persistable ids (empty id cell, or temp-only
+    # after F7 suppression upstream) must serialize as "omid:br/x", not
+    # " omid:br/x" — the concat_ws empty-string pitfall again
     id_string = F.concat_ws(
         " ",
-        F.array_join(
-            F.concat(
-                F.array_distinct(F.coalesce(F.col("batch_toks"), arr_empty)),
-                F.array_except(
-                    F.coalesce(F.col("cat_toks"), arr_empty),
-                    F.coalesce(F.col("batch_toks"), arr_empty),
+        F.nullif(
+            F.array_join(
+                F.concat(
+                    F.array_distinct(F.coalesce(F.col("batch_toks"), arr_empty)),
+                    F.array_except(
+                        F.coalesce(F.col("cat_toks"), arr_empty),
+                        F.coalesce(F.col("batch_toks"), arr_empty),
+                    ),
                 ),
+                " ",
             ),
-            " ",
+            F.lit(""),
         ),
         F.concat(F.lit("omid:"), F.col("br_omid")),
     )

@@ -1,8 +1,10 @@
 """Gate entries for the remaining SURVEY §2 operators: citation resolution
 (J8), publisher inheritance (J7), merge-neighborhood discovery (J9),
 counting ops (A3/A4), array set operations (SO1/SO2), and the end-to-end
-curation pipeline itself (rows-only check — its per-operator pieces are
-oracle-checked individually across the registry).
+curation pipeline itself.  The whole-pipeline gates come in pairs: a
+rows-only raw gate (CUR1/CUR2, RT1, VR1 — minted omids make the raw
+output un-hashable) plus a mint-independent invariant ORACLE derived by
+a DuckDB CTE from the same raw tables (CUR3/CUR4, RT2, VR2, VD2).
 """
 
 from __future__ import annotations

@@ -1098,3 +1098,87 @@ def nq1_nquads_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# JL1 — partitioned JSON-LD layout sink (S9; the reference's
+# {kind}/{dir_split}/{file_n} archived-dump fan-out computed as partition
+# columns).  Synthesizes a catalog (the Z1 shapes), drives the REAL
+# write_jsonld partitioned sink into a temp dir, reads the layout back
+# with a plain spark.read.json over the partition tree, and checks that
+# (a) every entity doc survives per kind and (b) the partition columns
+# reconstruct: one (kind, dir_split) directory per 10k omid window, every
+# doc's @id consistent with the kind directory it landed in.
+# ---------------------------------------------------------------------------
+@register(
+    "JL1_jsonld_layout_sink",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+    s AS (
+      SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE k % 3 = 0) AS nra FROM ks
+    )
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'docs_br' AS metric, n FROM s
+      UNION ALL SELECT 'docs_ra', nra FROM s
+      UNION ALL SELECT 'kind_dir_mismatches', 0 FROM s
+      UNION ALL SELECT 'kind_partitions', 2 FROM s
+    ) ORDER BY metric
+    """,
+    doc="Partitioned JSON-LD layout write → read-back: per-kind doc counts and kind/dir consistency (SURVEY S9).",
+)
+def jl1_jsonld_layout_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from oc_meta_spark.plans.curation import EntityCatalog
+    from oc_meta_spark.schemas import ENTITY_TABLES
+    from oc_meta_spark.sources.export import write_jsonld
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("k")
+    )
+    kstr = F.col("k").cast("string")
+    br = ks.select(
+        F.concat(F.lit("br/"), kstr).alias("omid"),
+        F.lit("journal article").alias("type"),
+        F.concat(F.lit("L"), kstr).alias("title"),
+        F.lit("2024").alias("pub_date"),
+        F.lit(None).cast("string").alias("seq_id"),
+        F.lit(None).cast("string").alias("part_of"),
+        F.lit(None).cast("string").alias("embodiment"),
+    )
+    ra = ks.filter(F.col("k") % 3 == 0).select(
+        F.concat(F.lit("ra/"), kstr).alias("omid"),
+        F.concat(F.lit("Org"), kstr).alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    empty = lambda t: spark.createDataFrame([], ENTITY_TABLES[t])  # noqa: E731
+    cat = EntityCatalog(
+        br=br, ra=ra, id=empty("id"), entity_id=empty("entity_id"),
+        ar=empty("ar"), re=empty("re"), prov=empty("prov"),
+    )
+    tmp = tempfile.mkdtemp(prefix="jl1_layout_")
+    try:
+        write_jsonld(cat, tmp)
+        back = spark.read.option("recursiveFileLookup", False).json(tmp)
+        # partition columns (kind, dir_split, file_n) come back from the
+        # directory names; jsonld is the payload column
+        doc_kind = F.regexp_extract(
+            F.get_json_object("jsonld", "$['@id']"), r"/oc/meta/([a-z]+)/", 1
+        )
+        base = back.agg(
+            F.count(F.when(F.col("kind") == "br", 1)).alias("docs_br"),
+            F.count(F.when(F.col("kind") == "ra", 1)).alias("docs_ra"),
+            F.count(F.when(doc_kind != F.col("kind"), 1)).alias("kind_dir_mismatches"),
+            F.countDistinct("kind").alias("kind_partitions"),
+        )
+        out = base.selectExpr(
+            "stack(4, 'docs_br', docs_br, 'docs_ra', docs_ra, "
+            "'kind_dir_mismatches', kind_dir_mismatches, "
+            "'kind_partitions', kind_partitions) AS (metric, n)"
+        ).select("metric", F.col("n").cast("long").alias("n")).orderBy("metric")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -170,6 +170,22 @@ def test_curated_idless_agent_has_no_stray_bracket_space(spark):
     assert row["author"].endswith("]") and "[omid:ra/" in row["author"]
 
 
+def test_curated_idless_row_id_cell_has_no_leading_space(spark):
+    """Round-6 serializer pin #2: a row with NO persistable ids serializes
+    its id cell as "omid:br/x", not " omid:br/x" (the same concat_ws
+    empty-string pitfall, third site)."""
+    rows = [
+        {"id": "", "title": "No Ids", "author": "A, B",
+         "pub_date": "2020", "type": "journal article"},
+        {"id": "tmp:x1", "title": "Temp Only", "author": "C, D",
+         "pub_date": "2021", "type": "journal article"},
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    for row in r.curated.collect():
+        assert not row["id"].startswith(" "), repr(row["id"])
+        assert row["id"].rstrip() == row["id"], repr(row["id"])
+
+
 def test_export_consistency_entry_order_significant(spark):
     """Round-6: entry ORDER is part of the round-trip contract — a dump
     that rebuilt the agent chain in the wrong order must flag, even
