@@ -192,3 +192,24 @@ def test_dc3_blocks_then_verifies(spark):
     plan = _plan(spark, "DC3_fuzzy_decontamination")
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
+    """Blanket scale invariant (round-6): NO registered gate's physical
+    plan may contain a CartesianProduct — bounded 1-row crossJoins (the
+    invariant-projection gates) compile to BroadcastNestedLoopJoin, which
+    is allowed.  The whole-pipeline curation/round-trip gates are skipped
+    here: their builders pay the full curate() dispatch floor per call
+    and their constituent plans are asserted individually above and in
+    test_correctness."""
+    from oc_meta_spark.plans.registry import load_all
+
+    heavy = ("CUR", "RT", "VR1")
+    offenders = []
+    for name, q in load_all().items():
+        if name.startswith(heavy):
+            continue
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
