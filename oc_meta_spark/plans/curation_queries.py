@@ -1007,3 +1007,62 @@ def vd2_export_check_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("kind", "col")
     )
+
+
+# ---------------------------------------------------------------------------
+# EQ1 — the equalizer VALUE oracle (D5; reference core/curator.py
+# equalizer / indexer precedence).  CUR4 checks the update scenario's
+# STRUCTURE (entity counts, link multisets); this gate checks the field
+# VALUES the equalizer writes: a catalog preloaded with every 10th
+# article under DIFFERENT title/pub_date/author must win those fields in
+# the curated output, with the batch's agent APPENDED to the catalog
+# chain — all mint-independent once omid brackets are stripped, so the
+# DuckDB oracle re-derives every curated row from the part table.
+# ---------------------------------------------------------------------------
+@register(
+    "EQ1_equalizer_field_precedence",
+    """
+    WITH t AS (
+      SELECT *,
+             -- clean_title on the all-lowercase p_name: every word
+             -- title-cased (reference lib/cleaner.py:162-180; the C3 gate
+             -- oracles the full acronym-preserving kernel)
+             array_to_string(
+               list_transform(string_split(p_name, ' '),
+                              w -> upper(w[1:1]) || w[2:]), ' ') AS cleaned
+      FROM part
+    )
+    SELECT 'doi:10.' || CAST(4000 + p_partkey % 100 AS VARCHAR)
+             || '/p' || CAST(p_partkey AS VARCHAR) AS doi,
+           CASE WHEN p_partkey % 10 = 0 THEN 'Cat ' || cleaned ELSE cleaned END AS title,
+           CASE WHEN p_partkey % 10 = 0 THEN '2023-12' ELSE '2024-01' END AS pub_date,
+           CAST(p_size % 5 + 1 AS VARCHAR) AS volume,
+           CASE WHEN p_partkey % 10 = 0
+                THEN 'Curator, Cat; Maker, ' || p_brand
+                ELSE 'Maker, ' || p_brand END AS authors
+    FROM t ORDER BY doi
+    """,
+    doc="Equalizer catalog-precedence VALUES: preloaded fields win, batch agents append to the chain (SURVEY D5).",
+)
+def eq1_equalizer_field_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.curation import EntityCatalog, curate
+
+    part = _t(spark, sf_dir, "part")
+    meta = _cur_meta(part)
+    preload_meta = _cur_meta(part.filter(F.col("p_partkey") % 10 == 0)).select(
+        "id",
+        F.concat(F.lit("Cat "), F.col("title")).alias("title"),
+        F.lit("Curator, Cat").alias("author"),
+        F.lit("2023-12").alias("pub_date"),
+        "venue", "volume", "issue", "page", "type", "publisher", "editor",
+    )
+    catalog = EntityCatalog.empty(spark).union(curate(preload_meta))
+    curated = curate(meta, catalog).curated
+    strip_ids = lambda c: F.regexp_replace(c, r"\s*\[[^\]]*\]", "")
+    return curated.select(
+        F.split(F.col("id"), r"\s+").getItem(0).alias("doi"),
+        F.col("title"),
+        F.col("pub_date"),
+        F.col("volume"),
+        strip_ids(F.col("author")).alias("authors"),
+    ).orderBy("doi")

@@ -55,11 +55,12 @@ def load_all() -> dict[str, OracleQuery]:
     predates a code change, first.  Round-6 order: editor (ED1's module was
     touched in round 5 after its last recorded row) and the analytics
     family (rows date from round 2) lead; graph (G3 likewise r2-stale)
-    next; curation (new RT2/VR2 oracles + serializer fix this round),
-    similarity (guard fold this round), and hygiene / audit / temporal /
-    multimodal fill the remaining prefix.  Families with current rows and
-    untouched code (dedup/text/fidelity/stream/sampling/pipeline) register
-    last.
+    next; curation (new RT2/VR2/VD2/EQ1 oracles + serializer fixes this
+    round), similarity (guard fold this round), and hygiene / audit /
+    temporal fill the remaining prefix (RJ1 and multimodal spill past the
+    50-gate window — their rows are r4/r5-fresh and the code untouched).
+    Families with current rows and untouched code
+    (dedup/text/fidelity/stream/sampling/pipeline) register last.
     """
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
