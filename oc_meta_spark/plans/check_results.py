@@ -273,7 +273,10 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     EXCLUDED from the join (an empty-string extract would otherwise collapse
     every malformed row on both sides onto one key, fanning out bogus
     value_mismatch rows many-to-many)."""
-    omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/\S+)", 1), F.lit(""))
+    # [^\]\s] not \S: keeps the key clean even if an id cell ever embeds
+    # the omid inside a bracket block (same hardening as the invariant
+    # projection's extracts)
+    omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/[^\]\s]+)", 1), F.lit(""))
 
     def cell(col_name: str) -> F.Column:
         # Per-GROUP canonicalization (the reference's normalize_row_ids,
