@@ -1182,3 +1182,97 @@ def jl1_jsonld_layout_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# FO1 — FOREIGN OCDM import (S11's other dialect; reference
+# run/meta/generate_csv.py:299-476).  Synthesizes a foreign JSON-LD
+# export from the customer table — full predicate URIs, "@graph"
+# batching, typed-literal lists, oco:hasNext agent chains WITHOUT
+# explicit positions (the walk must reconstruct author order), and a
+# 2-hop venue hierarchy (article → JournalVolume → Journal) on every
+# 4th record — and drives the REAL parse_jsonld + dump_csv; the oracle
+# re-derives every dumped article row from the residues.  Author ORDER
+# in the output is the hasNext chain order, so a broken chain walk
+# flags as a value mismatch, not just a count.
+# ---------------------------------------------------------------------------
+@register(
+    "FO1_foreign_ocdm_import",
+    """
+    SELECT 'omid:br/' || k || ' doi:10.3/f' || k AS id,
+           'T' || k AS title,
+           'A' || k || ', G [omid:ra/' || k || 'a]; B' || k || ', H [omid:ra/' || k || 'b]' AS author,
+           '' AS issue,
+           CASE WHEN c_custkey % 4 = 0 THEN '3' ELSE '' END AS volume,
+           CASE WHEN c_custkey % 4 = 0 THEN 'J' || k || ' [omid:br/j' || k || ']' ELSE '' END AS venue,
+           '' AS page,
+           '2024' AS pub_date,
+           'journal article' AS type,
+           '' AS publisher,
+           '' AS editor
+    FROM (SELECT CAST(c_custkey AS VARCHAR) AS k, c_custkey FROM customer WHERE c_custkey < 200)
+    ORDER BY id
+    """,
+    doc="Foreign-dialect OCDM JSON-LD import: @graph batching, URI predicates, hasNext chain walk, 2-hop venue hierarchy (SURVEY S11).",
+)
+def fo1_foreign_ocdm_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.generate_csv import dump_csv, parse_jsonld
+
+    ks = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("kn"), F.col("c_custkey").cast("string").alias("k")
+    )
+    M = "https://w3id.org/oc/meta/"
+    br_part_of = F.when(
+        F.col("kn") % 4 == 0,
+        F.concat(F.lit(f',"http://purl.org/vocab/frbr/core#partOf":[{{"@id":"{M}br/v'), F.col("k"), F.lit('"}]')),
+    ).otherwise(F.lit(""))
+    hierarchy = F.when(
+        F.col("kn") % 4 == 0,
+        F.concat(
+            F.lit(f',{{"@id":"{M}br/v'), F.col("k"),
+            F.lit('","@type":["http://purl.org/spar/fabio/JournalVolume"],'
+                  '"http://purl.org/spar/fabio/hasSequenceIdentifier":[{"@value":"3"}],'),
+            F.lit(f'"http://purl.org/vocab/frbr/core#partOf":[{{"@id":"{M}br/j'), F.col("k"),
+            F.lit(f'"}}]}},{{"@id":"{M}br/j'), F.col("k"),
+            F.lit('","@type":["http://purl.org/spar/fabio/Journal"],'
+                  '"http://purl.org/dc/terms/title":[{"@value":"J'), F.col("k"), F.lit('"}]}'),
+        ),
+    ).otherwise(F.lit(""))
+    doc = F.concat(
+        F.lit('{"@graph":['),
+        # article: Expression must be skipped in type resolution
+        F.lit(f'{{"@id":"{M}br/'), F.col("k"),
+        F.lit('","@type":["http://purl.org/spar/fabio/Expression","http://purl.org/spar/fabio/JournalArticle"],'
+              '"http://purl.org/dc/terms/title":[{"@value":"T'), F.col("k"), F.lit('"}],'
+              '"http://prismstandard.org/namespaces/basic/2.0/publicationDate":[{"@value":"2024"}],'),
+        F.lit(f'"http://purl.org/spar/datacite/hasIdentifier":[{{"@id":"{M}id/'), F.col("k"), F.lit('"}],'),
+        F.lit(f'"http://purl.org/spar/pro/isDocumentContextFor":[{{"@id":"{M}ar/'), F.col("k"),
+        F.lit(f'a"}},{{"@id":"{M}ar/'), F.col("k"), F.lit('b"}]'),
+        br_part_of,
+        F.lit("},"),
+        # identifier
+        F.lit(f'{{"@id":"{M}id/'), F.col("k"),
+        F.lit('","http://purl.org/spar/datacite/usesIdentifierScheme":[{"@id":"http://purl.org/spar/datacite/doi"}],'
+              '"http://www.essepuntato.it/2010/06/literalreification/hasLiteralValue":[{"@value":"10.3/f'),
+        F.col("k"), F.lit('"}]},'),
+        # AR chain a → b, NO explicit positions (the walk must order them)
+        F.lit(f'{{"@id":"{M}ar/'), F.col("k"),
+        F.lit('a","http://purl.org/spar/pro/withRole":[{"@id":"http://purl.org/spar/pro/author"}],'),
+        F.lit(f'"http://purl.org/spar/pro/isHeldBy":[{{"@id":"{M}ra/'), F.col("k"), F.lit('a"}],'),
+        F.lit(f'"https://w3id.org/oc/ontology/hasNext":[{{"@id":"{M}ar/'), F.col("k"), F.lit('b"}]},'),
+        F.lit(f'{{"@id":"{M}ar/'), F.col("k"),
+        F.lit('b","http://purl.org/spar/pro/withRole":[{"@id":"http://purl.org/spar/pro/author"}],'),
+        F.lit(f'"http://purl.org/spar/pro/isHeldBy":[{{"@id":"{M}ra/'), F.col("k"), F.lit('b"}]},'),
+        # agents
+        F.lit(f'{{"@id":"{M}ra/'), F.col("k"),
+        F.lit('a","http://xmlns.com/foaf/0.1/familyName":[{"@value":"A'), F.col("k"),
+        F.lit('"}],"http://xmlns.com/foaf/0.1/givenName":[{"@value":"G"}]},'),
+        F.lit(f'{{"@id":"{M}ra/'), F.col("k"),
+        F.lit('b","http://xmlns.com/foaf/0.1/familyName":[{"@value":"B'), F.col("k"),
+        F.lit('"}],"http://xmlns.com/foaf/0.1/givenName":[{"@value":"H"}]}'),
+        hierarchy,
+        F.lit("]}"),
+    )
+    docs = ks.select(doc.alias("jsonld"))
+    dumped = dump_csv(parse_jsonld(docs))
+    return dumped.filter(F.col("type") == "journal article").orderBy("id")
