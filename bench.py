@@ -87,6 +87,21 @@ def main() -> None:
         timings[n] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_all, 4)
 
+    # De-hinted merge path on the skewed-hub shape (ONE survivor absorbs
+    # 10^4 entities — the reference's --preload-high-authors ATLAS stress):
+    # timed here so round-over-round perf on apply_merges is visible, not
+    # just its correctness (tests/test_merge.py pins the same shape via
+    # the shared synth_hub_merge builder).  Outside the headline total —
+    # synthetic input, not a sf-scaled table scan.
+    from oc_meta_spark.plans.merge import apply_merges, synth_hub_merge
+
+    cat, instr = synth_hub_merge(spark, 10_000)
+    t0 = time.perf_counter()
+    res = apply_merges(cat, instr)
+    n_moved = res.catalog.entity_id.count()
+    extra["merge_hub_sec"] = round(time.perf_counter() - t0, 4)
+    extra["merge_hub_rows"] = n_moved
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",

@@ -266,7 +266,12 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     canonicalization (test/test_utils.py:159): id tokens are sorted inside
     each bracket group so two serializations of the same id set don't
     flag, while the "; "-separated entry order (author/editor sequence —
-    the hasNext discipline) remains significant.
+    the hasNext discipline) remains significant.  The canonicalization
+    applies ONLY to the id-bearing columns the reference normalizes
+    (author/venue/publisher/editor); every other shared column (title,
+    page, pub_date, volume, issue, type) is compared exactly after a
+    trim, so a dump that reorders bracketed tokens or collapses internal
+    whitespace inside a title DOES flag.
 
     Rows whose id cell lacks an ``omid:br/...`` token cannot be keyed: they
     are reported as ``malformed_id`` discrepancies on their own side and
@@ -278,7 +283,13 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     # projection's extracts)
     omid = F.nullif(F.regexp_extract(F.col("id"), r"omid:(br/[^\]\s]+)", 1), F.lit(""))
 
+    # The columns the reference's normalize_row_ids canonicalizes
+    # (test/test_utils.py:159-165); all others compare exactly after trim.
+    id_bearing = {"author", "venue", "publisher", "editor"}
+
     def cell(col_name: str) -> F.Column:
+        if col_name not in id_bearing:
+            return F.trim(F.coalesce(F.col(col_name), F.lit("")))
         # Per-GROUP canonicalization (the reference's normalize_row_ids,
         # test/test_utils.py:159-165): sort id tokens only INSIDE each
         # bracket block — "[issn:x omid:y]" and "[omid:y issn:x]" (curator

@@ -501,6 +501,51 @@ def rt2_round_trip_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RT3 — the VALUE oracle for RT1's deliberately-non-fixpoint path (round-7:
+# the last unoracled value path in the inverse ETL).  With
+# constant_venue=False every row mentions the shared ISSN venue under its
+# own display name (its p_type), so the batch's mentions merge into ONE
+# venue entity whose stored title is the canonical name: clean_title of
+# the name from the mention with the smallest row_id (curation.py
+# new-venue pick — min(struct(first_row, name, type)) — mirroring the
+# reference curator's first-occurrence name, curator.py; the dump then
+# shows that stored title for every article, reference
+# run/meta/generate_csv.py:299-356).  The gate runs the real trip and
+# projects (doi, dumped venue display name); the oracle re-derives the
+# canonical name from part.p_type: the testdata's p_type is all-caps, so
+# clean_title lowers it then title-cases word-wise (cleaner.py:162-180).
+# ---------------------------------------------------------------------------
+@register(
+    "RT3_round_trip_venue_name",
+    """
+    WITH b AS (SELECT p_partkey, p_type FROM part WHERE p_partkey <= 50),
+    canon AS (
+      SELECT array_to_string(
+               list_transform(string_split(lower(p_type), ' '),
+                 w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+               ' ') AS vname
+      FROM b ORDER BY p_partkey LIMIT 1
+    )
+    SELECT 'doi:10.' || CAST(4000 + p_partkey % 100 AS VARCHAR)
+             || '/rt' || CAST(p_partkey AS VARCHAR) AS doi,
+           (SELECT vname FROM canon) AS venue_name
+    FROM b ORDER BY doi
+    """,
+    doc="RT1 varying-venue value oracle: dumped venue display name = canonical first-mention clean_title(p_type) for every article (S9/S11).",
+)
+def rt3_round_trip_venue_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, dumped = _rt_trip(spark, sf_dir, constant_venue=False)
+    return (
+        dumped.filter(F.col("id").rlike("doi:"))
+        .select(
+            F.regexp_extract("id", r"(doi:[^\s]+)", 1).alias("doi"),
+            F.regexp_extract("venue", r"^(.*?)\s*\[", 1).alias("venue_name"),
+        )
+        .orderBy("doi")
+    )
+
+
+# ---------------------------------------------------------------------------
 # VR1 — post-run verification report: the 16-counter check_results rollup
 # over a curated batch and its catalog (rows-only; the aggregation shapes
 # are oracle-gated generically as A1-A8/J10/J11).

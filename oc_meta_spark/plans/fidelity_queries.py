@@ -1075,19 +1075,32 @@ def nq1_nquads_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("value", r"^<https://w3id\.org/oc/meta/([a-z]+)/([^>]*)>", 1).alias("kind"),
             F.regexp_extract("value", r"^<([^>]*)>", 1).alias("subject"),
         )
+        # True MULTISET comparison: a sink that drops or duplicates one of
+        # two identical quad lines must flag, which set-based anti-joins
+        # would miss — so compare per-line counts via a full-outer join of
+        # the two groupBy(value).count() frames.
+        n_built = F.coalesce(F.col("n_built"), F.lit(0))
+        n_back = F.coalesce(F.col("n_back"), F.lit(0))
+        multiset = (
+            built.groupBy("value").agg(F.count(F.lit(1)).alias("n_built"))
+            .join(
+                back.groupBy("value").agg(F.count(F.lit(1)).alias("n_back")),
+                "value",
+                "full_outer",
+            )
+            .agg(
+                F.coalesce(F.sum(F.greatest(n_built - n_back, F.lit(0))), F.lit(0))
+                .alias("roundtrip_missing"),
+                F.coalesce(F.sum(F.greatest(n_back - n_built, F.lit(0))), F.lit(0))
+                .alias("roundtrip_extra"),
+            )
+        )
         base = (
             subj.agg(
                 F.countDistinct(F.when(F.col("kind") == "br", F.col("subject"))).alias("subjects_br"),
                 F.countDistinct(F.when(F.col("kind") == "ra", F.col("subject"))).alias("subjects_ra"),
             )
-            .crossJoin(
-                built.join(back, "value", "left_anti")
-                .agg(F.count(F.lit(1)).alias("roundtrip_missing"))
-            )
-            .crossJoin(
-                back.join(built, "value", "left_anti")
-                .agg(F.count(F.lit(1)).alias("roundtrip_extra"))
-            )
+            .crossJoin(multiset)
         )
         out = base.selectExpr(
             "stack(4, 'subjects_br', subjects_br, 'subjects_ra', subjects_ra, "

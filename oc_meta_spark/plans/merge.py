@@ -319,3 +319,55 @@ def merge_history(prov: DataFrame) -> DataFrame:
     return resolve_chains(
         events.select(F.col("merged").alias("old"), F.col("survivor").alias("new"))
     ).select(F.col("old").alias("merged_entity"), F.col("final").alias("final_survivor"))
+
+
+def synth_hub_merge(spark, n: int = 10_000):
+    """The skewed-hub merge shape (the reference's ``--preload-high-authors
+    2869`` ATLAS stress, run/benchmark/benchmark.py, scaled up): ONE
+    nameless survivor absorbs ``n`` merged RAs, each carrying one id.
+    Returns (catalog, instructions) — shared by the round-6 skew stress
+    test (tests/test_merge.py) and bench.py's ``merge_hub_sec`` entry so
+    the timed shape can never drift from the correctness-pinned one."""
+    from oc_meta_spark.schemas import ENTITY_TABLES
+
+    ks = spark.range(0, n + 1).select(F.col("id").cast("int").alias("k"))
+    _ra = lambda c: F.concat(F.lit("ra/"), c.cast("string"))  # noqa: E731
+    ra = ks.select(
+        _ra(F.col("k")).alias("omid"),
+        F.when(F.col("k") == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Org "), F.col("k").cast("string")))
+        .alias("name"),
+        F.lit(None).cast("string").alias("family"),
+        F.lit(None).cast("string").alias("given"),
+    )
+    merged_ks = ks.filter(F.col("k") >= 1)
+    id_tbl = merged_ks.select(
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("omid"),
+        F.lit("orcid").alias("schema"),
+        F.concat(F.lit("v"), F.col("k").cast("string")).alias("value"),
+    )
+    entity_id = merged_ks.select(
+        _ra(F.col("k")).alias("entity_omid"),
+        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("id_omid"),
+    )
+    prov = ks.select(
+        _ra(F.col("k")).alias("entity_omid"),
+        F.lit(1).alias("snapshot"),
+        F.lit("t0").alias("generated_at"),
+        F.lit(None).cast("string").alias("invalidated_at"),
+        F.array().cast("array<string>").alias("derived_from"),
+        F.lit("agent").alias("resp_agent"),
+        F.lit(None).cast("string").alias("primary_source"),
+        F.lit("entity created").alias("description"),
+        F.lit(None).cast("string").alias("update_query"),
+    )
+    empty = lambda nm: spark.createDataFrame([], ENTITY_TABLES[nm])  # noqa: E731
+    catalog = EntityCatalog(
+        br=empty("br"), ra=ra, id=id_tbl, entity_id=entity_id,
+        ar=empty("ar"), re=empty("re"), prov=prov,
+    )
+    instructions = merged_ks.select(
+        F.lit("ra/0").alias("surviving_entity"),
+        _ra(F.col("k")).alias("merged_entity"),
+    )
+    return catalog, instructions

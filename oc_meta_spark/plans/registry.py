@@ -52,30 +52,33 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-6 order: editor (ED1's module was
-    touched in round 5 after its last recorded row) and the analytics
-    family (rows date from round 2) lead; graph (G3 likewise r2-stale)
-    next; curation (new RT2/VR2/VD2/EQ1 oracles + serializer fixes this
-    round), similarity (guard fold this round), and hygiene / audit /
-    temporal fill the remaining prefix (RJ1 and multimodal spill past the
-    50-gate window — their rows are r4/r5-fresh and the code untouched).
-    Families with current rows and untouched code
-    (dedup/text/fidelity/stream/sampling/pipeline) register last.
+    predates a code change, first.  Round-7 order: fidelity leads — its
+    round-6 additions (OX1/AP1/Z1/CS1/NQ1/JL1/FO1) registered past the
+    50-gate window and have never been externally witnessed, and NQ1's
+    comparison changed this round (multiset, not set); curation next
+    (new RT3 varying-venue oracle this round, plus check_results cell
+    canonicalization narrowed to id-bearing columns, which VD2/RT2
+    exercise).  The remainder of the prefix goes to the families with the
+    OLDEST recorded rows: multimodal (r4), stream (r4), sampling (r4),
+    pipeline (r4/r5), temporal (RJ1 r5), then the head of dedup (r5).
+    Families with fresh round-6 rows and untouched code (editor,
+    analytics, graph, similarity, hygiene, audit) register last and spill
+    past the window.
     """
-    import oc_meta_spark.plans.editor_queries  # noqa: F401
-    import oc_meta_spark.plans.analytics  # noqa: F401
-    import oc_meta_spark.plans.graph_queries  # noqa: F401
-    import oc_meta_spark.plans.curation_queries  # noqa: F401
-    import oc_meta_spark.plans.similarity_queries  # noqa: F401
-    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
-    import oc_meta_spark.plans.audit_queries  # noqa: F401
-    import oc_meta_spark.plans.temporal_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
-    import oc_meta_spark.plans.dedup_queries  # noqa: F401
-    import oc_meta_spark.plans.text_queries  # noqa: F401
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
     import oc_meta_spark.plans.pipeline_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.dedup_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.editor_queries  # noqa: F401
+    import oc_meta_spark.plans.analytics  # noqa: F401
+    import oc_meta_spark.plans.graph_queries  # noqa: F401
+    import oc_meta_spark.plans.similarity_queries  # noqa: F401
+    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
+    import oc_meta_spark.plans.audit_queries  # noqa: F401
 
     return QUERIES

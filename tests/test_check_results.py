@@ -146,6 +146,30 @@ def test_export_consistency_bracket_token_order(spark):
     assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "venue")}
 
 
+def test_export_consistency_non_id_columns_compare_exactly(spark):
+    """Round-7 pin: canonicalization applies ONLY to the id-bearing columns
+    the reference's normalize_row_ids touches (author/venue/publisher/
+    editor) — a title whose bracketed tokens were reordered or whose
+    internal whitespace changed must flag as a value_mismatch."""
+    from pyspark.sql import Row
+
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    a = spark.createDataFrame(
+        [Row(id="doi:10.1/t1 omid:br/1", title="Alpha [beta gamma] Title", page="11-22")]
+    )
+    reordered = spark.createDataFrame(
+        [Row(id="omid:br/1 doi:10.1/t1", title="Alpha [gamma beta] Title", page="11-22")]
+    )
+    diffs = check_export_consistency(a, reordered).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "title")}
+    squeezed = spark.createDataFrame(
+        [Row(id="omid:br/1 doi:10.1/t1", title="Alpha  [beta gamma] Title", page="11-22")]
+    )
+    diffs = check_export_consistency(a, squeezed).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "title")}
+
+
 def test_curated_idless_agent_has_no_stray_bracket_space(spark):
     """Round-6 serializer pin: an id-less agent serializes as
     "Name [omid:ra/x]" — reference format (e.g. test/testcases
@@ -216,3 +240,44 @@ def test_export_consistency_entry_order_significant(spark):
     )
     diffs = check_export_consistency(a, swapped).collect()
     assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "author")}
+
+
+def test_atlas_scale_author_chain_survives_round_trip(spark):
+    """The reference's published stress case (run/benchmark/benchmark.py
+    ``--preload-high-authors 2869`` — the ATLAS collaboration): ONE record
+    with 2869 authors.  Pins that pos discipline survives curate →
+    JSON-LD export → parse → CSV dump: the dump has no positions in the
+    native dialect, so resolve_chains must walk the 2869-link hasNext
+    chain and rebuild exact input order (any accidental string-sort of
+    minted omids would shuffle ra/1 < ra/10 < ra/2), and the id-less
+    agent serializer must stay space-clean at scale."""
+    import pyspark.sql.functions as F
+
+    from oc_meta_spark.plans.check_results import check_export_consistency
+    from oc_meta_spark.plans.generate_csv import dump_csv, parse_jsonld
+    from oc_meta_spark.sources.export import entity_jsonld_rows
+
+    n = 2869
+    authors = "; ".join(f"Fam{i:04d}, Giv{i}" for i in range(1, n + 1))
+    rows = [
+        {"id": "doi:10.1000/atlas1", "title": "Atlas Paper", "author": authors,
+         "pub_date": "2019", "type": "journal article"},
+    ]
+    r = curate(_input(spark, rows), None, prefix="060")
+    curated = r.curated
+
+    cell = curated.first()["author"]
+    entries = cell.split("; ")
+    assert len(entries) == n
+    for i, e in zip((1, 2, 9, 10, 11, 100, n), (entries[0], entries[1], entries[8],
+                                                entries[9], entries[10], entries[99], entries[-1])):
+        assert e.startswith(f"Fam{i:04d}, Giv{i} ["), (i, e)
+        assert "[ " not in e and " ]" not in e, e
+
+    catalog = EntityCatalog.empty(spark).union(r)
+    # curated AR chain: contiguous positions 1..n on the single work
+    pos = sorted(p["pos"] for p in catalog.ar.filter(F.col("role") == "author").collect())
+    assert pos == list(range(1, n + 1))
+
+    dumped = dump_csv(parse_jsonld(entity_jsonld_rows(catalog).select("jsonld")))
+    assert check_export_consistency(curated, dumped).count() == 0

@@ -34,6 +34,28 @@ def test_contract_shape():
     assert set(osql) <= set(qs)
 
 
+def test_registry_counts():
+    """Derive the gate counts the docs quote from the registry itself, so
+    README/COVERAGE can never drift again (round-6 ADVICE: the hand-written
+    '102/98' was stale the day it landed)."""
+    import re
+    from pathlib import Path
+
+    total = len(_QUERIES)
+    oracled = sum(1 for q in _QUERIES.values() if q.oracle is not None)
+    root = Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(r"(\d+) registered operator plans, (\d+) DuckDB-oracle-checked", readme)
+    assert m, "README.md lost its gate-count line"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"README.md says {m.group(1)}/{m.group(2)}, registry has {total}/{oracled}"
+    )
+    coverage = (root / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) registered gates, (\d+) oracle-bearing", coverage)
+    if m:  # header added round 7; keep the assert once present
+        assert (int(m.group(1)), int(m.group(2))) == (total, oracled)
+
+
 def test_dc3_detects_most_planted_pairs(spark, sf_dir):
     """The planted perturbed copies (shingle Jaccard ~0.65) must be found
     at high rate — 4x2 banding gives ~0.9 recall there; cross-noise pairs

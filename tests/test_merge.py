@@ -172,49 +172,13 @@ def test_apply_merges_skewed_hub_survivor(spark):
     broadcast hints, AQE picks the join strategy at runtime; this pins
     that the skewed survivor key still completes and produces correct
     absorbed state, and that no rewrite join degenerates to a cartesian
-    product."""
+    product.  The shape builder is shared with bench.py's merge_hub_sec
+    entry (plans/merge.py::synth_hub_merge) so the timed shape can never
+    drift from this correctness-pinned one."""
+    from oc_meta_spark.plans.merge import synth_hub_merge
+
     n = 10_000
-    ks = spark.range(0, n + 1).select(F.col("id").cast("int").alias("k"))
-    _ra = lambda c: F.concat(F.lit("ra/"), c.cast("string"))
-    ra = ks.select(
-        _ra(F.col("k")).alias("omid"),
-        # survivor starts nameless so absorption has something to fill
-        F.when(F.col("k") == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("Org "), F.col("k").cast("string")))
-        .alias("name"),
-        F.lit(None).cast("string").alias("family"),
-        F.lit(None).cast("string").alias("given"),
-    )
-    merged_ks = ks.filter(F.col("k") >= 1)
-    id_tbl = merged_ks.select(
-        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("omid"),
-        F.lit("orcid").alias("schema"),
-        F.concat(F.lit("v"), F.col("k").cast("string")).alias("value"),
-    )
-    entity_id = merged_ks.select(
-        _ra(F.col("k")).alias("entity_omid"),
-        F.concat(F.lit("id/"), F.col("k").cast("string")).alias("id_omid"),
-    )
-    prov = ks.select(
-        _ra(F.col("k")).alias("entity_omid"),
-        F.lit(1).alias("snapshot"),
-        F.lit("t0").alias("generated_at"),
-        F.lit(None).cast("string").alias("invalidated_at"),
-        F.array().cast("array<string>").alias("derived_from"),
-        F.lit("agent").alias("resp_agent"),
-        F.lit(None).cast("string").alias("primary_source"),
-        F.lit("entity created").alias("description"),
-        F.lit(None).cast("string").alias("update_query"),
-    )
-    empty = lambda nm: spark.createDataFrame([], ENTITY_TABLES[nm])
-    cat = EntityCatalog(
-        br=empty("br"), ra=ra, id=id_tbl, entity_id=entity_id,
-        ar=empty("ar"), re=empty("re"), prov=prov,
-    )
-    instr = merged_ks.select(
-        F.lit("ra/0").alias("surviving_entity"),
-        _ra(F.col("k")).alias("merged_entity"),
-    )
+    cat, instr = synth_hub_merge(spark, n)
     res = apply_merges(cat, instr)
     assert res.n_merged == n
     assert res.catalog.ra.count() == 1

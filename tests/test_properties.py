@@ -118,6 +118,121 @@ class TestVolumeIssue:
         assert repair_vi_pair(out_v, out_i) == (out_v, out_i)
 
 
+# Simple vol/issue tokens drawn from the reference's own _VI vocabulary
+# (master_of_regex.py:77-99): bare numbers, roman numerals, alnum mixes.
+# Compound tokens ('12-3') are deliberately excluded — the lazy compound
+# suffix makes their capture split template-dependent, which the golden
+# tests pin case-by-case.
+_VI_TOKEN = st.one_of(
+    st.from_regex(r"[0-9]{1,3}", fullmatch=True),
+    st.from_regex(r"[ivxlcdm]{1,4}", fullmatch=True),
+    st.from_regex(r"[0-9]{1,2}[a-z]{1,2}", fullmatch=True),
+)
+_JUNK = st.sampled_from(
+    ["n/a", "N/A", "&na;", "not available", ":", "-", ".", "/", "–", "‐"]
+)
+
+
+class TestVolumeIssueFamilies:
+    """Family-driven properties for the full C9 machine — inputs generated
+    from the reference's own INVALID/VALID pattern families
+    (master_of_regex.py:77-157), invariants per the strategy driver
+    (cleaner.py:418-494)."""
+
+    @given(
+        _VI_TOKEN,
+        _VI_TOKEN,
+        st.sampled_from(
+            ["vol. {v}, no. {i}", "Volume {v} issue {i}", "tome {v}: num {i}"]
+        ),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_vol_iss_family_splits_into_columns(self, v, i, tpl):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        out_v, out_i, typ, date = clean_volume_and_issue(
+            tpl.format(v=v, i=i), "", "journal article", ""
+        )
+        assert (out_v, out_i) == (v, i), (tpl, v, i, out_v, out_i)
+        assert typ == "journal article" and date == ""
+        # repaired outputs re-classify clean: the machine is a fixpoint on
+        # its own vol_iss output
+        assert clean_volume_and_issue(out_v, out_i, typ, "2000") == (
+            out_v, out_i, typ, "2000",
+        )
+
+    @given(_VI_TOKEN, _VI_TOKEN, st.integers(1000, 9999), st.booleans())
+    @settings(max_examples=300, deadline=None)
+    def test_vol_iss_year_family_fills_empty_date_only(self, v, i, y, has_date):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        prior = "1999-07" if has_date else ""
+        out_v, out_i, typ, date = clean_volume_and_issue(
+            f"{v} ({i}'{y})", "", "journal article", prior
+        )
+        assert (out_v, out_i) == (v, i)
+        assert date == (prior if has_date else str(y))
+
+    @given(_JUNK, _JUNK)
+    @settings(max_examples=200, deadline=None)
+    def test_junk_family_deletes_both_columns(self, jv, ji):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        out_v, out_i, typ, date = clean_volume_and_issue(jv, ji, "journal article", "")
+        assert (out_v, out_i, date) == ("", "", "")
+
+    @given(st.from_regex(r"[0-9]{1,3}", fullmatch=True), st.from_regex(r"[0-9]{1,3}", fullmatch=True))
+    @settings(max_examples=200, deadline=None)
+    def test_plain_numbers_pass_through_untouched(self, v, i):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        assert clean_volume_and_issue(v, i, "journal issue", "2001") == (
+            v, i, "journal issue", "2001",
+        )
+
+    @given(_VI_TOKEN, st.sampled_from(["vol. {v}", "Volume {v}", "tome {v}", "cilt {v}"]))
+    @settings(max_examples=300, deadline=None)
+    def test_volume_form_in_issue_column_swaps_and_retypes(self, v, tpl):
+        """A VALID-volume form sitting in the issue column of an
+        issue-typed row moves over verbatim (value preserved) and flips
+        the row's kind (cleaner.py:447-471)."""
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        cell = tpl.format(v=v)
+        out_v, out_i, typ, _ = clean_volume_and_issue("", cell, "journal issue", "")
+        assert out_v == cell and out_i == ""
+        assert typ == "journal volume"
+
+    @given(_VI_TOKEN, st.sampled_from(["issue {i}", "Issue. {i}", "sayı: {i}"]))
+    @settings(max_examples=300, deadline=None)
+    def test_issue_form_in_volume_column_swaps_and_retypes(self, i, tpl):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        cell = tpl.format(i=i)
+        out_v, out_i, typ, _ = clean_volume_and_issue(cell, "", "journal volume", "")
+        assert out_i == cell and out_v == ""
+        assert typ == "journal issue"
+
+    def test_vietnamese_nfd_quirk_bug_for_bug(self):
+        """The reference stores the Vietnamese vol_iss literals in NFD, so
+        only decomposed input matches — replicated bug-for-bug
+        (master_of_regex.py Vietnamese row; volume_issue.py:66-71)."""
+        import unicodedata as ud
+
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        nfd = ud.normalize("NFD", "tập 5, số 3")
+        assert clean_volume_and_issue(nfd, "", "journal article", "")[:2] == ("5", "3")
+        nfc = ud.normalize("NFC", "tập 5, số 3")
+        out_v, out_i, _, _ = clean_volume_and_issue(nfc, "", "journal article", "")
+        assert (out_v, out_i) == (nfc, "")  # precomposed input never matches
+
+    def test_uppercase_roman_case_preserved(self):
+        from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
+
+        assert clean_volume_and_issue("Vol. IV, No. 7", "", "journal article", "")[:2] == ("IV", "7")
+
+
 def test_minting_paths_equivalent(spark):
     """Distributed rank assignment must equal the window path exactly."""
     import pyspark.sql.functions as F
