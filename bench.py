@@ -42,6 +42,8 @@ HEADLINE = [
     "X3_lsh_bucketed_nn",
     "X5_ivf_ann",
     "T1_token_stats",
+    "CH1_token_window_chunking",
+    "TF1_tfidf_top_terms",
     "G1_connected_components",
     "CUR1_curation_end_to_end",
     "CUR2_curation_update_scenario",

@@ -265,3 +265,126 @@ def t7_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) + F.col("z") / (F.lit(2) * (F.lit(1) + F.abs("z")))).alias("score"),
         (F.col("z") >= 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CH1 — overlapping context-window chunking (the training-data op that
+# turns documents into fixed-size training windows: window W tokens,
+# stride S, trailing partial windows kept — the standard sliding-window
+# shape for LLM pretraining corpora; no reference counterpart).
+#
+# Scale notes (100 TB): pure narrow map + explode — ZERO shuffles (the
+# gate's trailing orderBy is presentation-only; the one Exchange in its
+# plan is that sort, not the operator); the chunk multiset is emitted at
+# scan parallelism and any downstream keyed stage (dedup, packing) pays
+# the first shuffle.  The sequence() start is guarded (sequence(1,0) is
+# DESCENDING in Spark) so empty documents emit nothing instead of a
+# phantom window.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 8
+_CHUNK_S = 4
+
+
+@register(
+    "CH1_token_window_chunking",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    off AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t), {_CHUNK_S})) AS o
+      FROM tk WHERE len(t) >= 1
+    ),
+    ch AS (
+      SELECT doc_id, CAST(o // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+             list_slice(t, o + 1, least(o + {_CHUNK_W}, len(t))) AS c
+      FROM off
+    )
+    SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Sliding token windows (W={_CHUNK_W}, stride={_CHUNK_S}) per document — zero-shuffle chunking for training-window prep.",
+)
+def ch1_token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    # guard: sequence(0, -1, S) would be a DESCENDING range on empty docs
+    offsets = F.when(
+        n >= 1, F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(offsets, lambda o: F.slice(tk, o + 1, _CHUNK_W))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("c").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF1 — salient-term extraction: top-3 terms per document by tf-idf.  The
+# score is INTEGER-scaled — floor(tf * 1e6 * n_docs / df) — instead of a
+# float ln(): the ranking is order-equivalent to tf·(N/df) and both
+# engines agree bitwise on integer division, so no float contract (and no
+# libm ln() rounding divergence) is needed.  Ties break on the term
+# itself, so the top-3 is a total order.
+#
+# Scale notes (100 TB): one explode (narrow), one (doc,term) hash agg,
+# one term-keyed df agg, one shuffle join tf⋈df on term (zipf-ish term
+# skew is bounded because df rows are one-per-term), a 1-row broadcast
+# for n_docs, and a per-doc top-k window — partitioned by doc_id, never
+# corpus-wide.
+# ---------------------------------------------------------------------------
+@register(
+    "TF1_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST((tf.tf * 1000000 * n.n_docs) // df.df AS BIGINT) AS score_scaled
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_scaled DESC, term ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score_scaled, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    doc="Top-3 tf-idf terms per document with integer-exact scoring (salient-term / keyword extraction for corpus analysis).",
+)
+def tf1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.expr("CAST((tf * 1000000L * n_docs) div df AS BIGINT)").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_scaled", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
