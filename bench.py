@@ -100,7 +100,13 @@ def main() -> None:
     cat, instr = synth_hub_merge(spark, 10_000)
     t0 = time.perf_counter()
     res = apply_merges(cat, instr)
+    # force EVERY mutated output, not just entity_id: the skew-sensitive
+    # work lives in the ra absorption aggregation and the survivor
+    # merge-provenance snapshot (collect_list over 10^4 moved links) —
+    # left lazy, a regression there would be invisible to the metric
     n_moved = res.catalog.entity_id.count()
+    for t in (res.catalog.ra, res.catalog.ar, res.catalog.br, res.catalog.re, res.prov_delta):
+        t.count()
     extra["merge_hub_sec"] = round(time.perf_counter() - t0, 4)
     extra["merge_hub_rows"] = n_moved
 

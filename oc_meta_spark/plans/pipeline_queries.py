@@ -327,17 +327,20 @@ def ch1_token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TF1 — salient-term extraction: top-3 terms per document by tf-idf.  The
-# score is INTEGER-scaled — floor(tf * 1e6 * n_docs / df) — instead of a
-# float ln(): the ranking is order-equivalent to tf·(N/df) and both
-# engines agree bitwise on integer division, so no float contract (and no
-# libm ln() rounding divergence) is needed.  Ties break on the term
-# itself, so the top-3 is a total order.
+# score is INTEGER-scaled — floor(tf * 1e6 / df) — instead of a float
+# ln(): within a document the ranking is order-equivalent to tf·(N/df)
+# (N is corpus-constant, so it never reorders), and both engines agree
+# bitwise on integer division, so no float contract (and no libm ln()
+# rounding divergence) is needed.  N is deliberately NOT multiplied in:
+# tf·1e6·N overflows BIGINT at ~10^9 docs, where Spark (non-ANSI) wraps
+# silently while DuckDB raises — tf·1e6 is bounded by document length
+# and safe at any corpus size.  Ties break on the term itself, so the
+# top-3 is a total order.
 #
 # Scale notes (100 TB): one explode (narrow), one (doc,term) hash agg,
 # one term-keyed df agg, one shuffle join tf⋈df on term (zipf-ish term
-# skew is bounded because df rows are one-per-term), a 1-row broadcast
-# for n_docs, and a per-doc top-k window — partitioned by doc_id, never
-# corpus-wide.
+# skew is bounded because df rows are one-per-term), and a per-doc
+# top-k window — partitioned by doc_id, never corpus-wide.
 # ---------------------------------------------------------------------------
 @register(
     "TF1_tfidf_top_terms",
@@ -347,11 +350,10 @@ def ch1_token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             CAST((tf.tf * 1000000 * n.n_docs) // df.df AS BIGINT) AS score_scaled
-      FROM tf JOIN df USING (term) CROSS JOIN n
+             CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_scaled
+      FROM tf JOIN df USING (term)
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -372,14 +374,9 @@ def tf1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id", "term", "tf", "df",
-            F.expr("CAST((tf * 1000000L * n_docs) div df AS BIGINT)").alias("score_scaled"),
-        )
+    scored = tf.join(df, "term").select(
+        "doc_id", "term", "tf", "df",
+        F.expr("CAST((tf * 1000000L) div df AS BIGINT)").alias("score_scaled"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
     return (
