@@ -60,11 +60,11 @@ def load_all() -> dict[str, OracleQuery]:
     canonicalization narrowed to id-bearing columns, which VD2/RT2
     exercise).  The remainder of the prefix goes to the families with the
     OLDEST recorded rows: multimodal (r4), stream (r4), sampling (r4),
-    pipeline (r4/r5, plus the new CH1/TF1 training-data gates this
-    round), temporal (RJ1 r5).  The dedup family follows (its head D8/D9
-    sit at positions 51-52, just past the window — both have r5 driver
-    rows and untouched code).  Families with fresh round-6 rows and
-    untouched code (editor, analytics, graph, similarity, hygiene,
+    then pipeline (r4/r5, plus the new CH1/TF1/QT1 training-data gates
+    this round) closing the window at exactly 50.  Temporal (AS1 r6,
+    RJ1 r5) and the dedup head (D8/D9 r5) sit just past it — all with
+    recorded rows on untouched code.  Families with fresh round-6 rows
+    and untouched code (editor, analytics, graph, similarity, hygiene,
     audit) register last and spill past the window.
     """
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
