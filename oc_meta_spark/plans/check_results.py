@@ -273,6 +273,13 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
     trim, so a dump that reorders bracketed tokens or collapses internal
     whitespace inside a title DOES flag.
 
+    The ``id`` column itself is BOTH the join key (via its omid token) AND
+    a compared value: it is canonicalized as a sorted token multiset — the
+    reference's ``' '.join(sorted(id.split()))`` — so a dump that keeps
+    the omid but LOSES or GAINS another id token (e.g. drops a DOI) flags
+    as a ``value_mismatch`` on column ``id`` (round-7 ADVICE: previously
+    the id cell was key-only and token loss passed silently).
+
     Rows whose id cell lacks an ``omid:br/...`` token cannot be keyed: they
     are reported as ``malformed_id`` discrepancies on their own side and
     EXCLUDED from the join (an empty-string extract would otherwise collapse
@@ -318,10 +325,18 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
 
         return F.array_join(F.transform(entries, canon_entry), "; ")
 
+    # id cell as a sorted token multiset (reference normalize_row_ids:
+    # ' '.join(sorted(id.split())) — duplicates preserved, order dropped)
+    idset = F.array_join(
+        F.array_sort(F.split(F.trim(F.coalesce(F.col("id"), F.lit(""))), r"\s+")), " "
+    )
+
     cols = [c for c in curated.columns if c in set(dumped.columns) and c not in ("id", "row_id")]
     a = curated.select(omid.alias("omid"), F.col("id").alias("a_id"),
+                       idset.alias("a_idset"),
                        *[cell(c).alias(f"a_{c}") for c in cols])
     b = dumped.select(omid.alias("omid"), F.col("id").alias("b_id"),
+                      idset.alias("b_idset"),
                       *[cell(c).alias(f"b_{c}") for c in cols])
 
     malformed = (
@@ -353,7 +368,11 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
         F.lit(None).cast("string").alias("curated"), F.col("b_id").alias("dumped"),
     )
     both = joined.filter(F.col("a_id").isNotNull() & F.col("b_id").isNotNull())
-    mismatches = None
+    # id-token-set drift (omid matched, but a DOI/ISSN token lost or gained)
+    mismatches = both.filter(F.col("a_idset") != F.col("b_idset")).select(
+        "omid", F.lit("value_mismatch").alias("kind"), F.lit("id").alias("column"),
+        F.col("a_id").alias("curated"), F.col("b_id").alias("dumped"),
+    )
     for c in cols:
         m = both.filter(F.col(f"a_{c}") != F.col(f"b_{c}")).select(
             "omid", F.lit("value_mismatch").alias("kind"), F.lit(c).alias("column"),

@@ -34,6 +34,68 @@ _M32 = 4294967296
 _KEEP_NUM, _KEEP_DEN = 1, 2
 
 
+# ---------------------------------------------------------------------------
+# QT1 — exact per-group quantiles (order statistics): p50/p90/p99 of
+# document length per source — the corpus-curation op that picks length
+# and quality FILTER THRESHOLDS per mixture source.  Ranks are computed
+# with INTEGER arithmetic using the general ceiling identity
+# ceil(q_num·n / q_den) = (q_num·n + q_den − 1) div q_den — valid for ANY
+# quantile q_num/q_den, not just the q_num = q_den − 1 family — and the
+# value at a rank is well-defined under ties because the ordering
+# tie-breaks on doc_id — so both engines return identical values with no
+# float contract.
+#
+# Scale notes (100 TB): one shuffle on source, then a per-group sort
+# inside the window — the standard exact order-statistics shape.  Groups
+# are mixture sources (tens to thousands), so per-group sorts are huge
+# but partition-parallel per source; for extreme single-group sizes the
+# sketch alternative is approx_percentile, deliberately NOT used here
+# because threshold selection is a published, re-derivable contract.
+# ---------------------------------------------------------------------------
+@register(
+    "QT1_exact_group_quantiles",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
+           -- rank = (q_num*n + q_den - 1) // q_den = ceil(q_num*n/q_den); for
+           -- these three quantiles q_num = q_den - 1, so the literals above
+           -- are already the general form
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc="Exact p50/p90/p99 document length per source via rank-based order statistics — integer-exact quantile thresholds for corpus curation.",
+)
+def qt1_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({num} * n + {den} - 1) div {den}"), F.col("n_chars"))
+    ).cast("long")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pick(1, 2).alias("p50"),
+            pick(9, 10).alias("p90"),
+            pick(99, 100).alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "P1_corpus_prep_pipeline",
     f"""
@@ -384,61 +446,4 @@ def tf1_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score_scaled", "rnk")
         .orderBy("doc_id", "rnk")
-    )
-
-
-# ---------------------------------------------------------------------------
-# QT1 — exact per-group quantiles (order statistics): p50/p90/p99 of
-# document length per source — the corpus-curation op that picks length
-# and quality FILTER THRESHOLDS per mixture source.  Ranks are computed
-# with INTEGER arithmetic (ceil(q·n) = (q_num·n + q_num) div q_den), and
-# the value at a rank is well-defined under ties because the ordering
-# tie-breaks on doc_id — so both engines return identical values with no
-# float contract.
-#
-# Scale notes (100 TB): one shuffle on source, then a per-group sort
-# inside the window — the standard exact order-statistics shape.  Groups
-# are mixture sources (tens to thousands), so per-group sorts are huge
-# but partition-parallel per source; for extreme single-group sizes the
-# sketch alternative is approx_percentile, deliberately NOT used here
-# because threshold selection is a published, re-derivable contract.
-# ---------------------------------------------------------------------------
-@register(
-    "QT1_exact_group_quantiles",
-    """
-    WITH ranked AS (
-      SELECT source, n_chars, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
-             COUNT(*) OVER (PARTITION BY source) AS n
-      FROM documents
-    )
-    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
-           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
-           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90,
-           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
-    FROM ranked GROUP BY source ORDER BY source
-    """,
-    doc="Exact p50/p90/p99 document length per source via rank-based order statistics — integer-exact quantile thresholds for corpus curation.",
-)
-def qt1_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars", "doc_id")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("source")
-    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    pick = lambda num, den: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"), F.col("n_chars"))
-    ).cast("long")
-    return (
-        ranked.groupBy("source")
-        .agg(
-            F.max("n").cast("long").alias("n_docs"),
-            pick(1, 2).alias("p50"),
-            pick(9, 10).alias("p90"),
-            pick(99, 100).alias("p99"),
-        )
-        .orderBy("source")
     )

@@ -170,6 +170,30 @@ def test_export_consistency_non_id_columns_compare_exactly(spark):
     assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "title")}
 
 
+def test_export_consistency_id_token_loss_flags(spark):
+    """Round-8 pin (round-7 ADVICE): the id cell is compared as a sorted
+    token multiset — a dump that keeps the omid (the join key) but LOSES
+    or GAINS another id token must flag as a value_mismatch on column
+    'id'; pure reorder must not."""
+    from pyspark.sql import Row
+
+    from oc_meta_spark.plans.check_results import check_export_consistency
+
+    a = spark.createDataFrame(
+        [Row(id="doi:10.1/x1 omid:br/1", title="T")]
+    )
+    reordered = spark.createDataFrame([Row(id="omid:br/1 doi:10.1/x1", title="T")])
+    assert check_export_consistency(a, reordered).count() == 0
+    lost_doi = spark.createDataFrame([Row(id="omid:br/1", title="T")])
+    diffs = check_export_consistency(a, lost_doi).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "id")}
+    gained = spark.createDataFrame(
+        [Row(id="omid:br/1 doi:10.1/x1 pmid:123", title="T")]
+    )
+    diffs = check_export_consistency(a, gained).collect()
+    assert {(d["kind"], d["column"]) for d in diffs} == {("value_mismatch", "id")}
+
+
 def test_curated_idless_agent_has_no_stray_bracket_space(spark):
     """Round-6 serializer pin: an id-less agent serializes as
     "Name [omid:ra/x]" — reference format (e.g. test/testcases
