@@ -145,13 +145,28 @@ def _cp(df: DataFrame, lvl: int = 1) -> DataFrame:
         )
         print(f"CURATE[_cp@{site}] {_time.time() - t0:.2f}s", flush=True)
     try:
-        spark = cp.sparkSession
-        jdf = spark._jsparkSession.internalCreateDataFrame(
-            cp._jdf.queryExecution().toRdd(), cp._jdf.schema(), False
-        )
-        return DataFrame(jdf, spark)
-    except Exception:  # pragma: no cover — fall back on any internal-API drift
+        return _strip_stats(cp)
+    except Exception:
+        # fall back on any internal-API drift: the checkpointed frame is
+        # correct either way, only the compounding-stats mitigation is
+        # lost (slower Catalyst analysis on very deep pipelines).
+        # tests/test_curation.py::test_cp_fallback_path_equivalent forces
+        # this branch and pins output equality, so a Spark upgrade that
+        # removes the private API fails loudly into a verified path.
         return cp
+
+
+def _strip_stats(cp: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed frame as a fresh LogicalRDD over its
+    already-materialized InternalRow RDD, resetting the inherited
+    size-in-bytes stats (see _cp docstring).  Uses the PRIVATE
+    ``internalCreateDataFrame`` JVM API — version-pin risk, which is why
+    callers must treat any exception as "keep the plain checkpoint"."""
+    spark = cp.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        cp._jdf.queryExecution().toRdd(), cp._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
 
 
 @dataclass

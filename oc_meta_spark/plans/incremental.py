@@ -1,0 +1,230 @@
+"""Incremental-corpus operations: the production shapes a GROWING corpus
+runs nightly, rather than the within-corpus batch ops of dedup_queries.
+
+1.  **Signature-index dedup** — dedup a NEW batch of documents against a
+    PERSISTED signature index of the existing corpus, never re-scanning
+    the corpus text.  The index holds, per existing document:
+
+    - the exact content hash ``md5(text)`` (one row per distinct hash,
+      carrying the minimum holder doc_id — the canonical match target),
+    - the k=8 MinHash signature over 3-word shingles (8 small rows/doc),
+    - the 4-band × 2-row LSH band buckets (4 rows/doc).
+
+    Dedup of a delta batch is then: exact via a hash equi-join, near-dup
+    via a delta-vs-index banded join (candidates only — NEVER
+    index-vs-index) verified by signature agreement (≥ ``NEAR_MIN_AGREE``
+    of the 8 minhash positions equal — the standard estimated-Jaccard
+    verify that needs no stored shingle sets).  This is the corpus-scale
+    generalization of the reference's existing-ID row filter
+    (reference oc_meta/run/meta/preprocess_input.py:157-193: drop an
+    input row when its ids are already in the Redis cache), composing the
+    repo's D8 exact dedup with D16's banded MinHash.
+
+    Scale shape (100 TB corpus, ~1 TB nightly delta): the index is
+    O(docs × 13) tiny rows — parquet-persisted, partition-pruned on its
+    join keys; every join is delta-keyed (hash, (band, bucket), candidate
+    pairs), so work is proportional to the DELTA, not the corpus; no
+    CartesianProduct anywhere; signature verify joins only candidate
+    pairs produced by the banded blocking.
+
+2.  **Seeded deterministic corpus shuffle** — a reproducible global
+    training permutation: ``sort_key = md5(seed || ':' || doc_id)``,
+    shard = first hex nibble of the key mod ``n_shards`` (deterministic
+    hash-range split — NOT repartitionByRange, whose sampled boundaries
+    are nondeterministic), position = rank of the key within the shard.
+    Same seed → identical permutation on every run/cluster; different
+    seed → a fresh permutation.  Per-shard windows are partition-parallel
+    (no global single-partition sort).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+N_MINHASH = 8  # k hash functions (md5(s || '#' || k), min per k)
+N_BAND_ROWS = 2  # rows per LSH band → 4 bands; P(candidate | s≈0.95) > 0.999
+NEAR_MIN_AGREE = 6  # of 8 signature positions must match to verify near-dup
+
+
+@dataclass
+class SignatureIndex:
+    """The persisted dedup index of the existing corpus (see module doc)."""
+
+    hashes: DataFrame  # (h, idx_id): md5(text) → min holder doc_id
+    signatures: DataFrame  # (doc_id, k, h): MinHash signature rows
+    bands: DataFrame  # (doc_id, band, bucket): LSH band buckets
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, k, h): k=8 MinHash rows over 3-word shingles (D16's
+    scheme — md5(shingle || '#' || k), min per k; docs shorter than one
+    shingle yield no rows and can never near-match)."""
+    from oc_meta_spark.plans.dedup_queries import _shingles
+
+    ks = docs.sparkSession.range(N_MINHASH).select(F.col("id").cast("int").alias("k"))
+    return (
+        _shingles(docs)
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "doc_id",
+            "k",
+            F.md5(F.concat(F.col("s"), F.lit("#"), F.col("k").cast("string"))).alias("h"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+def band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): band = k div N_BAND_ROWS, bucket = md5 of
+    the band's minhashes joined in k order."""
+    return (
+        signatures.withColumn("band", F.expr(f"k div {N_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "h"))), lambda s: s["h"]
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+
+
+def build_signature_index(docs: DataFrame) -> SignatureIndex:
+    """Build the dedup index for an existing-corpus slice: exact content
+    hashes (min holder id per distinct hash) + MinHash signatures + band
+    buckets."""
+    hashes = (
+        docs.select(F.md5("text").alias("h"), F.col("doc_id"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("idx_id"))
+    )
+    signatures = minhash_signature(docs)
+    bands = band_buckets(signatures)
+    return SignatureIndex(hashes=hashes, signatures=signatures, bands=bands)
+
+
+def write_signature_index(index: SignatureIndex, path: str) -> None:
+    """Persist the index as three parquet tables under ``path`` —
+    ``hashes/`` bucketable on h, ``signatures/`` and ``bands/`` on
+    doc_id — the layout a nightly job overwrite-swaps (same contract as
+    sources/shards.py: plain parquet dirs, no side-channel state)."""
+    index.hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+    index.signatures.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    index.bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+
+
+def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
+    return SignatureIndex(
+        hashes=spark.read.parquet(os.path.join(path, "hashes")),
+        signatures=spark.read.parquet(os.path.join(path, "signatures")),
+        bands=spark.read.parquet(os.path.join(path, "bands")),
+    )
+
+
+def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> SignatureIndex:
+    """The nightly append: fold the batch's SURVIVING documents (typically
+    the 'unique' verdicts of dedup_against_index) into the index so the
+    next delta dedups against them too.  Signatures and bands are disjoint
+    per doc_id, so they union; exact hashes re-aggregate min holder per
+    hash — equivalent to rebuilding from the full corpus (pinned by
+    tests/test_incremental.py::test_extend_index_equals_rebuild), but at
+    the cost of the DELTA only."""
+    delta = build_signature_index(new_docs)
+    hashes = (
+        index.hashes.unionByName(delta.hashes)
+        .groupBy("h")
+        .agg(F.min("idx_id").alias("idx_id"))
+    )
+    return SignatureIndex(
+        hashes=hashes,
+        signatures=index.signatures.unionByName(delta.signatures),
+        bands=index.bands.unionByName(delta.bands),
+    )
+
+
+def dedup_against_index(batch: DataFrame, index: SignatureIndex) -> DataFrame:
+    """Classify every batch document against the existing-corpus index:
+    (doc_id, verdict ∈ exact_dup|near_dup|unique, matched_existing).
+
+    exact_dup: content hash present in the index (match = the index's
+    canonical min holder).  near_dup: a banded-LSH candidate whose
+    signature agrees on ≥ NEAR_MIN_AGREE of 8 positions (match = min
+    agreeing existing doc_id).  Precedence: exact > near > unique.
+    """
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(index.hashes, "h", "left")
+        .select("doc_id", F.col("idx_id").alias("exact_id"))
+    )
+
+    bsig = minhash_signature(batch)
+    bband = band_buckets(bsig)
+    iband = index.bands.select(
+        F.col("doc_id").alias("i_id"), "band", "bucket"
+    )
+    cand = (
+        bband.join(iband, ["band", "bucket"])
+        .select(F.col("doc_id").alias("b_id"), "i_id")
+        .dropDuplicates()
+    )
+    isig = index.signatures.select(F.col("doc_id").alias("i_id"), "k", "h")
+    agree = (
+        cand.join(bsig.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .join(isig, ["i_id", "k", "h"])
+        .groupBy("b_id", "i_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    near = (
+        agree.filter(F.col("n_match") >= NEAR_MIN_AGREE)
+        .groupBy("b_id")
+        .agg(F.min("i_id").alias("near_id"))
+        .withColumnRenamed("b_id", "doc_id")
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").cast("long").alias("matched_existing"),
+        )
+    )
+
+
+def seeded_shuffle(
+    docs: DataFrame, seed: str, n_shards: int, id_col: str = "doc_id", with_pos: bool = True
+) -> DataFrame:
+    """Append the deterministic training-shuffle columns: ``sort_key`` =
+    md5(seed || ':' || id), ``shard`` = first hex nibble mod n_shards,
+    ``pos`` = 1-based rank of the key within the shard (ties impossible —
+    the key embeds the unique id, but doc_id tie-breaks anyway).
+
+    ``with_pos=False`` skips the rank window — the shard sink orders by
+    sorting within write partitions instead, so it never needs (or pays
+    for) the explicit rank."""
+    keyed = docs.withColumn(
+        "sort_key", F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    ).withColumn(
+        "shard",
+        (
+            F.expr("instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1") % n_shards
+        ).cast("int"),
+    )
+    if not with_pos:
+        return keyed
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.withColumn("pos", F.row_number().over(w).cast("long"))

@@ -1,0 +1,244 @@
+"""Incremental-corpus gates: delta-vs-index dedup (ID1), the seeded
+deterministic training shuffle (SH1), and URL/domain corpus filtering
+(UF1) — the nightly production shapes of a growing training corpus.
+
+Planted-residue pattern (as RT2/VR2/EQ1): ID1 synthesizes its "new batch"
+from the documents table itself — doc_id % 10 == 0 is the delta, the rest
+is the existing corpus — and plants exact duplicates (doc_id % 50 == 0
+takes its index neighbor's text verbatim) and near duplicates
+(doc_id % 30 == 0 takes the neighbor's text plus one appended word) via a
+self-join both engines derive identically, so the expected verdict of
+every planted row is known by construction and the md5-driven MinHash
+classification is bitwise identical in Spark and DuckDB.
+
+Determinism: every hash is md5 hex; signature agreement counts and the
+cap/rank windows are integer; no float contract anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from oc_meta_spark.plans.incremental import (
+    NEAR_MIN_AGREE,
+    build_signature_index,
+    dedup_against_index,
+    seeded_shuffle,
+)
+from oc_meta_spark.plans.registry import register
+from oc_meta_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# ID1 — incremental-corpus dedup: classify a NEW batch against the
+# signature index of the EXISTING corpus (reference analog: the
+# existing-ID row filter, oc_meta/run/meta/preprocess_input.py:157-193 —
+# drop input rows whose ids the store already knows; here generalized to
+# content identity and near-identity at corpus scale).
+#
+# Scale notes (100 TB): index-side tables are persisted parquet (the
+# pytest round-trips write_signature_index/read_signature_index); all
+# joins are keyed on the DELTA (hash equi-join, (band,bucket) equi-join,
+# candidate pairs) — work scales with the nightly batch, never
+# index-vs-index; verify is signature agreement, so no shingle sets are
+# stored or re-read.
+# ---------------------------------------------------------------------------
+_ID1_SHINGLES = """
+    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))
+"""
+
+_ID1_MINHASH = """
+    SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+    FROM {sh} CROSS JOIN (SELECT unnest(range(8)) AS k)
+    GROUP BY doc_id, k
+"""
+
+_ID1_BANDS = """
+    SELECT doc_id, k // 2 AS band, md5(string_agg(h, '|' ORDER BY k)) AS bucket
+    FROM {mh} GROUP BY doc_id, k // 2
+"""
+
+
+@register(
+    "ID1_incremental_corpus_dedup",
+    f"""
+    WITH batch AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 50 = 0 THEN d.text
+                  WHEN b.doc_id % 30 = 0 THEN d.text || ' zzz'
+                  ELSE b.text END AS text
+      FROM documents b JOIN documents d ON d.doc_id = b.doc_id + 1
+      WHERE b.doc_id % 10 = 0
+    ),
+    idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    exact_idx AS (SELECT md5(text) AS h, MIN(doc_id) AS idx_id FROM idx GROUP BY 1),
+    exact_hit AS (
+      SELECT b.doc_id, e.idx_id FROM batch b LEFT JOIN exact_idx e ON md5(b.text) = e.h
+    ),
+    bsh AS ({_ID1_SHINGLES.format(src="batch")}),
+    ish AS ({_ID1_SHINGLES.format(src="idx")}),
+    bmh AS ({_ID1_MINHASH.format(sh="bsh")}),
+    imh AS ({_ID1_MINHASH.format(sh="ish")}),
+    bband AS ({_ID1_BANDS.format(mh="bmh")}),
+    iband AS ({_ID1_BANDS.format(mh="imh")}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS b_id, i.doc_id AS i_id
+      FROM bband b JOIN iband i ON b.band = i.band AND b.bucket = i.bucket
+    ),
+    agree AS (
+      SELECT c.b_id, c.i_id, COUNT(*) AS n_match
+      FROM cand c
+      JOIN bmh ON bmh.doc_id = c.b_id
+      JOIN imh ON imh.doc_id = c.i_id AND imh.k = bmh.k AND imh.h = bmh.h
+      GROUP BY c.b_id, c.i_id
+    ),
+    near AS (
+      SELECT b_id, MIN(i_id) AS near_id FROM agree
+      WHERE n_match >= {NEAR_MIN_AGREE} GROUP BY b_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.idx_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           CAST(COALESCE(e.idx_id, n.near_id) AS BIGINT) AS matched_existing
+    FROM batch b
+    LEFT JOIN exact_hit e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.b_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental dedup of a new batch against the existing-corpus signature index: exact hash anti-path + delta-vs-index banded MinHash with signature-agreement verify.",
+)
+def id1_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    donor = docs.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(donor, F.col("d_id") == F.col("doc_id") + 1)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 0, F.col("d_text"))
+            .when(F.col("doc_id") % 30 == 0, F.concat(F.col("d_text"), F.lit(" zzz")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    index = build_signature_index(docs.filter(F.col("doc_id") % 10 != 0))
+    return dedup_against_index(batch, index).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SH1 — seeded deterministic corpus shuffle: the reproducible global
+# training permutation.  sort_key = md5(seed:doc_id); shard = first hex
+# nibble mod 4 (deterministic hash split — NOT repartitionByRange, whose
+# sampled boundaries vary run to run); pos = rank within shard.
+#
+# Scale notes: one shuffle on shard; the rank window is per-shard
+# (partition-parallel, never a global single-partition sort); shard
+# count scales with the corpus (4 here only for gate-sized output).
+# ---------------------------------------------------------------------------
+_SH1_SEED = "r8seed"
+_SH1_SHARDS = 4
+
+
+@register(
+    "SH1_seeded_corpus_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5('{_SH1_SEED}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, sort_key,
+             (strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) % {_SH1_SHARDS} AS shard
+      FROM keyed
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+           doc_id, sort_key
+    FROM sharded ORDER BY shard, pos
+    """,
+    doc="Seeded deterministic training shuffle: md5(seed:id) sort key, hash-nibble shard split, per-shard rank — identical permutation for a given seed on any run or cluster.",
+)
+def sh1_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        seeded_shuffle(docs, _SH1_SEED, _SH1_SHARDS)
+        .select("shard", "pos", "doc_id", "sort_key")
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UF1 — URL/domain corpus filter: hostname extraction, blocklist
+# anti-join, per-domain document cap — the standard web-corpus hygiene
+# pass (block bad domains, bound any single domain's contribution).
+# URLs are synthesized deterministically from real columns (the
+# documents table has no url column — planted-residue pattern; the
+# KERNEL under test — regexp hostname extraction, broadcast anti-join,
+# per-domain rank cap — is the real one).
+#
+# Scale notes: extraction is a scan-stage projection; the blocklist is a
+# broadcast anti-join (blocklists are small); the cap is a per-domain
+# window — partition-parallel on domain, the natural key.
+# ---------------------------------------------------------------------------
+_UF1_BLOCKLIST = ("src1-0.example.org", "src7-3.example.org", "evil.example.org")
+_UF1_CAP = 3
+
+
+@register(
+    "UF1_domain_filter",
+    f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '-' || CAST((doc_id // 20) % 5 AS VARCHAR) ||
+             '.example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM urls
+    ),
+    allowed AS (
+      SELECT * FROM hosts
+      WHERE domain NOT IN ('{_UF1_BLOCKLIST[0]}', '{_UF1_BLOCKLIST[1]}', '{_UF1_BLOCKLIST[2]}')
+    ),
+    capped AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS domain_rank
+      FROM allowed
+    )
+    SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM capped WHERE domain_rank <= {_UF1_CAP} ORDER BY doc_id
+    """,
+    doc="Web-corpus domain hygiene: hostname extraction, broadcast blocklist anti-join, per-domain contribution cap.",
+)
+def uf1_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            F.expr("cast((doc_id div 20) % 5 as string)"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    hosts = urls.select(
+        "doc_id", F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain")
+    )
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _UF1_BLOCKLIST], schema="domain string"
+    )
+    allowed = hosts.join(F.broadcast(blocklist), "domain", "left_anti")
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        allowed.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= _UF1_CAP)
+        .select("doc_id", "domain", "domain_rank")
+        .orderBy("doc_id")
+    )

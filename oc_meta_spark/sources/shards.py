@@ -59,6 +59,39 @@ def write_training_shards(
     )
 
 
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    seed: str,
+    n_shards: int = 16,
+    records_per_shard: int = 100_000,
+    id_col: str = "doc_id",
+) -> None:
+    """Write the corpus in a REPRODUCIBLE seeded training order: the
+    deterministic global permutation of plans/incremental.py's
+    seeded_shuffle (sort_key = md5(seed || ':' || id), shard = first hex
+    nibble of the key mod n_shards) partitioned by shard and sorted by
+    the key within each shard.  Same seed → bitwise-identical layout on
+    every run and cluster (a partitionBy shuffle plus local sorts — no
+    repartitionByRange, whose sampled boundaries are nondeterministic);
+    a new seed → a fresh permutation for the next epoch.
+
+    Scale shape: one shuffle on shard; per-shard sorts are local.  At
+    100 TB pick n_shards ≈ corpus_bytes / target_shard_bytes — the hash
+    nibble split is uniform so no shard hot-spots."""
+    from oc_meta_spark.plans.incremental import seeded_shuffle
+
+    out = seeded_shuffle(df, seed, n_shards, id_col=id_col, with_pos=False)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("sort_key", id_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_shard)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def read_training_shards(
     spark: SparkSession, path: str, sources: list[str] | None = None
 ) -> DataFrame:

@@ -518,6 +518,58 @@ def test_curate_big_batch_path_equivalence(spark, monkeypatch):
     )
 
 
+def test_cp_fallback_path_equivalent(spark, monkeypatch):
+    """_cp's stats-stripping uses the PRIVATE internalCreateDataFrame JVM
+    API with a guarded fallback to the plain localCheckpoint.  Force the
+    except-path (as a Spark upgrade that removes the API would) and pin
+    that curate() output is IDENTICAL — so internal-API drift fails
+    loudly into a verified-correct path instead of silently changing
+    results (round-7 VERDICT carry)."""
+    import oc_meta_spark.plans.curation as cur
+
+    rows = [
+        {
+            "id": "doi:10.1000/fb1",
+            "title": "Fallback One",
+            "author": "Alpha, A [orcid:0000-0002-1825-0097]; Beta, B",
+            "pub_date": "2021",
+            "venue": "Venue F [issn:2641-3337]",
+            "volume": "1",
+            "issue": "2",
+            "page": "1-9",
+            "type": "journal article",
+        },
+        {
+            "id": "doi:10.1000/fb2",
+            "title": "Fallback Two",
+            "author": "Gamma, C",
+            "pub_date": "2022",
+            "venue": "Venue F [issn:2641-3337]",
+            "volume": "1",
+            "type": "journal article",
+        },
+        {"title": "Fallback Report", "author": "Delta, D", "pub_date": "2020", "type": "report"},
+    ]
+    df = _input(spark, rows)
+    r_fast = curate(df, None, prefix="060")
+    fast = {
+        "curated": [tuple(r) for r in r_fast.curated.collect()],
+        "br": sorted(tuple(r) for r in r_fast.br_new.collect()),
+        "ar": sorted(tuple(r) for r in r_fast.ar_new.collect()),
+        "id": sorted(tuple(r) for r in r_fast.id_new.collect()),
+    }
+
+    def boom(cp):
+        raise RuntimeError("simulated internal-API removal")
+
+    monkeypatch.setattr(cur, "_strip_stats", boom)
+    r_fb = curate(df, None, prefix="060")
+    assert fast["curated"] == [tuple(r) for r in r_fb.curated.collect()]
+    assert fast["br"] == sorted(tuple(r) for r in r_fb.br_new.collect())
+    assert fast["ar"] == sorted(tuple(r) for r in r_fb.ar_new.collect())
+    assert fast["id"] == sorted(tuple(r) for r in r_fb.id_new.collect())
+
+
 def test_counters_independent_per_prefix(spark):
     """Two supplier prefixes sharing one catalog keep independent counter
     spaces (reference FilesystemCounterHandler keys counter files by
