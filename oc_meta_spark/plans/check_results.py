@@ -374,12 +374,10 @@ def check_export_consistency(curated: DataFrame, dumped: DataFrame) -> DataFrame
         F.col("a_id").alias("curated"), F.col("b_id").alias("dumped"),
     )
     for c in cols:
-        m = both.filter(F.col(f"a_{c}") != F.col(f"b_{c}")).select(
-            "omid", F.lit("value_mismatch").alias("kind"), F.lit(c).alias("column"),
-            F.col(f"a_{c}").alias("curated"), F.col(f"b_{c}").alias("dumped"),
+        mismatches = mismatches.unionByName(
+            both.filter(F.col(f"a_{c}") != F.col(f"b_{c}")).select(
+                "omid", F.lit("value_mismatch").alias("kind"), F.lit(c).alias("column"),
+                F.col(f"a_{c}").alias("curated"), F.col(f"b_{c}").alias("dumped"),
+            )
         )
-        mismatches = m if mismatches is None else mismatches.unionByName(m)
-    out = malformed.unionByName(missing).unionByName(extra)
-    if mismatches is not None:
-        out = out.unionByName(mismatches)
-    return out
+    return malformed.unionByName(missing).unionByName(extra).unionByName(mismatches)

@@ -273,24 +273,13 @@ def _shingles(docs: DataFrame) -> DataFrame:
     doc="MinHash over 3-word shingles + banded LSH candidate pairs (training-data dedup; SURVEY M6).",
 )
 def d16_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MinHash/banding kernel is shared with the incremental-corpus
+    # index (plans/incremental.py) — ONE implementation, two band
+    # geometries (within-corpus: 2 bands of 4; index: 4 bands of 2)
+    from oc_meta_spark.plans.incremental import band_buckets, minhash_signature
+
     docs = _t(spark, sf_dir, "documents")
-    shingles = _shingles(docs)
-    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
-    mh = (
-        shingles.crossJoin(F.broadcast(ks))
-        .select("doc_id", "k", F.md5(F.concat(F.col("s"), F.lit("#"), F.col("k").cast("string"))).alias("h"))
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("h"))
-    )
-    bands = (
-        mh.withColumn("band", F.expr("k div 4"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "h"))), lambda s: s["h"]), "|")
-            ).alias("bucket")
-        )
-    )
+    bands = band_buckets(minhash_signature(docs), n_band_rows=4)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -79,11 +79,13 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     )
 
 
-def band_buckets(signatures: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket): band = k div N_BAND_ROWS, bucket = md5 of
-    the band's minhashes joined in k order."""
+def band_buckets(signatures: DataFrame, n_band_rows: int = N_BAND_ROWS) -> DataFrame:
+    """(doc_id, band, bucket): band = k div n_band_rows, bucket = md5 of
+    the band's minhashes joined in k order.  This (with minhash_signature)
+    is the ONE MinHash/banding kernel in the repo — D16's within-corpus
+    near-dup uses it at n_band_rows=4, the incremental index at 2."""
     return (
-        signatures.withColumn("band", F.expr(f"k div {N_BAND_ROWS}"))
+        signatures.withColumn("band", F.expr(f"k div {n_band_rows}"))
         .groupBy("doc_id", "band")
         .agg(
             F.md5(
@@ -137,7 +139,14 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     per doc_id, so they union; exact hashes re-aggregate min holder per
     hash — equivalent to rebuilding from the full corpus (pinned by
     tests/test_incremental.py::test_extend_index_equals_rebuild), but at
-    the cost of the DELTA only."""
+    the cost of the DELTA only.
+
+    Idempotent: a retried nightly job that re-appends the same delta
+    changes nothing — hashes re-aggregate, signatures/bands deduplicate
+    exact rows — so a crash between write and bookkeeping is safe to
+    re-run (doc_ids must be stable; re-adding an EXISTING doc_id with
+    different text is a revision, not an append, and needs a rebuild).
+    """
     delta = build_signature_index(new_docs)
     hashes = (
         index.hashes.unionByName(delta.hashes)
@@ -146,8 +155,8 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     )
     return SignatureIndex(
         hashes=hashes,
-        signatures=index.signatures.unionByName(delta.signatures),
-        bands=index.bands.unionByName(delta.bands),
+        signatures=index.signatures.unionByName(delta.signatures).dropDuplicates(),
+        bands=index.bands.unionByName(delta.bands).dropDuplicates(),
     )
 
 
@@ -209,9 +218,12 @@ def seeded_shuffle(
     docs: DataFrame, seed: str, n_shards: int, id_col: str = "doc_id", with_pos: bool = True
 ) -> DataFrame:
     """Append the deterministic training-shuffle columns: ``sort_key`` =
-    md5(seed || ':' || id), ``shard`` = first hex nibble mod n_shards,
-    ``pos`` = 1-based rank of the key within the shard (ties impossible —
-    the key embeds the unique id, but doc_id tie-breaks anyway).
+    md5(seed || ':' || id), ``shard`` = the key's first 48 bits mod
+    n_shards (uniform for any realistic shard count — a 100 TB corpus at
+    512 MB shards needs ~200k shards, far below 2^48; a single-nibble
+    split would cap effective shards at 16), ``pos`` = 1-based rank of
+    the key within the shard (ties impossible — the key embeds the
+    unique id, but doc_id tie-breaks anyway).
 
     ``with_pos=False`` skips the rank window — the shard sink orders by
     sorting within write partitions instead, so it never needs (or pays
@@ -221,7 +233,7 @@ def seeded_shuffle(
     ).withColumn(
         "shard",
         (
-            F.expr("instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1") % n_shards
+            F.expr("cast(conv(substr(sort_key, 1, 12), 16, 10) as bigint)") % n_shards
         ).cast("int"),
     )
     if not with_pos:

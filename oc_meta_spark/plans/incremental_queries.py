@@ -61,6 +61,26 @@ _ID1_BANDS = """
 """
 
 
+def id1_planted_batch(docs: DataFrame) -> DataFrame:
+    """ID1's synthesized delta: doc_id % 10 == 0, with exact duplicates
+    planted at % 50 (the index neighbor's text verbatim) and near
+    duplicates at % 30 (neighbor's text plus one appended word).  The
+    SINGLE definition of the plant — the gate and
+    tests/test_incremental.py's expectation pins both import it."""
+    donor = docs.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(donor, F.col("d_id") == F.col("doc_id") + 1)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 0, F.col("d_text"))
+            .when(F.col("doc_id") % 30 == 0, F.concat(F.col("d_text"), F.lit(" zzz")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
 @register(
     "ID1_incremental_corpus_dedup",
     f"""
@@ -112,27 +132,18 @@ _ID1_BANDS = """
 )
 def id1_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    donor = docs.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
-    batch = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .join(donor, F.col("d_id") == F.col("doc_id") + 1)
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 50 == 0, F.col("d_text"))
-            .when(F.col("doc_id") % 30 == 0, F.concat(F.col("d_text"), F.lit(" zzz")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
+    batch = id1_planted_batch(docs)
     index = build_signature_index(docs.filter(F.col("doc_id") % 10 != 0))
     return dedup_against_index(batch, index).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
 # SH1 — seeded deterministic corpus shuffle: the reproducible global
-# training permutation.  sort_key = md5(seed:doc_id); shard = first hex
-# nibble mod 4 (deterministic hash split — NOT repartitionByRange, whose
-# sampled boundaries vary run to run); pos = rank within shard.
+# training permutation.  sort_key = md5(seed:doc_id); shard = the key's
+# first 48 bits mod n (deterministic hash split, uniform for any shard
+# count — NOT repartitionByRange, whose sampled boundaries vary run to
+# run); pos = rank within shard.  Spark's conv(hex,16,10) and DuckDB's
+# ('0x'||hex)::BIGINT read the same 12 hex chars to the same integer.
 #
 # Scale notes: one shuffle on shard; the rank window is per-shard
 # (partition-parallel, never a global single-partition sort); shard
@@ -151,7 +162,7 @@ _SH1_SHARDS = 4
     ),
     sharded AS (
       SELECT doc_id, sort_key,
-             (strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) % {_SH1_SHARDS} AS shard
+             ('0x' || substr(sort_key, 1, 12))::BIGINT % {_SH1_SHARDS} AS shard
       FROM keyed
     )
     SELECT CAST(shard AS INT) AS shard,

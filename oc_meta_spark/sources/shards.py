@@ -82,9 +82,14 @@ def write_shuffled_shards(
     from oc_meta_spark.plans.incremental import seeded_shuffle
 
     out = seeded_shuffle(df, seed, n_shards, id_col=id_col, with_pos=False)
+    # shard leads the local sort: FileFormatWriter requires its input
+    # ordered by the partition columns, so sorting (shard, key) satisfies
+    # it in ONE sort — sorting (key) alone would make the writer insert
+    # its own sort on shard and leave in-file key order to unspecified
+    # sort stability
     (
         out.repartition(F.col("shard"))
-        .sortWithinPartitions("sort_key", id_col)
+        .sortWithinPartitions("shard", "sort_key", id_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_shard)
         .partitionBy("shard")

@@ -31,18 +31,11 @@ def docs(spark, sf_dir):
 
 
 def _planted_batch(docs):
-    donor = docs.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
-    return (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .join(donor, F.col("d_id") == F.col("doc_id") + 1)
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 50 == 0, F.col("d_text"))
-            .when(F.col("doc_id") % 30 == 0, F.concat(F.col("d_text"), F.lit(" zzz")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
+    # the gate's own plant — single definition, imported, so these pins
+    # can never drift from what the gate actually runs
+    from oc_meta_spark.plans.incremental_queries import id1_planted_batch
+
+    return id1_planted_batch(docs)
 
 
 def test_signature_index_persist_round_trip(spark, docs):
@@ -105,6 +98,15 @@ def test_extend_index_equals_rebuild(spark, docs):
         r_ = sorted(tuple(r) for r in getattr(rebuilt, attr).collect())
         assert e == r_, attr
 
+    # idempotent: a retried nightly job re-appending the SAME delta must
+    # change nothing — duplicated signature rows would double-count
+    # n_match in the verify join and fabricate near_dup verdicts
+    again = extend_signature_index(extended, delta)
+    for attr in ("hashes", "signatures", "bands"):
+        e = sorted(tuple(r) for r in getattr(extended, attr).collect())
+        a = sorted(tuple(r) for r in getattr(again, attr).collect())
+        assert e == a, f"re-append changed {attr}"
+
 
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark, docs):
     ids = docs.select("doc_id")
@@ -143,6 +145,17 @@ def test_write_shuffled_shards_round_trip(spark, docs):
         expect = {(r["shard"], r["sort_key"], r["doc_id"])
                   for r in seeded_shuffle(sample, "epoch0", 4).collect()}
         assert set(rows1) == expect
+        # in-FILE order is the sort_key order (the loader contract): parquet
+        # preserves row order per file, so read each file's rows in
+        # encounter order and assert monotone keys
+        per_file = {}
+        for r in r1.select(
+            F.input_file_name().alias("f"), "sort_key"
+        ).collect():
+            per_file.setdefault(r["f"], []).append(r["sort_key"])
+        assert per_file
+        for f, keys in per_file.items():
+            assert keys == sorted(keys), f
     finally:
         shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)
