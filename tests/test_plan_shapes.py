@@ -194,6 +194,34 @@ def test_dc3_blocks_then_verifies(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_id1_delta_keyed_joins(spark):
+    # incremental dedup must candidate on (band, bucket) and verify on
+    # (i_id, k, h) — equi-joins, never corpus×delta.  The only nested
+    # loops allowed are the bounded 8-row minhash k-fanout broadcasts
+    # (the same shape D16 has always used).
+    plan = _plan(spark, "ID1_incremental_corpus_dedup")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert re.search(r"Join \[band#\d+L?, bucket#\d+\]", plan), plan[:3000]
+    assert re.search(r"Join \[i_id#\d+L?, k#\d+, h#\d+\]", plan), plan[:3000]
+
+
+def test_sh1_window_is_partitioned_by_shard(spark):
+    # the permutation rank is per-shard — a global (unpartitioned) window
+    # would serialize the corpus through one task
+    plan = _plan(spark, "SH1_seeded_corpus_shuffle")
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "hashpartitioning(shard" in plan, plan[:3000]
+            break
+
+
+def test_uf1_blocklist_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "UF1_domain_filter")
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan[:3000]
+
+
 def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
     """Blanket scale invariant (round-6): NO registered gate's physical
     plan may contain a CartesianProduct — bounded 1-row crossJoins (the
