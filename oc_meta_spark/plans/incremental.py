@@ -117,14 +117,42 @@ def build_signature_index(docs: DataFrame) -> SignatureIndex:
 def write_signature_index(index: SignatureIndex, path: str) -> None:
     """Persist the index as three parquet tables under ``path`` —
     ``hashes/`` bucketable on h, ``signatures/`` and ``bands/`` on
-    doc_id — the layout a nightly job overwrite-swaps (same contract as
-    sources/shards.py: plain parquet dirs, no side-channel state)."""
+    doc_id — plus a one-row ``meta/`` table recording the MinHash/band
+    configuration the signatures were built with (the layout a nightly
+    job overwrite-swaps; same contract as sources/shards.py: plain
+    parquet dirs, no side-channel state)."""
     index.hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
     index.signatures.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
     index.bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    spark = index.hashes.sparkSession
+    spark.createDataFrame(
+        [(N_MINHASH, N_BAND_ROWS)], schema="n_minhash int, n_band_rows int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
+    """Load a persisted index, refusing one built under a DIFFERENT
+    MinHash/band configuration: signatures from mismatched k or band
+    geometry would join silently and misclassify (a 4-row-band index
+    probed with 2-row-band buckets never candidates; a k=16 index halves
+    every agreement count).  Pre-meta indexes (no ``meta/`` dir) load
+    unguarded for compatibility."""
+    from pyspark.errors import AnalysisException
+
+    meta = None
+    try:
+        meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    except AnalysisException:
+        pass  # pre-meta index — load unguarded (any-FS-safe probe: the
+        # read itself, not a local os.path check)
+    if meta is not None:
+        if (meta["n_minhash"], meta["n_band_rows"]) != (N_MINHASH, N_BAND_ROWS):
+            raise ValueError(
+                f"signature index at {path} was built with n_minhash="
+                f"{meta['n_minhash']}, n_band_rows={meta['n_band_rows']}; "
+                f"this build expects {N_MINHASH}/{N_BAND_ROWS} — rebuild the "
+                "index, do not mix configurations"
+            )
     return SignatureIndex(
         hashes=spark.read.parquet(os.path.join(path, "hashes")),
         signatures=spark.read.parquet(os.path.join(path, "signatures")),

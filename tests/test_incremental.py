@@ -73,6 +73,26 @@ def test_signature_index_persist_round_trip(spark, docs):
             assert matched is not None and matched % 10 != 0  # an index doc
 
 
+def test_index_config_mismatch_refused(spark, docs):
+    """A persisted index carries its MinHash/band config; loading it under
+    a different build configuration must fail loudly — mismatched
+    signatures would join silently and misclassify."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    index = build_signature_index(docs.filter(F.col("doc_id") < 30))
+    tmp = tempfile.mkdtemp(prefix="sigidx_meta_")
+    try:
+        write_signature_index(index, tmp)
+        read_signature_index(spark, tmp)  # matching config loads fine
+        spark.createDataFrame(
+            [(16, 4)], schema="n_minhash int, n_band_rows int"
+        ).write.mode("overwrite").parquet(tmp + "/meta")
+        with pytest.raises(ValueError, match="n_minhash=16"):
+            read_signature_index(spark, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_extend_index_equals_rebuild(spark, docs):
     """Appending a delta to the index must equal rebuilding the index from
     the full corpus — the invariant that lets the nightly job pay O(delta)
