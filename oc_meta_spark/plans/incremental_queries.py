@@ -170,7 +170,7 @@ _SH1_SHARDS = 4
            doc_id, sort_key
     FROM sharded ORDER BY shard, pos
     """,
-    doc="Seeded deterministic training shuffle: md5(seed:id) sort key, hash-nibble shard split, per-shard rank — identical permutation for a given seed on any run or cluster.",
+    doc="Seeded deterministic training shuffle: md5(seed:id) sort key, 48-bit hash shard split, per-shard rank — identical permutation for a given seed on any run or cluster.",
 )
 def sh1_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
@@ -253,3 +253,91 @@ def uf1_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "domain", "domain_rank")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HS1 — leakage-safe holdout split: assign every document to
+# train/val/test (80/10/10) such that an entire near-dup CLUSTER lands in
+# ONE split — the split key is the cluster representative, not the doc,
+# so a document and its near-duplicate can never straddle train and eval
+# (the standard benchmark-leakage failure a doc-keyed random split
+# causes).  Clusters come from the same banded-MinHash pairs + connected
+# components as D21; singleton docs are their own cluster.  The split
+# assignment is the seeded-shuffle hash (md5 over the cluster id, first
+# 48 bits mod 10), so it is reproducible on any run or cluster.
+#
+# Scale notes (100 TB): pairs are block-then-verify (no cartesian); CC is
+# pointer-jumping, O(log diameter) rounds; the split itself is a narrow
+# map on the cluster id plus one left join of docs to cluster labels.
+# The oracle re-derives CC with a recursive CTE (the D21 pattern).
+# ---------------------------------------------------------------------------
+_HS1_SHINGLES = """
+    shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    )
+"""
+
+
+@register(
+    "HS1_leakage_safe_holdout",
+    f"""
+    WITH RECURSIVE {_HS1_SHINGLES},
+    mh AS (
+      SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 4 AS band, md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM mh GROUP BY doc_id, k // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, cluster,
+             ('0x' || substr(md5('hs1:' || CAST(cluster AS VARCHAR)), 1, 12))::BIGINT % 10 AS b
+      FROM clustered
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+    FROM assigned ORDER BY doc_id
+    """,
+    doc="Leakage-safe 80/10/10 holdout: near-dup clusters (banded MinHash + connected components) are split atomically by a seeded hash of the cluster representative — no near-duplicate straddles train and eval.",
+)
+def hs1_leakage_safe_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy imports: dedup_queries registers its own gates on import — the
+    # registry's rotation order must stay the registry's decision
+    from oc_meta_spark.operators.cc import connected_components
+    from oc_meta_spark.plans.dedup_queries import d16_minhash_lsh
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    pairs = d16_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+    clustered = docs.join(comp, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", F.col("doc_id"))
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('hs1:', cast(cluster as string))), 1, 12), 16, 10) as bigint) % 10"
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")

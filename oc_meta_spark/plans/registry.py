@@ -53,18 +53,19 @@ def load_all() -> dict[str, OracleQuery]:
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
     predates a code change, first.  Round-8 order: the NEW incremental
-    module leads (ID1/SH1/UF1, positions 1-3 — never witnessed); curation
-    next (4-20) because check_results' export-consistency compare gained
-    the id-token-set check this round, which VD2/RT2/RT3 exercise; then
-    the families whose latest recorded rows date to round 5 on untouched
-    code: dedup (21-33, D2/D8/D9/D14-D22/A8) and text (34-44,
-    C1/C3/C4/C8/C10/T1-T6); temporal (45-46 — AS1 r7, RJ1 r5); pipeline
-    (47-52) registers QT1 first (47 — its rank formula generalized this
-    round), so the 50-gate window cut falls after T7 (50) and the
-    round-7-fresh CH1 (51) / TF1 (52) spill just past it on untouched
-    code.  Families with fresh round-6/7 rows and untouched code
-    (fidelity, editor, analytics, graph, similarity, hygiene, audit,
-    multimodal, stream, sampling) register last.
+    module leads (ID1/SH1/UF1/HS1, positions 1-4 — never witnessed);
+    curation next (5-21) because check_results' export-consistency
+    compare gained the id-token-set check this round, which VD2/RT2/RT3
+    exercise; then the families whose latest recorded rows date to round
+    5 on untouched code: dedup (22-34, D2/D8/D9/D14-D22/A8 — D16's
+    MinHash kernel now shared with the incremental index) and text
+    (35-45, C1/C3/C4/C8/C10/T1-T6); temporal (46-47 — AS1 r7, RJ1 r5);
+    pipeline (48-53) registers QT1 first (48 — its rank formula
+    generalized this round), so the 50-gate window cut falls after D23
+    (50) and the round-7-fresh T7 (51) / CH1 (52) / TF1 (53) spill just
+    past it on untouched code.  Families with fresh round-6/7 rows and
+    untouched code (fidelity, editor, analytics, graph, similarity,
+    hygiene, audit, multimodal, stream, sampling) register last.
     """
     import oc_meta_spark.plans.incremental_queries  # noqa: F401
     import oc_meta_spark.plans.curation_queries  # noqa: F401

@@ -181,6 +181,24 @@ def test_write_shuffled_shards_round_trip(spark, docs):
         shutil.rmtree(tmp2, ignore_errors=True)
 
 
+def test_hs1_no_near_dup_straddles_splits(spark, sf_dir):
+    """The leakage contract: every near-dup pair (the same banded-MinHash
+    pairs D16 emits) must land in ONE split, and all three splits must be
+    populated."""
+    from oc_meta_spark.plans.dedup_queries import d16_minhash_lsh
+    from oc_meta_spark.plans.incremental_queries import hs1_leakage_safe_holdout
+
+    split_of = {r["doc_id"]: r["split"]
+                for r in hs1_leakage_safe_holdout(spark, sf_dir).collect()}
+    assert set(split_of.values()) == {"train", "val", "test"}
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert n_train > len(split_of) // 2  # train is the bulk split
+    pairs = [(r["doc_a"], r["doc_b"]) for r in d16_minhash_lsh(spark, sf_dir).collect()]
+    assert pairs
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b, split_of[a], split_of[b])
+
+
 def test_uf1_blocklist_and_cap(spark, sf_dir):
     from oc_meta_spark.plans.incremental_queries import (
         _UF1_BLOCKLIST,
