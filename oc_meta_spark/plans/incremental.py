@@ -29,7 +29,8 @@ runs nightly, rather than the within-corpus batch ops of dedup_queries.
 
 2.  **Seeded deterministic corpus shuffle** — a reproducible global
     training permutation: ``sort_key = md5(seed || ':' || doc_id)``,
-    shard = first hex nibble of the key mod ``n_shards`` (deterministic
+    shard = first 48 bits (12 hex chars) of the key mod ``n_shards``
+    (deterministic
     hash-range split — NOT repartitionByRange, whose sampled boundaries
     are nondeterministic), position = rank of the key within the shard.
     Same seed → identical permutation on every run/cluster; different

@@ -69,16 +69,17 @@ def write_shuffled_shards(
 ) -> None:
     """Write the corpus in a REPRODUCIBLE seeded training order: the
     deterministic global permutation of plans/incremental.py's
-    seeded_shuffle (sort_key = md5(seed || ':' || id), shard = first hex
-    nibble of the key mod n_shards) partitioned by shard and sorted by
+    seeded_shuffle (sort_key = md5(seed || ':' || id), shard = first
+    48 bits (12 hex chars) of the key mod n_shards) partitioned by shard
+    and sorted by
     the key within each shard.  Same seed → bitwise-identical layout on
     every run and cluster (a partitionBy shuffle plus local sorts — no
     repartitionByRange, whose sampled boundaries are nondeterministic);
     a new seed → a fresh permutation for the next epoch.
 
     Scale shape: one shuffle on shard; per-shard sorts are local.  At
-    100 TB pick n_shards ≈ corpus_bytes / target_shard_bytes — the hash
-    nibble split is uniform so no shard hot-spots."""
+    100 TB pick n_shards ≈ corpus_bytes / target_shard_bytes — the 48-bit
+    hash split is uniform so no shard hot-spots."""
     from oc_meta_spark.plans.incremental import seeded_shuffle
 
     out = seeded_shuffle(df, seed, n_shards, id_col=id_col, with_pos=False)

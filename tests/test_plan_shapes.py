@@ -209,10 +209,15 @@ def test_sh1_window_is_partitioned_by_shard(spark):
     # the permutation rank is per-shard — a global (unpartitioned) window
     # would serialize the corpus through one task
     plan = _plan(spark, "SH1_seeded_corpus_shuffle")
+    found = False
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
-            assert "hashpartitioning(shard" in plan, plan[:3000]
-            break
+            found = True
+            # the Window operator's partition spec must be the shard column
+            # (second bracket group on the operator line)
+            assert re.search(r"row_number\(\).*\[shard#\d+\]", line), line
+    assert found, "no row_number Window in SH1 plan — test would be vacuous\n" + plan[:3000]
+    assert "hashpartitioning(shard" in plan, plan[:3000]
 
 
 def test_uf1_blocklist_is_broadcast_anti_join(spark):
