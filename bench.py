@@ -42,6 +42,8 @@ HEADLINE = [
     "X2_cosine_topk_bruteforce",
     "X3_lsh_bucketed_nn",
     "X5_ivf_ann",
+    "X8_incremental_ivf_ann",
+    "HS2_incremental_holdout_stability",
     "T1_token_stats",
     "CH1_token_window_chunking",
     "TF1_tfidf_top_terms",
@@ -128,6 +130,10 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
+        # the metric was REDEFINED in round 8 from raw wall-clock to the
+        # sum of best-of-2 per-query times (contention hardening); compare
+        # pre-r8 BENCH history against wall_sec, not value
+        "metric_def": "sum_of_best_per_query_sec (since r8; pre-r8 = wall clock, see wall_sec)",
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

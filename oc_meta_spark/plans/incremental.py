@@ -21,11 +21,18 @@ runs nightly, rather than the within-corpus batch ops of dedup_queries.
     repo's D8 exact dedup with D16's banded MinHash.
 
     Scale shape (100 TB corpus, ~1 TB nightly delta): the index is
-    O(docs × 13) tiny rows — parquet-persisted, partition-pruned on its
-    join keys; every join is delta-keyed (hash, (band, bucket), candidate
-    pairs), so work is proportional to the DELTA, not the corpus; no
-    CartesianProduct anywhere; signature verify joins only candidate
-    pairs produced by the banded blocking.
+    O(docs × 13) tiny rows — parquet-persisted, ``hashes/`` hive-
+    partitioned by the 2-char hash prefix and ``bands/`` by band.  Every
+    index side is LEFT-SEMI PREFILTERED on a broadcast of the delta's
+    keys (its distinct (hp, h) hashes, its distinct (band, bucket)
+    buckets, the candidate i_ids) BEFORE the classification joins — so
+    the corpus-sized index is only ever SCANNED (never shuffled), every
+    shuffle carries delta-proportional rows, and work is proportional to
+    the DELTA, not the corpus; no CartesianProduct anywhere; signature
+    verify joins only candidate pairs produced by the banded blocking.
+    (At extreme delta sizes where the broadcast probes outgrow the
+    driver, bucket the index tables on their join keys instead and let
+    SMJ co-locate — the prefilter structure is unchanged.)
 
 2.  **Seeded deterministic corpus shuffle** — a reproducible global
     training permutation: ``sort_key = md5(seed || ':' || doc_id)``,
@@ -36,6 +43,11 @@ runs nightly, rather than the within-corpus batch ops of dedup_queries.
     Same seed → identical permutation on every run/cluster; different
     seed → a fresh permutation.  Per-shard windows are partition-parallel
     (no global single-partition sort).
+
+3.  **Incremental holdout assignment** — HS1's leakage-safe split for a
+    GROWING corpus: previously-assigned docs never move, new docs inherit
+    their cluster's earliest-assigned split, all-new clusters get HS1's
+    seeded-hash split (see ``assign_holdout_incremental``).
 """
 
 from __future__ import annotations
@@ -109,6 +121,10 @@ def build_signature_index(docs: DataFrame) -> SignatureIndex:
         docs.select(F.md5("text").alias("h"), F.col("doc_id"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("idx_id"))
+        # hp = 2-char hash prefix: the hive partition column of the
+        # persisted hashes/ table (256 uniform partitions) and part of
+        # the exact-probe join key
+        .withColumn("hp", F.substring("h", 1, 2))
     )
     signatures = minhash_signature(docs)
     bands = band_buckets(signatures)
@@ -117,14 +133,21 @@ def build_signature_index(docs: DataFrame) -> SignatureIndex:
 
 def write_signature_index(index: SignatureIndex, path: str) -> None:
     """Persist the index as three parquet tables under ``path`` —
-    ``hashes/`` bucketable on h, ``signatures/`` and ``bands/`` on
-    doc_id — plus a one-row ``meta/`` table recording the MinHash/band
-    configuration the signatures were built with (the layout a nightly
-    job overwrite-swaps; same contract as sources/shards.py: plain
-    parquet dirs, no side-channel state)."""
-    index.hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+    ``hashes/`` hive-partitioned by the 2-char hash prefix ``hp`` (256
+    uniform md5 partitions; bounded file sizes and prefix-local rebuild/
+    compaction), ``bands/`` by ``band`` (each of the 4 band joins reads
+    only its own quarter of the index), ``signatures/`` plain — plus a
+    one-row ``meta/`` table recording the MinHash/band configuration the
+    signatures were built with (the layout a nightly job overwrite-swaps;
+    same contract as sources/shards.py: plain parquet dirs, no
+    side-channel state)."""
+    index.hashes.write.mode("overwrite").partitionBy("hp").parquet(
+        os.path.join(path, "hashes")
+    )
     index.signatures.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    index.bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    index.bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
     spark = index.hashes.sparkSession
     spark.createDataFrame(
         [(N_MINHASH, N_BAND_ROWS)], schema="n_minhash int, n_band_rows int"
@@ -154,10 +177,24 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
                 f"this build expects {N_MINHASH}/{N_BAND_ROWS} — rebuild the "
                 "index, do not mix configurations"
             )
+    # partition columns come back through directory-name inference (hp
+    # could be mistyped INT when every prefix in a small index happens to
+    # be numeric, dropping leading zeros; band comes back INT) — recompute
+    # hp from h and re-cast band so the in-memory schema is identical to
+    # build_signature_index's, whatever the inference did
+    hashes = (
+        spark.read.parquet(os.path.join(path, "hashes"))
+        .drop("hp")
+        .withColumn("hp", F.substring("h", 1, 2))
+        .select("h", "idx_id", "hp")
+    )
+    bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", F.col("band").cast("long").alias("band"), "bucket"
+    )
     return SignatureIndex(
-        hashes=spark.read.parquet(os.path.join(path, "hashes")),
+        hashes=hashes,
         signatures=spark.read.parquet(os.path.join(path, "signatures")),
-        bands=spark.read.parquet(os.path.join(path, "bands")),
+        bands=bands,
     )
 
 
@@ -178,9 +215,11 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     """
     delta = build_signature_index(new_docs)
     hashes = (
-        index.hashes.unionByName(delta.hashes)
+        index.hashes.drop("hp")
+        .unionByName(delta.hashes.drop("hp"))
         .groupBy("h")
         .agg(F.min("idx_id").alias("idx_id"))
+        .withColumn("hp", F.substring("h", 1, 2))
     )
     return SignatureIndex(
         hashes=hashes,
@@ -197,24 +236,46 @@ def dedup_against_index(batch: DataFrame, index: SignatureIndex) -> DataFrame:
     canonical min holder).  near_dup: a banded-LSH candidate whose
     signature agrees on ≥ NEAR_MIN_AGREE of 8 positions (match = min
     agreeing existing doc_id).  Precedence: exact > near > unique.
+
+    Nightly-scale discipline (the reference analog is the batched-probe
+    loop of oc_meta/run/meta/preprocess_input.py:49-77 — probe the store
+    with the batch's keys, never scan the store into the batch): every
+    corpus-sized index table is LEFT-SEMI PREFILTERED on a broadcast of
+    delta-derived keys before it joins — hashes on the batch's distinct
+    (hp, h), bands on the batch's distinct (band, bucket), signatures on
+    the candidate i_ids — so the index is scanned once per probe and
+    NEVER shuffled; every exchange downstream carries delta-proportional
+    rows.
     """
+    bhash = batch.select("doc_id", F.md5("text").alias("h"))
+    probe_h = bhash.select(F.substring("h", 1, 2).alias("hp"), "h").dropDuplicates()
+    # joining on (hp, h) rather than h alone lets dynamic partition
+    # pruning skip hashes/ partitions on the persisted-index path
+    pruned_hashes = index.hashes.join(F.broadcast(probe_h), ["hp", "h"], "left_semi")
     exact = (
-        batch.select("doc_id", F.md5("text").alias("h"))
-        .join(index.hashes, "h", "left")
+        bhash.join(pruned_hashes.select("h", "idx_id"), "h", "left")
         .select("doc_id", F.col("idx_id").alias("exact_id"))
     )
 
     bsig = minhash_signature(batch)
     bband = band_buckets(bsig)
-    iband = index.bands.select(
-        F.col("doc_id").alias("i_id"), "band", "bucket"
+    probe_b = bband.select("band", "bucket").dropDuplicates()
+    iband = (
+        index.bands.select(F.col("doc_id").alias("i_id"), "band", "bucket")
+        .join(F.broadcast(probe_b), ["band", "bucket"], "left_semi")
     )
     cand = (
         bband.join(iband, ["band", "bucket"])
         .select(F.col("doc_id").alias("b_id"), "i_id")
         .dropDuplicates()
     )
-    isig = index.signatures.select(F.col("doc_id").alias("i_id"), "k", "h")
+    # every iband survivor shares a bucket with the batch, so its i_id IS
+    # a candidate — the signature probe set, without recomputing cand
+    cand_ids = iband.select("i_id").dropDuplicates()
+    isig = (
+        index.signatures.select(F.col("doc_id").alias("i_id"), "k", "h")
+        .join(F.broadcast(cand_ids), "i_id", "left_semi")
+    )
     agree = (
         cand.join(bsig.withColumnRenamed("doc_id", "b_id"), "b_id")
         .join(isig, ["i_id", "k", "h"])
@@ -241,6 +302,68 @@ def dedup_against_index(batch: DataFrame, index: SignatureIndex) -> DataFrame:
             F.coalesce("exact_id", "near_id").cast("long").alias("matched_existing"),
         )
     )
+
+
+def assign_holdout_incremental(
+    clustered: DataFrame, prior: DataFrame, seed: str = "hs2"
+) -> DataFrame:
+    """Split assignment for a GROWING corpus: (doc_id, split, status).
+
+    HS1 recomputes the seeded split from today's cluster representative —
+    correct for a one-shot split, but under nightly growth a new document
+    that BRIDGES two existing clusters changes the merged cluster's
+    representative, which would flip previously-assigned documents into a
+    different split and leak yesterday's train set into tomorrow's test
+    set.  The incremental rule (the resumable-cache discipline of
+    reference oc_meta/run/meta_process.py:183-190 — processed state is
+    immutable across runs):
+
+    - previously-assigned documents NEVER move (status ``kept``);
+    - a new document whose cluster contains any assigned member inherits
+      the split of the EARLIEST-assigned member — min (assigned_epoch,
+      doc_id), a total order since doc_id is unique (status
+      ``inherited``);
+    - a new document in an all-new cluster gets the seeded 48-bit hash
+      split of its cluster id, HS1's rule (status ``fresh``).
+
+    A cluster merged ACROSS splits by a bridging doc keeps its old
+    members' (differing) splits — the residual straddle is the price of
+    stability and is visible to callers via the cluster table; re-splitting
+    it would be the leak.
+
+    ``clustered``: (doc_id, cluster) — TODAY's clustering of the full
+    corpus.  ``prior``: (doc_id, split, assigned_epoch) — the immutable
+    assignment history.
+
+    Scale shape: one equi-join of prior to clusters on doc_id, one
+    per-cluster window (partition-parallel), one anti-join for the new
+    docs, one left join on cluster — no new shuffle class beyond HS1's.
+    """
+    w = Window.partitionBy("cluster").orderBy("assigned_epoch", "doc_id")
+    anchors = (
+        clustered.join(prior, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("split").alias("inherited_split"))
+    )
+    kept = prior.select("doc_id", "split", F.lit("kept").alias("status"))
+    new_docs = clustered.join(prior.select("doc_id"), "doc_id", "left_anti")
+    fresh_bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{seed}:', cast(cluster as string))), 1, 12), 16, 10) as bigint) % 10"
+    )
+    assigned = new_docs.join(anchors, "cluster", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("inherited_split"),
+            F.when(fresh_bucket < 8, "train")
+            .when(fresh_bucket == 8, "val")
+            .otherwise("test"),
+        ).alias("split"),
+        F.when(F.col("inherited_split").isNotNull(), "inherited")
+        .otherwise("fresh")
+        .alias("status"),
+    )
+    return kept.unionByName(assigned)
 
 
 def seeded_shuffle(

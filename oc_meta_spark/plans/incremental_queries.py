@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from oc_meta_spark.plans.incremental import (
     NEAR_MIN_AGREE,
+    assign_holdout_incremental,
     build_signature_index,
     dedup_against_index,
     seeded_shuffle,
@@ -211,8 +212,13 @@ _UF1_CAP = 3
       SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM urls
     ),
     allowed AS (
+      -- unparseable URLs (NULL/empty domain) are dropped EXPLICITLY: a
+      -- NULL domain passes NOT IN in Spark's left_anti but not DuckDB's
+      -- NOT IN — the contract is "no domain, no document", stated on
+      -- both sides rather than left to engine null semantics
       SELECT * FROM hosts
-      WHERE domain NOT IN ('{_UF1_BLOCKLIST[0]}', '{_UF1_BLOCKLIST[1]}', '{_UF1_BLOCKLIST[2]}')
+      WHERE domain IS NOT NULL AND domain <> ''
+        AND domain NOT IN ('{_UF1_BLOCKLIST[0]}', '{_UF1_BLOCKLIST[1]}', '{_UF1_BLOCKLIST[2]}')
     ),
     capped AS (
       SELECT doc_id, domain,
@@ -245,7 +251,9 @@ def uf1_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist = spark.createDataFrame(
         [(d,) for d in _UF1_BLOCKLIST], schema="domain string"
     )
-    allowed = hosts.join(F.broadcast(blocklist), "domain", "left_anti")
+    # explicit "no domain, no document" — see the oracle's allowed CTE
+    parseable = hosts.filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
+    allowed = parseable.join(F.broadcast(blocklist), "domain", "left_anti")
     w = Window.partitionBy("domain").orderBy("doc_id")
     return (
         allowed.withColumn("domain_rank", F.row_number().over(w).cast("long"))
@@ -341,3 +349,100 @@ def hs1_leakage_safe_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HS2 — holdout split STABILITY under corpus growth: the nightly reality
+# HS1 alone gets wrong.  Clusters GROW — a new document that bridges a
+# train cluster and a test cluster changes the merged cluster's
+# representative, and HS1's recomputed seeded hash would flip OLD
+# documents into a different split (cross-epoch leakage: yesterday's
+# train doc surfaces in tomorrow's test set).  The incremental rule
+# (plans/incremental.py::assign_holdout_incremental): assigned docs NEVER
+# move, new docs inherit the split of their cluster's earliest-assigned
+# member (min (assigned_epoch, doc_id)), all-new clusters get HS1's
+# seeded-hash split.
+#
+# Planted-residue gate: "yesterday's" assignment is synthesized from a
+# doc_id residue (doc_id % 10 != 0 are assigned, split = seeded hash of
+# the doc — deliberately doc-keyed: the contract under test is STABILITY,
+# not yesterday's safety; assigned_epoch = doc_id % 7).  "Today's"
+# clustering arrives relationally: blocks of 9 consecutive doc_ids (each
+# containing at most one new %10 doc, bridging up to 8 assigned docs with
+# DIFFERING splits), except %90 docs, which get singleton all-new
+# clusters (the fresh path).  All three statuses (kept / inherited /
+# fresh) are present by construction at every SF.  Clustering itself is
+# HS1/D16/D21's tested territory — this gate isolates the assignment
+# kernel, which is what changed.
+#
+# Scale notes (100 TB): one doc_id equi-join, one per-cluster window, one
+# anti-join, one cluster left-join — no new shuffle class beyond HS1's;
+# prior and clusters are both bucketable on their join keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "HS2_incremental_holdout_stability",
+    """
+    WITH prior AS (
+      SELECT doc_id, doc_id % 7 AS assigned_epoch,
+             ('0x' || substr(md5('prior:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 AS b
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    prior_split AS (
+      SELECT doc_id, assigned_epoch,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      FROM prior
+    ),
+    clusters AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 90 = 0 THEN -(doc_id + 1)
+                  ELSE (doc_id // 9) * 9 END AS cluster
+      FROM documents
+    ),
+    anchors AS (
+      SELECT cluster, split AS inherited_split FROM (
+        SELECT c.cluster, p.split,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                  ORDER BY p.assigned_epoch, p.doc_id) AS rn
+        FROM clusters c JOIN prior_split p ON p.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    fresh AS (
+      SELECT doc_id, cluster,
+             ('0x' || substr(md5('hs2:' || CAST(cluster AS VARCHAR)), 1, 12))::BIGINT % 10 AS fb
+      FROM clusters WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, split, 'kept' AS status FROM prior_split
+    UNION ALL
+    SELECT f.doc_id,
+           COALESCE(a.inherited_split,
+                    CASE WHEN f.fb < 8 THEN 'train'
+                         WHEN f.fb = 8 THEN 'val' ELSE 'test' END) AS split,
+           CASE WHEN a.inherited_split IS NOT NULL
+                THEN 'inherited' ELSE 'fresh' END AS status
+    FROM fresh f LEFT JOIN anchors a ON a.cluster = f.cluster
+    ORDER BY doc_id
+    """,
+    doc="Holdout stability under corpus growth: assigned docs never move, new docs inherit their cluster's earliest-assigned split, all-new clusters get the seeded fresh split.",
+)
+def hs2_incremental_holdout_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    prior_bucket = F.expr(
+        "cast(conv(substr(md5(concat('prior:', cast(doc_id as string))), 1, 12), 16, 10) as bigint) % 10"
+    )
+    prior = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(prior_bucket < 8, "train")
+        .when(prior_bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("doc_id") % 7).alias("assigned_epoch"),
+    )
+    clustered = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 90 == 0, -(F.col("doc_id") + 1))
+        .otherwise(F.expr("(doc_id div 9) * 9"))
+        .alias("cluster"),
+    )
+    return assign_holdout_incremental(clustered, prior, seed="hs2").orderBy("doc_id")

