@@ -177,19 +177,28 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
                 f"this build expects {N_MINHASH}/{N_BAND_ROWS} — rebuild the "
                 "index, do not mix configurations"
             )
-    # partition columns come back through directory-name inference (hp
-    # could be mistyped INT when every prefix in a small index happens to
-    # be numeric, dropping leading zeros; band comes back INT) — recompute
-    # hp from h and re-cast band so the in-memory schema is identical to
-    # build_signature_index's, whatever the inference did
-    hashes = (
-        spark.read.parquet(os.path.join(path, "hashes"))
-        .drop("hp")
-        .withColumn("hp", F.substring("h", 1, 2))
-        .select("h", "idx_id", "hp")
-    )
-    bands = spark.read.parquet(os.path.join(path, "bands")).select(
-        "doc_id", F.col("band").cast("long").alias("band"), "bucket"
+    # EXPLICIT read schemas, not directory-name inference (which would
+    # read an all-numeric prefix like 07 as INT and drop the leading
+    # zero) and not recomputation: hp must come back as the scan's true
+    # PARTITION ATTRIBUTE, because dedup_against_index's (hp, h) probe
+    # can only dynamic-partition-prune hashes/ through a partition
+    # attribute — a recomputed substring(h, 1, 2) projection would read
+    # all 256 partitions every night
+    hashes_dir = os.path.join(path, "hashes")
+    if "hp" in spark.read.parquet(hashes_dir).columns:
+        hashes = (
+            spark.read.schema("h string, idx_id bigint, hp string")
+            .parquet(hashes_dir)
+            .select("h", "idx_id", "hp")
+        )
+    else:  # pre-r9 unpartitioned layout — derive hp; no pruning available
+        hashes = spark.read.parquet(hashes_dir).withColumn(
+            "hp", F.substring("h", 1, 2)
+        )
+    bands = (
+        spark.read.schema("doc_id bigint, band bigint, bucket string")
+        .parquet(os.path.join(path, "bands"))
+        .select("doc_id", "band", "bucket")
     )
     return SignatureIndex(
         hashes=hashes,
@@ -208,23 +217,50 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     the cost of the DELTA only.
 
     Idempotent: a retried nightly job that re-appends the same delta
-    changes nothing — hashes re-aggregate, signatures/bands deduplicate
-    exact rows — so a crash between write and bookkeeping is safe to
-    re-run (doc_ids must be stable; re-adding an EXISTING doc_id with
-    different text is a revision, not an append, and needs a rebuild).
+    changes nothing — already-indexed doc_ids are anti-joined away, and
+    only hashes the delta actually carries can change their min holder —
+    so a crash between write and bookkeeping is safe to re-run (doc_ids
+    must be stable; re-adding an EXISTING doc_id with different text is a
+    revision, not an append, and needs a rebuild — its old rows are kept,
+    never silently doubled).
+
+    Delta-keyed like dedup_against_index (round 9): every corpus-sized
+    index side is probed with a BROADCAST of delta-derived keys (left-
+    semi/anti — a scan, not a shuffle); the only re-aggregation is over
+    the delta-bounded ``touched`` hash rows, so the append literally
+    costs O(delta).
     """
     delta = build_signature_index(new_docs)
-    hashes = (
-        index.hashes.drop("hp")
-        .unionByName(delta.hashes.drop("hp"))
+
+    probe = delta.hashes.select("hp", "h")
+    # (the equi-join moves its keys to the front — restore build order so
+    # the union'd index is column-identical to a rebuilt one)
+    touched = index.hashes.join(F.broadcast(probe), ["hp", "h"], "left_semi").select(
+        "h", "idx_id", "hp"
+    )
+    untouched = index.hashes.join(F.broadcast(probe), ["hp", "h"], "left_anti").select(
+        "h", "idx_id", "hp"
+    )
+    merged = (
+        touched.unionByName(delta.hashes)
         .groupBy("h")
         .agg(F.min("idx_id").alias("idx_id"))
         .withColumn("hp", F.substring("h", 1, 2))
     )
+
+    delta_ids = delta.signatures.select("doc_id").dropDuplicates()
+    already = (
+        index.signatures.join(F.broadcast(delta_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    fresh_sigs = delta.signatures.join(F.broadcast(already), "doc_id", "left_anti")
+    fresh_bands = delta.bands.join(F.broadcast(already), "doc_id", "left_anti")
+
     return SignatureIndex(
-        hashes=hashes,
-        signatures=index.signatures.unionByName(delta.signatures).dropDuplicates(),
-        bands=index.bands.unionByName(delta.bands).dropDuplicates(),
+        hashes=untouched.unionByName(merged),
+        signatures=index.signatures.unionByName(fresh_sigs),
+        bands=index.bands.unionByName(fresh_bands),
     )
 
 
@@ -335,19 +371,32 @@ def assign_holdout_incremental(
     corpus.  ``prior``: (doc_id, split, assigned_epoch) — the immutable
     assignment history.
 
-    Scale shape: one equi-join of prior to clusters on doc_id, one
-    per-cluster window (partition-parallel), one anti-join for the new
-    docs, one left join on cluster — no new shuffle class beyond HS1's.
+    Scale shape: the new-doc set is one narrow anti-join on doc_id (both
+    sides bucketable); the anchor pass is DELTA-KEYED — only clusters
+    that actually contain a new doc are anchored, via broadcast left-semi
+    probes of the corpus-sized clustering and prior tables (scans, not
+    shuffles) — so the join + per-cluster window run over delta-bounded
+    rows; assignment is one left join on cluster.  No new shuffle class
+    beyond HS1's, and nightly anchor cost ∝ the delta's clusters, not the
+    corpus.
     """
+    kept = prior.select("doc_id", "split", F.lit("kept").alias("status"))
+    new_docs = clustered.join(prior.select("doc_id"), "doc_id", "left_anti")
+    # anchors are only consumed for clusters holding a new doc — probe
+    # down both corpus-sized inputs before the join/window (the same
+    # broadcast-semi discipline as dedup_against_index)
+    touched = new_docs.select("cluster").dropDuplicates()
+    members = clustered.join(F.broadcast(touched), "cluster", "left_semi")
+    prior_members = prior.join(
+        F.broadcast(members.select("doc_id").dropDuplicates()), "doc_id", "left_semi"
+    )
     w = Window.partitionBy("cluster").orderBy("assigned_epoch", "doc_id")
     anchors = (
-        clustered.join(prior, "doc_id")
+        members.join(prior_members, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("cluster", F.col("split").alias("inherited_split"))
     )
-    kept = prior.select("doc_id", "split", F.lit("kept").alias("status"))
-    new_docs = clustered.join(prior.select("doc_id"), "doc_id", "left_anti")
     fresh_bucket = F.expr(
         f"cast(conv(substr(md5(concat('{seed}:', cast(cluster as string))), 1, 12), 16, 10) as bigint) % 10"
     )

@@ -93,11 +93,24 @@ def extend_ivf_index(index: IvfIndex, new_vecs: DataFrame) -> IvfIndex:
     for the full corpus against the same centroids (each vector's cell
     depends only on the centroids), at delta cost; idempotent under a
     retried append (vec_ids are stable — re-adding an existing vec_id
-    with a different embedding is a revision and needs a rebuild)."""
+    with a different embedding is a revision and needs a rebuild; its old
+    row is kept, never silently doubled).
+
+    Delta-keyed: the corpus-sized assignments are probed with a BROADCAST
+    of the delta's vec_ids (left-semi — a scan, not a shuffle) and only
+    genuinely-new rows are appended — the retry guard never shuffles the
+    corpus the way a full-width dropDuplicates would."""
     delta = assign_cells(new_vecs, index.centroids)
+    delta_ids = delta.select("vec_id").dropDuplicates()
+    already = (
+        index.assignments.join(F.broadcast(delta_ids), "vec_id", "left_semi")
+        .select("vec_id")
+        .dropDuplicates()
+    )
+    fresh = delta.join(F.broadcast(already), "vec_id", "left_anti")
     return IvfIndex(
         centroids=index.centroids,
-        assignments=index.assignments.unionByName(delta).dropDuplicates(),
+        assignments=index.assignments.unionByName(fresh),
         k=index.k,
     )
 

@@ -144,6 +144,14 @@ def test_extend_index_equals_rebuild(spark, docs):
         a = sorted(tuple(r) for r in getattr(again, attr).collect())
         assert e == a, f"re-append changed {attr}"
 
+    # and the append is delta-KEYED: the corpus-sized index sides are
+    # probed via broadcast semi/anti joins (scans), never re-shuffled
+    # wholesale the way a full-width dropDuplicates/groupBy would
+    for attr in ("hashes", "signatures", "bands"):
+        plan = getattr(extended, attr)._jdf.queryExecution().executedPlan().toString()
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti and all("BroadcastHashJoin" in l for l in anti), (attr, plan[:2000])
+
 
 def test_incremental_holdout_never_reassigns(spark):
     """The HS2 stability contract, on an explicit bridge: yesterday doc 1

@@ -99,6 +99,12 @@ def test_extend_ivf_index_equals_rebuild(spark, emb):
     again = extend_ivf_index(extended, delta)
     assert rows(again.assignments) == rows(extended.assignments)
 
+    # the retry guard is delta-keyed: broadcast semi/anti probes of the
+    # corpus-sized lists, never a full-width dropDuplicates shuffle
+    plan = extended.assignments._jdf.queryExecution().executedPlan().toString()
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), plan[:2000]
+
     # centroids are FROZEN: the delta draw must not have touched them
     # (a rebuild from the full corpus would draw different centroids —
     # that is the rebuild path, not the append path)
