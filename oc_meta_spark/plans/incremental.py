@@ -264,9 +264,23 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     )
 
 
-def dedup_against_index(batch: DataFrame, index: SignatureIndex) -> DataFrame:
+def dedup_against_index(
+    batch: DataFrame, index: SignatureIndex, max_bucket_width: int | None = None
+) -> DataFrame:
     """Classify every batch document against the existing-corpus index:
     (doc_id, verdict ∈ exact_dup|near_dup|unique, matched_existing).
+
+    ``max_bucket_width`` is the viral-document guard (off by default): a
+    document duplicated across the whole corpus puts thousands of index
+    docs into one (band, bucket), and every batch doc landing there would
+    candidate against ALL of them — quadratic pair blow-up on the hot
+    key.  When set, each bucket keeps only its ``max_bucket_width``
+    smallest index doc_ids as candidates.  The reported match is
+    unchanged for homogeneous viral buckets (matches report the MIN
+    agreeing doc_id, and the cap keeps exactly the smallest ids); exact
+    duplicates are never affected (the hash path does not block on
+    buckets); heterogeneous mega-buckets trade recall for boundedness —
+    the standard LSH production knob.
 
     exact_dup: content hash present in the index (match = the index's
     canonical min holder).  near_dup: a banded-LSH candidate whose
@@ -300,6 +314,17 @@ def dedup_against_index(batch: DataFrame, index: SignatureIndex) -> DataFrame:
         index.bands.select(F.col("doc_id").alias("i_id"), "band", "bucket")
         .join(F.broadcast(probe_b), ["band", "bucket"], "left_semi")
     )
+    if max_bucket_width is not None:
+        # applied AFTER the delta prefilter, so the rank window runs over
+        # delta-touched buckets only; ordering by i_id keeps the smallest
+        # ids, preserving the min-id match contract for homogeneous
+        # buckets
+        w_bw = Window.partitionBy("band", "bucket").orderBy("i_id")
+        iband = (
+            iband.withColumn("_bw", F.row_number().over(w_bw))
+            .filter(F.col("_bw") <= max_bucket_width)
+            .drop("_bw")
+        )
     cand = (
         bband.join(iband, ["band", "bucket"])
         .select(F.col("doc_id").alias("b_id"), "i_id")
@@ -413,6 +438,71 @@ def assign_holdout_incremental(
         .alias("status"),
     )
     return kept.unionByName(assigned)
+
+
+HOLDOUT_RULE = "48bit_mod10_8_1_1"  # the split hash rule the meta table records
+
+
+def append_holdout_assignments(
+    prior: DataFrame, assigned: DataFrame, epoch: int
+) -> DataFrame:
+    """Fold one night's NEW assignments (the ``inherited``/``fresh`` rows
+    of assign_holdout_incremental's output) into the immutable history:
+    prior rows pass through untouched, new docs append with this epoch as
+    their assignment time — the tie-break key future inheritances use.
+
+    Delta-keyed and retry-idempotent like the index appends: the corpus-
+    sized history is probed with a broadcast of the night's doc_ids
+    (left-semi — a scan), and docs already in the history are anti-joined
+    away, so a crashed-and-retried night never duplicates or moves an
+    assignment."""
+    new = assigned.filter(F.col("status") != "kept").select(
+        "doc_id", "split", F.lit(epoch).cast("int").alias("assigned_epoch")
+    )
+    new_ids = new.select("doc_id").dropDuplicates()
+    already = (
+        prior.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    fresh = new.join(F.broadcast(already), "doc_id", "left_anti")
+    return prior.unionByName(fresh)
+
+
+def write_holdout_assignments(history: DataFrame, path: str, seed: str) -> None:
+    """Persist the assignment history — (doc_id, split, assigned_epoch),
+    hive-partitioned by ``split`` so a trainer reading one split
+    partition-prunes to its own files — plus the one-row ``meta/`` table
+    recording the seed and split rule (same overwrite-swap contract as
+    the signature index; SCALING.md: the split is computed alongside the
+    nightly index refresh and persisted with the shards)."""
+    history.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(path, "assignments")
+    )
+    spark = history.sparkSession
+    spark.createDataFrame(
+        [(seed, HOLDOUT_RULE)], schema="seed string, rule string"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataFrame:
+    """Load the history, refusing one written under a different seed or
+    split rule: fresh splits drawn with a different seed would be
+    inconsistent with every split already in the history — the silent
+    cross-epoch leak this store exists to prevent."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    if (meta["seed"], meta["rule"]) != (seed, HOLDOUT_RULE):
+        raise ValueError(
+            f"holdout history at {path} was written with seed={meta['seed']}, "
+            f"rule={meta['rule']}; this run expects {seed}/{HOLDOUT_RULE} — "
+            "a mismatched seed would assign new docs inconsistently with "
+            "the existing history"
+        )
+    return (
+        spark.read.schema("doc_id bigint, assigned_epoch int, split string")
+        .parquet(os.path.join(path, "assignments"))
+        .select("doc_id", "split", "assigned_epoch")
+    )
 
 
 def seeded_shuffle(

@@ -72,6 +72,20 @@ def test_signature_index_persist_round_trip(spark, docs):
 
         assert _shape(loaded.hashes) == _shape(mem_index.hashes)
         assert _shape(loaded.bands) == _shape(mem_index.bands)
+        # the whole point of the partitioned layout: the delta probe must
+        # DYNAMIC-PARTITION-PRUNE the persisted index scans (hp on
+        # hashes/, band on bands/) — possible only because read keeps
+        # hp/band true partition attributes instead of recomputing them
+        import re
+
+        plan = (
+            dedup_against_index(batch, loaded)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(r"dynamicpruningexpression\(hp#\d+ IN", plan), plan[:3000]
+        assert re.search(r"dynamicpruningexpression\(band#\d+L? IN", plan), plan[:3000]
         got = {r["doc_id"]: (r["verdict"], r["matched_existing"])
                for r in dedup_against_index(batch, loaded).collect()}
     finally:
@@ -191,6 +205,76 @@ def test_incremental_holdout_never_reassigns(spark):
     got2 = {r["doc_id"]: (r["split"], r["status"])
             for r in assign_holdout_incremental(clustered2, prior2).collect()}
     assert got2[7] == ("val", "inherited")  # doc 5 is the earlier anchor
+
+
+def test_viral_bucket_cap_bounds_candidates(spark):
+    """The viral-document guard: 40 index docs share one text (one hot
+    (band,bucket) family); a capped run must classify the batch
+    identically to an uncapped one — the cap keeps the SMALLEST index
+    ids, which is exactly the min-id match the verdict reports — while
+    bounding the per-bucket candidate fanout."""
+    viral = "the same viral boilerplate text repeated across the corpus every day"
+    rows = [(i, viral) for i in range(1, 41)]
+    rows += [(100, "a genuinely unique document about partitioned indexes")]
+    index_docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, viral + " zzz"), (1001, "completely unrelated content here today")],
+        schema="doc_id long, text string",
+    )
+    index = build_signature_index(index_docs)
+    uncapped = {r["doc_id"]: (r["verdict"], r["matched_existing"])
+                for r in dedup_against_index(batch, index).collect()}
+    capped = {r["doc_id"]: (r["verdict"], r["matched_existing"])
+              for r in dedup_against_index(batch, index, max_bucket_width=3).collect()}
+    assert uncapped == capped
+    assert capped[1000] == ("near_dup", 1)  # min holder survives the cap
+    assert capped[1001][0] == "unique"
+
+
+def test_holdout_assignment_store_round_trip(spark):
+    """The nightly holdout cycle as persisted artifact: night N reads the
+    history, assigns, appends its new rows at epoch N, overwrite-swaps —
+    prior rows byte-identical across the cycle, retried appends no-ops,
+    split-partitioned layout, seed-mismatch refused."""
+    from oc_meta_spark.plans.incremental import (
+        append_holdout_assignments,
+        assign_holdout_incremental,
+        read_holdout_assignments,
+        write_holdout_assignments,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "train", 0), (2, "test", 0), (5, "val", 1)],
+        schema="doc_id long, split string, assigned_epoch int",
+    )
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], schema="doc_id long, cluster long"
+    )
+    assigned = assign_holdout_incremental(clustered, prior, seed="s9")
+    history = append_holdout_assignments(prior, assigned, epoch=2)
+    rows = {r["doc_id"]: (r["split"], r["assigned_epoch"]) for r in history.collect()}
+    # prior rows immutable; new docs stamped with THIS epoch
+    assert rows[1] == ("train", 0) and rows[2] == ("test", 0) and rows[5] == ("val", 1)
+    assert rows[3] == ("train", 2)  # inherited doc 1's split (earliest anchor)
+    assert rows[4][1] == 2 and len(rows) == 5
+
+    # retried append is a no-op
+    again = append_holdout_assignments(history, assigned, epoch=3)
+    assert {r["doc_id"]: (r["split"], r["assigned_epoch"]) for r in again.collect()} == rows
+
+    tmp = tempfile.mkdtemp(prefix="holdout_")
+    try:
+        write_holdout_assignments(history, tmp, seed="s9")
+        import os
+
+        parts = {d for d in os.listdir(os.path.join(tmp, "assignments")) if d.startswith("split=")}
+        assert parts == {f"split={s}" for s, _ in rows.values()}
+        loaded = read_holdout_assignments(spark, tmp, seed="s9")
+        assert {r["doc_id"]: (r["split"], r["assigned_epoch"]) for r in loaded.collect()} == rows
+        with pytest.raises(ValueError, match="seed=s9"):
+            read_holdout_assignments(spark, tmp, seed="other")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark, docs):
