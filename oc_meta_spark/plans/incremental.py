@@ -47,7 +47,9 @@ runs nightly, rather than the within-corpus batch ops of dedup_queries.
 3.  **Incremental holdout assignment** — HS1's leakage-safe split for a
     GROWING corpus: previously-assigned docs never move, new docs inherit
     their cluster's earliest-assigned split, all-new clusters get HS1's
-    seeded-hash split (see ``assign_holdout_incremental``).
+    seeded-hash split (see ``assign_holdout_incremental``); the history
+    persists split-partitioned with a seed/rule config guard and appends
+    delta-keyed + idempotently (``write/read/append_holdout_assignments``).
 """
 
 from __future__ import annotations
