@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 N_MINHASH = 8  # k hash functions (md5(s || '#' || k), min per k)
 N_BAND_ROWS = 2  # rows per LSH band → 4 bands; P(candidate | s≈0.95) > 0.999
 NEAR_MIN_AGREE = 6  # of 8 signature positions must match to verify near-dup
+INDEX_LAYOUT = "hp_band_v2"  # meta marker: hashes/ partitioned by hp, bands/ by band
 
 
 @dataclass
@@ -115,6 +116,20 @@ def band_buckets(signatures: DataFrame, n_band_rows: int = N_BAND_ROWS) -> DataF
     )
 
 
+def fresh_only(delta: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """Delta rows whose ``key`` the (corpus-sized) ``existing`` table does
+    not already hold — the ONE delta-keyed retry-idempotency guard every
+    nightly append uses (signature index, IVF inverted lists, holdout
+    history).  Broadcast semi/anti probes keyed on the delta's ids: the
+    existing side is scanned, never shuffled; a retried append finds all
+    its keys already present and appends nothing."""
+    ids = delta.select(key).dropDuplicates()
+    already = (
+        existing.join(F.broadcast(ids), key, "left_semi").select(key).dropDuplicates()
+    )
+    return delta.join(F.broadcast(already), key, "left_anti")
+
+
 def build_signature_index(docs: DataFrame) -> SignatureIndex:
     """Build the dedup index for an existing-corpus slice: exact content
     hashes (min holder id per distinct hash) + MinHash signatures + band
@@ -152,7 +167,8 @@ def write_signature_index(index: SignatureIndex, path: str) -> None:
     )
     spark = index.hashes.sparkSession
     spark.createDataFrame(
-        [(N_MINHASH, N_BAND_ROWS)], schema="n_minhash int, n_band_rows int"
+        [(N_MINHASH, N_BAND_ROWS, INDEX_LAYOUT)],
+        schema="n_minhash int, n_band_rows int, layout string",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
@@ -171,6 +187,7 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
     except AnalysisException:
         pass  # pre-meta index — load unguarded (any-FS-safe probe: the
         # read itself, not a local os.path check)
+    layout = None
     if meta is not None:
         if (meta["n_minhash"], meta["n_band_rows"]) != (N_MINHASH, N_BAND_ROWS):
             raise ValueError(
@@ -179,21 +196,29 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
                 f"this build expects {N_MINHASH}/{N_BAND_ROWS} — rebuild the "
                 "index, do not mix configurations"
             )
+        layout = meta.asDict().get("layout")
+        if layout is not None and layout != INDEX_LAYOUT:
+            raise ValueError(
+                f"signature index at {path} has layout={layout}; this build "
+                f"reads {INDEX_LAYOUT} — rebuild the index"
+            )
     # EXPLICIT read schemas, not directory-name inference (which would
     # read an all-numeric prefix like 07 as INT and drop the leading
     # zero) and not recomputation: hp must come back as the scan's true
     # PARTITION ATTRIBUTE, because dedup_against_index's (hp, h) probe
     # can only dynamic-partition-prune hashes/ through a partition
     # attribute — a recomputed substring(h, 1, 2) projection would read
-    # all 256 partitions every night
+    # all 256 partitions every night.  The layout marker in meta/ selects
+    # the branch — a one-row read, not a second partition-discovery pass
+    # over the corpus-sized hashes/ directory.
     hashes_dir = os.path.join(path, "hashes")
-    if "hp" in spark.read.parquet(hashes_dir).columns:
+    if layout == INDEX_LAYOUT:
         hashes = (
             spark.read.schema("h string, idx_id bigint, hp string")
             .parquet(hashes_dir)
             .select("h", "idx_id", "hp")
         )
-    else:  # pre-r9 unpartitioned layout — derive hp; no pruning available
+    else:  # pre-layout-marker index: unpartitioned — derive hp; no pruning
         hashes = spark.read.parquet(hashes_dir).withColumn(
             "hp", F.substring("h", 1, 2)
         )
@@ -250,14 +275,8 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
         .withColumn("hp", F.substring("h", 1, 2))
     )
 
-    delta_ids = delta.signatures.select("doc_id").dropDuplicates()
-    already = (
-        index.signatures.join(F.broadcast(delta_ids), "doc_id", "left_semi")
-        .select("doc_id")
-        .dropDuplicates()
-    )
-    fresh_sigs = delta.signatures.join(F.broadcast(already), "doc_id", "left_anti")
-    fresh_bands = delta.bands.join(F.broadcast(already), "doc_id", "left_anti")
+    fresh_sigs = fresh_only(delta.signatures, index.signatures, "doc_id")
+    fresh_bands = fresh_only(delta.bands, index.bands, "doc_id")
 
     return SignatureIndex(
         hashes=untouched.unionByName(merged),
@@ -400,22 +419,25 @@ def assign_holdout_incremental(
 
     Scale shape: the new-doc set is one narrow anti-join on doc_id (both
     sides bucketable); the anchor pass is DELTA-KEYED — only clusters
-    that actually contain a new doc are anchored, via broadcast left-semi
-    probes of the corpus-sized clustering and prior tables (scans, not
-    shuffles) — so the join + per-cluster window run over delta-bounded
-    rows; assignment is one left join on cluster.  No new shuffle class
-    beyond HS1's, and nightly anchor cost ∝ the delta's clusters, not the
-    corpus.
+    that actually contain a new doc are anchored.  The touched-cluster
+    probe is a broadcast semi (one narrow id per new doc, the same
+    delta-bounded class as dedup_against_index's probes); the prior-
+    history probe on the touched clusters' MEMBERSHIP is deliberately
+    UNHINTED — a mega-cluster or a dense delta can make the membership
+    corpus-sized, so AQE broadcasts it when small and falls back to a key
+    shuffle when it is not (the round-5 merge-path lesson: never force-
+    broadcast a side whose size the data controls).  The join +
+    per-cluster window then run over touched-cluster rows only;
+    assignment is one left join on cluster.
     """
     kept = prior.select("doc_id", "split", F.lit("kept").alias("status"))
     new_docs = clustered.join(prior.select("doc_id"), "doc_id", "left_anti")
     # anchors are only consumed for clusters holding a new doc — probe
-    # down both corpus-sized inputs before the join/window (the same
-    # broadcast-semi discipline as dedup_against_index)
+    # down both corpus-sized inputs before the join/window
     touched = new_docs.select("cluster").dropDuplicates()
     members = clustered.join(F.broadcast(touched), "cluster", "left_semi")
     prior_members = prior.join(
-        F.broadcast(members.select("doc_id").dropDuplicates()), "doc_id", "left_semi"
+        members.select("doc_id").dropDuplicates(), "doc_id", "left_semi"
     )
     w = Window.partitionBy("cluster").orderBy("assigned_epoch", "doc_id")
     anchors = (
@@ -461,14 +483,7 @@ def append_holdout_assignments(
     new = assigned.filter(F.col("status") != "kept").select(
         "doc_id", "split", F.lit(epoch).cast("int").alias("assigned_epoch")
     )
-    new_ids = new.select("doc_id").dropDuplicates()
-    already = (
-        prior.join(F.broadcast(new_ids), "doc_id", "left_semi")
-        .select("doc_id")
-        .dropDuplicates()
-    )
-    fresh = new.join(F.broadcast(already), "doc_id", "left_anti")
-    return prior.unionByName(fresh)
+    return prior.unionByName(fresh_only(new, prior, "doc_id"))
 
 
 def write_holdout_assignments(history: DataFrame, path: str, seed: str) -> None:
@@ -477,8 +492,19 @@ def write_holdout_assignments(history: DataFrame, path: str, seed: str) -> None:
     partition-prunes to its own files — plus the one-row ``meta/`` table
     recording the seed and split rule (same overwrite-swap contract as
     the signature index; SCALING.md: the split is computed alongside the
-    nightly index refresh and persisted with the shards)."""
-    history.write.mode("overwrite").partitionBy("split").parquet(
+    nightly index refresh and persisted with the shards).
+
+    The write NORMALIZES to the store's pinned schema (doc_id bigint,
+    assigned_epoch int, split string) — read_holdout_assignments reads
+    with that exact schema, and parquet's vectorized reader refuses an
+    INT64→int narrowing, so a bootstrap history built with a long epoch
+    must be narrowed here, at write time, not crash a later night's
+    read."""
+    history.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("split").cast("string").alias("split"),
+        F.col("assigned_epoch").cast("int").alias("assigned_epoch"),
+    ).write.mode("overwrite").partitionBy("split").parquet(
         os.path.join(path, "assignments")
     )
     spark = history.sparkSession
@@ -505,6 +531,34 @@ def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataF
         .parquet(os.path.join(path, "assignments"))
         .select("doc_id", "split", "assigned_epoch")
     )
+
+
+def nightly_holdout_update(
+    spark: SparkSession,
+    read_path: str,
+    write_path: str,
+    clustered: DataFrame,
+    epoch: int,
+) -> DataFrame:
+    """The composed nightly cycle — read history, assign, append, persist
+    — with the SEED BINDING in one place: fresh splits are drawn with the
+    seed the store's meta records, so the read guard and the fresh-split
+    draw can never silently diverge (wiring the pieces by hand with two
+    different seeds is exactly the cross-seed inconsistency the guard
+    documents).  The extended history lands at ``write_path`` — a fresh
+    directory the caller atomically swaps in — never in place over the
+    files being read: Spark refuses overwriting an input path, and a
+    mid-write crash must not corrupt the only copy of the history (the
+    same overwrite-swap discipline as the signature index).  Returns the
+    night's assignment (doc_id, split, status)."""
+    meta = spark.read.parquet(os.path.join(read_path, "meta")).first()
+    seed = meta["seed"]
+    prior = read_holdout_assignments(spark, read_path, seed=seed)
+    assigned = assign_holdout_incremental(clustered, prior, seed=seed)
+    write_holdout_assignments(
+        append_holdout_assignments(prior, assigned, epoch), write_path, seed=seed
+    )
+    return assigned
 
 
 def seeded_shuffle(

@@ -100,17 +100,14 @@ def extend_ivf_index(index: IvfIndex, new_vecs: DataFrame) -> IvfIndex:
     of the delta's vec_ids (left-semi — a scan, not a shuffle) and only
     genuinely-new rows are appended — the retry guard never shuffles the
     corpus the way a full-width dropDuplicates would."""
+    from oc_meta_spark.plans.incremental import fresh_only
+
     delta = assign_cells(new_vecs, index.centroids)
-    delta_ids = delta.select("vec_id").dropDuplicates()
-    already = (
-        index.assignments.join(F.broadcast(delta_ids), "vec_id", "left_semi")
-        .select("vec_id")
-        .dropDuplicates()
-    )
-    fresh = delta.join(F.broadcast(already), "vec_id", "left_anti")
     return IvfIndex(
         centroids=index.centroids,
-        assignments=index.assignments.unionByName(fresh),
+        assignments=index.assignments.unionByName(
+            fresh_only(delta, index.assignments, "vec_id")
+        ),
         k=index.k,
     )
 

@@ -230,6 +230,13 @@ def test_viral_bucket_cap_bounds_candidates(spark):
     assert capped[1000] == ("near_dup", 1)  # min holder survives the cap
     assert capped[1001][0] == "unique"
 
+    # and the cap is actually IN the plan (a silently-ignored parameter
+    # would pass every assertion above): capping adds the per-bucket
+    # row_number window column, absent from the uncapped plan
+    plan_c = dedup_against_index(batch, index, max_bucket_width=3)._jdf.queryExecution().executedPlan().toString()
+    plan_u = dedup_against_index(batch, index)._jdf.queryExecution().executedPlan().toString()
+    assert "_bw" in plan_c and "_bw" not in plan_u
+
 
 def test_holdout_assignment_store_round_trip(spark):
     """The nightly holdout cycle as persisted artifact: night N reads the
@@ -275,6 +282,61 @@ def test_holdout_assignment_store_round_trip(spark):
             read_holdout_assignments(spark, tmp, seed="other")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # the writer normalizes to the store's pinned schema: a bootstrap
+    # history built with a LONG epoch (natural in Spark arithmetic) must
+    # round-trip, not crash a later night's schema'd read on INT64→int
+    wide = prior.withColumn("assigned_epoch", F.col("assigned_epoch").cast("long"))
+    tmp2 = tempfile.mkdtemp(prefix="holdout_wide_")
+    try:
+        write_holdout_assignments(wide, tmp2, seed="s9")
+        back = read_holdout_assignments(spark, tmp2, seed="s9")
+        assert {r["doc_id"]: (r["split"], r["assigned_epoch"]) for r in back.collect()} == {
+            r["doc_id"]: (r["split"], r["assigned_epoch"]) for r in prior.collect()
+        }
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_nightly_holdout_update_binds_stored_seed(spark):
+    """The composed nightly cycle draws fresh splits with the seed the
+    STORE records — not whatever default the assignment kernel carries —
+    and overwrite-swaps the extended history to a fresh path; prior rows
+    are byte-identical across nights."""
+    from oc_meta_spark.plans.incremental import (
+        nightly_holdout_update,
+        read_holdout_assignments,
+        write_holdout_assignments,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "train", 0), (2, "test", 0)],
+        schema="doc_id long, split string, assigned_epoch int",
+    )
+    # doc 3 bridges 1+2; doc 40 is an all-new singleton → fresh draw
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (40, 40)], schema="doc_id long, cluster long"
+    )
+    night0 = tempfile.mkdtemp(prefix="hnight0_")
+    night1 = tempfile.mkdtemp(prefix="hnight1_")
+    try:
+        write_holdout_assignments(prior, night0, seed="storeseed")
+        assigned = nightly_holdout_update(spark, night0, night1, clustered, epoch=1)
+        got = {r["doc_id"]: (r["split"], r["status"]) for r in assigned.collect()}
+        assert got[1] == ("train", "kept") and got[2] == ("test", "kept")
+        assert got[3] == ("train", "inherited")
+        # the fresh draw used the STORED seed — recompute it by hand
+        b = int(__import__("hashlib").md5(b"storeseed:40").hexdigest()[:12], 16) % 10
+        expect = "train" if b < 8 else ("val" if b == 8 else "test")
+        assert got[40] == (expect, "fresh")
+        # and the swapped-in history carries the night's rows immutably
+        hist = {r["doc_id"]: (r["split"], r["assigned_epoch"])
+                for r in read_holdout_assignments(spark, night1, seed="storeseed").collect()}
+        assert hist[1] == ("train", 0) and hist[2] == ("test", 0)
+        assert hist[3] == ("train", 1) and hist[40] == (expect, 1)
+    finally:
+        shutil.rmtree(night0, ignore_errors=True)
+        shutil.rmtree(night1, ignore_errors=True)
 
 
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark, docs):
