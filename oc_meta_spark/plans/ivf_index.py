@@ -136,8 +136,13 @@ def read_ivf_index(spark: SparkSession, path: str, k: int) -> IvfIndex:
             f"draw={meta['draw']}; this build expects k={k}/{IVF_DRAW} — "
             "rebuild the index, do not mix configurations"
         )
-    assignments = spark.read.parquet(os.path.join(path, "assignments")).select(
-        "vec_id", "embedding", F.col("cid").cast("long").alias("cid")
+    # explicit schema (like the signature index): cid comes back as the
+    # scan's bigint PARTITION ATTRIBUTE, so the probed-cid semi-join
+    # dynamic-partition-prunes the inverted lists without a cast
+    assignments = (
+        spark.read.schema("vec_id bigint, embedding array<float>, cid bigint")
+        .parquet(os.path.join(path, "assignments"))
+        .select("vec_id", "embedding", "cid")
     )
     return IvfIndex(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),

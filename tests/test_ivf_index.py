@@ -60,6 +60,17 @@ def test_ivf_index_persist_round_trip(spark, emb):
             d.startswith("cid=") for d in os.listdir(os.path.join(tmp, "assignments"))
         )
         loaded = read_ivf_index(spark, tmp, K)
+        # probing the persisted lists must DYNAMIC-PARTITION-PRUNE on the
+        # cid layout — only the probed cells' files are read
+        import re
+
+        plan = (
+            search_ivf_index(_queries(emb), loaded, nprobe=4, topk=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(r"dynamicpruningexpression\(cid#\d+L? IN", plan), plan[:3000]
         got = _results(search_ivf_index(_queries(emb), loaded, nprobe=4, topk=10))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
