@@ -1,6 +1,7 @@
 """Incremental-corpus gates: delta-vs-index dedup (ID1), the seeded
-deterministic training shuffle (SH1), and URL/domain corpus filtering
-(UF1) — the nightly production shapes of a growing training corpus.
+deterministic training shuffle (SH1), URL/domain corpus filtering (UF1),
+the leakage-safe holdout split (HS1) and its stability-under-growth rule
+(HS2) — the nightly production shapes of a growing training corpus.
 
 Planted-residue pattern (as RT2/VR2/EQ1): ID1 synthesizes its "new batch"
 from the documents table itself — doc_id % 10 == 0 is the delta, the rest
