@@ -50,6 +50,15 @@ runs nightly, rather than the within-corpus batch ops of dedup_queries.
     seeded-hash split (see ``assign_holdout_incremental``); the history
     persists split-partitioned with a seed/rule config guard and appends
     delta-keyed + idempotently (``write/read/append_holdout_assignments``).
+
+4.  **Snapshot diff** — the added/removed/changed/unchanged audit between
+    two corpus snapshots (``snapshot_diff``): hash-projected scans + one
+    full outer key join, the dataset-versioning check a nightly pipeline
+    runs before promoting a new snapshot.
+
+The STREAMING composition of (1) — continuous ingestion with online
+dedup over a manifest-committed store — lives in
+:mod:`oc_meta_spark.streaming.ingest` and shares this module's kernels.
 """
 
 from __future__ import annotations
@@ -559,6 +568,33 @@ def nightly_holdout_update(
         append_holdout_assignments(prior, assigned, epoch), write_path, seed=seed
     )
     return assigned
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Corpus snapshot diff — (key, status, old_hash, new_hash) with
+    status ∈ added | removed | changed | unchanged: the dataset-versioning
+    audit between two corpus snapshots (what did last night's run add,
+    drop, or rewrite?).  Content identity is md5 of the text, so the diff
+    never compares full documents — the generalization of the reference's
+    export-consistency check (oc_meta/run/check_results.py compares a
+    dump against the store row-by-row) to whole-corpus versioning.
+
+    Scale shape: one full outer equi-join on the key — both snapshot
+    scans project (key, md5) only (narrow), and the join co-locates when
+    the snapshots are bucketed/sorted by the key, which a snapshot store
+    should be (sources/shards.py writes doc_id-sorted files)."""
+    o = old.select(F.col(key), F.md5("text").alias("old_hash"))
+    n = new.select(F.col(key), F.md5("text").alias("new_hash"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
 
 
 def seeded_shuffle(

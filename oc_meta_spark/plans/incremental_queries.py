@@ -1,7 +1,9 @@
 """Incremental-corpus gates: delta-vs-index dedup (ID1), the seeded
 deterministic training shuffle (SH1), URL/domain corpus filtering (UF1),
-the leakage-safe holdout split (HS1) and its stability-under-growth rule
-(HS2) — the nightly production shapes of a growing training corpus.
+the leakage-safe holdout split (HS1), its stability-under-growth rule
+(HS2), streaming ingestion with online dedup (IN1), and the corpus
+snapshot diff (SD1) — the nightly production shapes of a growing
+training corpus.
 
 Planted-residue pattern (as RT2/VR2/EQ1): ID1 synthesizes its "new batch"
 from the documents table itself — doc_id % 10 == 0 is the delta, the rest
@@ -447,3 +449,255 @@ def hs2_incremental_holdout_stability(spark: SparkSession, sf_dir: str) -> DataF
         .alias("cluster"),
     )
     return assign_holdout_incremental(clustered, prior, seed="hs2").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IN1 — streaming ingestion with online dedup: the continuous form of the
+# nightly ID1 loop (streaming/ingest.py).  A sequence of micro-batches is
+# folded through classify-against-index → extend-index, so a document is
+# deduplicated against the base corpus AND every earlier batch's
+# survivors; in-batch exact duplicates collapse to the min-id holder
+# first (the batch's distinct-content set is what probes the index).
+#
+# Planted-residue gate (the ID1 pattern, extended to two sequential
+# batches): base corpus = doc_id % 10 ∉ {0, 1}; batch b = residue b, with
+# plants (precedence order, donors must exist):
+#   %110 == b → the same batch's doc_id−10 FINAL text (in-batch dup),
+#   % 50 == b → base donor doc_id+(2−b) verbatim   (exact vs base),
+#   % 30 == b → base donor + ' zzz'                (near vs base),
+#   % 70 == 1 → batch-0 doc_id−1 FINAL text        (cross-batch, b=1).
+# The oracle rebuilds the identical two-stage plant and replays the fold
+# batch-by-batch in SQL (batch-1's index CTE includes batch-0 survivors),
+# so every verdict — including cross-batch and in-batch chains — is
+# derived independently by both engines.  The gate runs the BOUNDED fold
+# (ingest_fold — the same ingest_step kernel the foreachBatch body runs);
+# checkpointed streaming, the manifest store, replay idempotency, and
+# compaction are pinned by tests/test_streaming_ingest.py (the ST-gate
+# split: values gated here, sink semantics in pytest).
+#
+# Scale notes (continuous ingestion at 100 TB): every index probe in the
+# kernel is the delta-prefiltered ID1 path (the index is scanned, never
+# shuffled); the in-batch holder collapse is one batch-sized hash agg;
+# the store appends O(batch) delta files per commit and compacts
+# periodically (tests pin rows-unchanged).
+# ---------------------------------------------------------------------------
+
+
+def in1_planted_batches(docs: DataFrame) -> list[DataFrame]:
+    """The two planted micro-batches (doc_id, text) — the SINGLE
+    definition of the plant; the gate and tests/test_streaming_ingest.py
+    both import it.  See the comment block above for the residue table."""
+    raw = docs.select("doc_id", "text")
+    donor = raw.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
+    batches: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for b in (0, 1):
+        mine = raw.filter(F.col("doc_id") % 10 == b)
+        p = mine.join(donor, F.col("d_id") == F.col("doc_id") + (2 - b), "left")
+        planted = F.when(
+            (F.col("doc_id") % 50 == b) & F.col("d_text").isNotNull(), F.col("d_text")
+        ).when(
+            (F.col("doc_id") % 30 == b) & F.col("d_text").isNotNull(),
+            F.concat(F.col("d_text"), F.lit(" zzz")),
+        )
+        if b >= 1:
+            x = prev.select(F.col("doc_id").alias("x_id"), F.col("text").alias("x_text"))
+            p = p.join(x, F.col("x_id") == F.col("doc_id") - 1, "left")
+            planted = planted.when(
+                (F.col("doc_id") % 70 == b) & F.col("x_text").isNotNull(), F.col("x_text")
+            )
+        p = p.select("doc_id", planted.otherwise(F.col("text")).alias("text"))
+        q = p.select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"))
+        t = (
+            p.join(q, F.col("q_id") == F.col("doc_id") - 10, "left")
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 110 == b) & F.col("q_text").isNotNull(),
+                    F.col("q_text"),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        batches.append(t)
+        prev = t
+    return batches
+
+
+def _in1_classify_block(n: int) -> str:
+    """One batch's classification CTEs (mirrors ingest_step +
+    dedup_against_index over ``b{n}`` vs ``corpus{n}``)."""
+    return f"""
+    h{n} AS (
+      SELECT doc_id, text, md5(text) AS h,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS holder_id
+      FROM b{n}
+    ),
+    hold{n} AS (SELECT doc_id, text, h FROM h{n} WHERE doc_id = holder_id),
+    eidx{n} AS (SELECT md5(text) AS h, MIN(doc_id) AS idx_id FROM corpus{n} GROUP BY 1),
+    bsh{n} AS ({_ID1_SHINGLES.format(src=f"hold{n}")}),
+    ish{n} AS ({_ID1_SHINGLES.format(src=f"corpus{n}")}),
+    bmh{n} AS ({_ID1_MINHASH.format(sh=f"bsh{n}")}),
+    imh{n} AS ({_ID1_MINHASH.format(sh=f"ish{n}")}),
+    bband{n} AS ({_ID1_BANDS.format(mh=f"bmh{n}")}),
+    iband{n} AS ({_ID1_BANDS.format(mh=f"imh{n}")}),
+    cand{n} AS (
+      SELECT DISTINCT b.doc_id AS b_id, i.doc_id AS i_id
+      FROM bband{n} b JOIN iband{n} i ON b.band = i.band AND b.bucket = i.bucket
+    ),
+    agree{n} AS (
+      SELECT c.b_id, c.i_id, COUNT(*) AS n_match
+      FROM cand{n} c
+      JOIN bmh{n} bm ON bm.doc_id = c.b_id
+      JOIN imh{n} im ON im.doc_id = c.i_id AND im.k = bm.k AND im.h = bm.h
+      GROUP BY c.b_id, c.i_id
+    ),
+    near{n} AS (
+      SELECT b_id, MIN(i_id) AS near_id FROM agree{n}
+      WHERE n_match >= {NEAR_MIN_AGREE} GROUP BY b_id
+    ),
+    cls{n} AS (
+      SELECT hd.doc_id,
+             CASE WHEN e.idx_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'unique' END AS verdict,
+             CAST(COALESCE(e.idx_id, nr.near_id) AS BIGINT) AS matched_existing
+      FROM hold{n} hd
+      LEFT JOIN eidx{n} e ON e.h = hd.h
+      LEFT JOIN near{n} nr ON nr.b_id = hd.doc_id
+    ),
+    dups{n} AS (
+      SELECT x.doc_id, 'exact_dup' AS verdict,
+             CAST(COALESCE(c.matched_existing, x.holder_id) AS BIGINT) AS matched_existing
+      FROM h{n} x JOIN cls{n} c ON c.doc_id = x.holder_id
+      WHERE x.doc_id <> x.holder_id
+    ),
+    ver{n} AS (
+      SELECT u.doc_id, u.verdict, u.matched_existing, CAST({n} AS BIGINT) AS batch
+      FROM (SELECT * FROM cls{n} UNION ALL SELECT * FROM dups{n}) u
+    ),
+    surv{n} AS (
+      SELECT hd.doc_id, hd.text FROM hold{n} hd
+      JOIN cls{n} c ON c.doc_id = hd.doc_id AND c.verdict = 'unique'
+    )"""
+
+
+_IN1_ORACLE = f"""
+    WITH b0p AS (
+      SELECT m.doc_id,
+             CASE WHEN m.doc_id % 50 = 0 AND d.text IS NOT NULL THEN d.text
+                  WHEN m.doc_id % 30 = 0 AND d.text IS NOT NULL THEN d.text || ' zzz'
+                  ELSE m.text END AS text
+      FROM documents m LEFT JOIN documents d ON d.doc_id = m.doc_id + 2
+      WHERE m.doc_id % 10 = 0
+    ),
+    b0 AS (
+      SELECT p.doc_id,
+             CASE WHEN p.doc_id % 110 = 0 AND q.text IS NOT NULL THEN q.text
+                  ELSE p.text END AS text
+      FROM b0p p LEFT JOIN b0p q ON q.doc_id = p.doc_id - 10
+    ),
+    corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (0, 1)),
+    {_in1_classify_block(0)},
+    b1p AS (
+      SELECT m.doc_id,
+             CASE WHEN m.doc_id % 50 = 1 AND d.text IS NOT NULL THEN d.text
+                  WHEN m.doc_id % 30 = 1 AND d.text IS NOT NULL THEN d.text || ' zzz'
+                  WHEN m.doc_id % 70 = 1 AND x.text IS NOT NULL THEN x.text
+                  ELSE m.text END AS text
+      FROM documents m
+      LEFT JOIN documents d ON d.doc_id = m.doc_id + 1
+      LEFT JOIN b0 x ON x.doc_id = m.doc_id - 1
+      WHERE m.doc_id % 10 = 1
+    ),
+    b1 AS (
+      SELECT p.doc_id,
+             CASE WHEN p.doc_id % 110 = 1 AND q.text IS NOT NULL THEN q.text
+                  ELSE p.text END AS text
+      FROM b1p p LEFT JOIN b1p q ON q.doc_id = p.doc_id - 10
+    ),
+    corpus1 AS (
+      SELECT doc_id, text FROM corpus0
+      UNION ALL SELECT doc_id, text FROM surv0
+    ),
+    {_in1_classify_block(1)}
+    SELECT doc_id, verdict, matched_existing, batch FROM ver0
+    UNION ALL
+    SELECT doc_id, verdict, matched_existing, batch FROM ver1
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "IN1_streaming_ingest_dedup",
+    _IN1_ORACLE,
+    doc="Streaming corpus ingestion with online dedup: micro-batches folded through classify-against-signature-index → extend, with in-batch holder collapse and cross-batch survivor dedup.",
+)
+def in1_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy import: streaming.ingest pulls in the micro-batch store module;
+    # registration order stays the registry's decision
+    from oc_meta_spark.streaming.ingest import ingest_fold
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(~(F.col("doc_id") % 10).isin(0, 1))
+    return (
+        ingest_fold(in1_planted_batches(docs), build_signature_index(base))
+        .select("doc_id", "verdict", "matched_existing", "batch")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SD1 — corpus snapshot diff: the dataset-versioning audit between two
+# corpus snapshots (added / removed / changed / unchanged by content
+# hash) a nightly pipeline runs before promoting a new snapshot — the
+# whole-corpus generalization of the reference's export-consistency check
+# (oc_meta/run/check_results.py compares a dump against the store row by
+# row; here both sides are snapshots and identity is md5(text)).
+#
+# Planted snapshots: old = doc_id % 13 ≠ 0 (with % 17 == 0 texts given an
+# ' OLD' suffix), new = doc_id % 11 ≠ 0 — so added (%13==0 ∧ %11≠0),
+# removed (%11==0 ∧ %13≠0), changed (%17==0 present in both), and
+# unchanged rows all exist by construction; %143==0 docs are in neither
+# snapshot and must not appear.
+#
+# Scale notes: hash-projected scans (narrow) + ONE full outer equi-join
+# on doc_id — co-located when snapshots are doc_id-bucketed/sorted, which
+# the shard sink guarantees.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "SD1_corpus_snapshot_diff",
+    """
+    WITH old_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' OLD' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+    ),
+    new_snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN md5(o.text) IS NULL THEN 'added'
+                WHEN md5(n.text) IS NULL THEN 'removed'
+                WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           md5(o.text) AS old_hash,
+           md5(n.text) AS new_hash
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus snapshot diff: added/removed/changed/unchanged audit between two snapshots via hash-projected scans and one full outer key join.",
+)
+def sd1_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.incremental import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" OLD")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0)
+    return snapshot_diff(old, new).orderBy("doc_id")

@@ -53,20 +53,22 @@ def load_all() -> dict[str, OracleQuery]:
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
     predates a code change, first.  Round-9 order: incremental leads
-    (positions 1-5 — the module changed this round: index partitioning +
-    delta semi-prefilters in ID1's kernel, the new HS2 stability gate);
-    then the families whose latest recorded rows date to round 6 on
-    untouched code: editor (6-8), analytics (9-22), graph (23-26),
-    similarity (27-34 — X8, the persisted-IVF gate NEW this round,
-    registers at 33 and X5's builder now shares its kernel), hygiene
-    (35-37), audit (38-39); fidelity (last witnessed r7) fills the rest
-    of the 50-gate window (40-50, cut after C9 at exactly 50 — OX1, AP1
-    and the sink gates spill on untouched code).
+    (positions 1-7 — the module changed this round: index partitioning +
+    delta semi-prefilters in ID1's kernel, the new HS2 stability gate,
+    and the new IN1 streaming-ingest and SD1 snapshot-diff gates);
+    sampling follows (8-11 — MX4, the exact-quota stratified sample, is
+    NEW this round); then the families whose latest recorded rows date to
+    round 6 on untouched code: editor (12-14), analytics (15-28), graph
+    (29-32), similarity (33-40 — X8, the persisted-IVF gate, is also new
+    this round and X5's builder shares its kernel), hygiene (41-43),
+    audit (44-45); fidelity (last witnessed r7) fills the rest of the
+    50-gate window (46-50, cut after C7 at exactly 50 — C11 onward and
+    the sink gates spill on untouched code).
     Families with fresh round-7/8 rows and untouched code (multimodal,
-    stream, sampling, curation, dedup, text, temporal, pipeline) register
-    last.
+    stream, curation, dedup, text, temporal, pipeline) register last.
     """
     import oc_meta_spark.plans.incremental_queries  # noqa: F401
+    import oc_meta_spark.plans.sampling_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
@@ -76,7 +78,6 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401
-    import oc_meta_spark.plans.sampling_queries  # noqa: F401
     import oc_meta_spark.plans.curation_queries  # noqa: F401
     import oc_meta_spark.plans.dedup_queries  # noqa: F401
     import oc_meta_spark.plans.text_queries  # noqa: F401

@@ -233,3 +233,96 @@ def mx3_mixture_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# MX4 — exact-quota stratified sample: downsample the corpus to EXACTLY
+# N documents while preserving the per-source mix, with largest-remainder
+# rounding (floor quotas first; the leftover seats go to the strata with
+# the largest fractional remainders, ties → stratum name) — the
+# allocation rule that makes per-stratum counts sum to the budget
+# exactly, which MX1's independent per-row coin flips cannot.  Within a
+# stratum the kept documents are the ones with the smallest
+# md5('mx4:' || doc_id) — a seeded deterministic draw (SH1's key), so the
+# same budget draws the same sample on any run or cluster.
+#
+# Scale notes (100 TB): the quota computation runs entirely on the
+# per-stratum COUNT aggregate — a table bounded by the source VOCABULARY
+# (tens of rows), which is why its windows are deliberately unpartitioned
+# (dimension-sized, never corpus-sized); the corpus side is one hash agg
+# + one per-stratum rank window + a broadcast quota join — no corpus
+# shuffle beyond the stratum window's own.
+# ---------------------------------------------------------------------------
+_MX4_TOTAL = 200
+
+
+@register(
+    "MX4_exact_quota_stratified_sample",
+    f"""
+    WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    q1 AS (
+      SELECT source, c,
+             ({_MX4_TOTAL} * c) // t AS fl,
+             ({_MX4_TOTAL} * c) % t AS rem
+      FROM (SELECT source, c, SUM(c) OVER () AS t FROM cnt) z
+    ),
+    q2 AS (
+      SELECT source, fl, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+             {_MX4_TOTAL} - SUM(fl) OVER () AS leftover
+      FROM q1
+    ),
+    quota AS (
+      SELECT source, fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM q2
+    ),
+    keyed AS (
+      SELECT doc_id, source, md5('mx4:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, source, skey,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS r
+      FROM keyed
+    )
+    SELECT k.doc_id, k.source, CAST(k.r AS BIGINT) AS stratum_rank
+    FROM rk k JOIN quota q ON q.source = k.source
+    WHERE k.r <= q.quota
+    ORDER BY k.doc_id
+    """,
+    doc="Exact-budget stratified downsample: largest-remainder quota allocation per source + seeded deterministic within-stratum draw — kept counts sum to the budget exactly.",
+)
+def mx4_exact_quota_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    # unpartitioned windows: over the STRATUM aggregate only (bounded by
+    # the source vocabulary, tens of rows — never the corpus)
+    w_all = Window.partitionBy()
+    q1 = cnt.withColumn("t", F.sum("c").over(w_all)).select(
+        "source",
+        "c",
+        F.expr(f"({_MX4_TOTAL} * c) div t").alias("fl"),
+        ((F.lit(_MX4_TOTAL) * F.col("c")) % F.col("t")).alias("rem"),
+    )
+    w_rr = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    q2 = q1.withColumn("rr", F.row_number().over(w_rr)).withColumn(
+        "leftover", F.lit(_MX4_TOTAL) - F.sum("fl").over(w_all)
+    )
+    quota = q2.select(
+        "source",
+        (F.col("fl") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)).alias(
+            "quota"
+        ),
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("mx4:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    w_rank = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("r", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("r") <= F.col("quota"))
+        .select("doc_id", "source", F.col("r").cast("long").alias("stratum_rank"))
+        .orderBy("doc_id")
+    )

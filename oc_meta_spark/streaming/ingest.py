@@ -1,0 +1,340 @@
+"""Streaming corpus ingestion with ONLINE dedup: the continuous form of
+the nightly ID1 loop (plans/incremental.py).
+
+A feed of new documents arrives as files; each micro-batch is classified
+against the PERSISTED signature index of everything ingested so far
+(exact content hash + banded MinHash with signature-agreement verify —
+``dedup_against_index``), survivors join the corpus, and the index grows
+by exactly the survivors' signature rows.  This is the streaming
+composition of the reference's two disciplines: the existing-ID row
+filter (reference oc_meta/run/meta/preprocess_input.py:157-193 — drop
+input rows the store already knows) and the resumable completed-file
+cache (reference oc_meta/run/meta_process.py:181-193 — work is never
+redone after a crash), re-expressed as Structured Streaming +
+``foreachBatch`` over a manifest-committed parquet store (the same
+write-new + atomic-swap commit as streaming/micro_batch.py — reused, not
+reimplemented).
+
+Semantics (mirrored 1:1 by the IN1 gate's DuckDB oracle):
+
+- **in-batch exact dedup first**: each micro-batch collapses to one
+  holder per distinct content hash (min doc_id); non-holders report
+  ``exact_dup`` with ``matched_existing`` = the holder's own resolution
+  (the corpus doc the holder matched, else the holder itself — the doc
+  that actually enters the corpus);
+- **cross-index classification**: holders are classified by
+  ``dedup_against_index`` — ``exact_dup`` / ``near_dup`` /
+  ``unique`` with the canonical matched corpus doc;
+- **survivors** (unique holders) extend the corpus and the index, so a
+  later micro-batch deduplicates against them too;
+- **granularity contract**: near-duplicate pairs WITHIN one micro-batch
+  are not deduplicated here — that is the within-corpus D16 pass's job
+  at compaction time; the stream guarantees no exact duplicate ever
+  enters the corpus and no exact/near duplicate of any PRIOR corpus
+  document does.
+
+Crash/replay: the foreachBatch body is guarded by the store's processed
+set (the verdict log) — a replayed micro-batch whose previous attempt
+committed finds all its doc_ids already logged and appends nothing; an
+attempt that crashed before the manifest swap left no visible state at
+all.  Store reads always go through the last committed manifest, so a
+reader never sees a half-written batch.
+
+Scale shape (continuous ingestion at 100 TB corpus): every index side in
+the batch classification is left-semi prefiltered on broadcast
+delta-derived keys (see ``dedup_against_index``) — the corpus-sized
+index is scanned, never shuffled; each batch appends O(batch) delta
+files; ``compact_ingest_store`` periodically merges the accumulated
+delta directories into one key-laid-out snapshot per table (the Delta
+OPTIMIZE analog, same manifest swap) so per-read file counts stay
+bounded.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oc_meta_spark.plans.incremental import (
+    SignatureIndex,
+    build_signature_index,
+    dedup_against_index,
+    extend_signature_index,
+    fresh_only,
+)
+from oc_meta_spark.streaming.micro_batch import _commit_manifest, _read_manifest
+
+# pinned store schemas: delta writes NORMALIZE to these and reads declare
+# them explicitly, so parquet's vectorized reader never faces a silent
+# int32/int64 drift between a batch-built delta and a compacted snapshot
+STORE_SCHEMAS = {
+    "hashes": "h string, idx_id bigint, hp string",
+    "signatures": "doc_id bigint, k int, h string",
+    "bands": "doc_id bigint, band bigint, bucket string",
+    "corpus": "doc_id bigint, text string",
+    "verdicts": "doc_id bigint, verdict string, matched_existing bigint, batch bigint",
+}
+
+# leading sort key per table: delta files and compacted snapshots are
+# laid out so row-group min/max stats prune the probe joins
+_STORE_SORT = {
+    "hashes": ["hp", "h"],
+    "signatures": ["doc_id", "k"],
+    "bands": ["band", "bucket"],
+    "corpus": ["doc_id"],
+    "verdicts": ["doc_id"],
+}
+
+
+def ingest_step(batch: DataFrame, index: SignatureIndex) -> tuple[DataFrame, DataFrame]:
+    """Pure classification kernel for ONE micro-batch (no IO): returns
+    ``(verdicts, survivors)`` where verdicts is (doc_id, verdict,
+    matched_existing) for EVERY batch doc and survivors is the
+    (doc_id, text) subset that should enter the corpus.
+
+    In-batch exact duplicates collapse to the min-doc_id holder per
+    content hash; only holders are probed against the index (the batch's
+    distinct-content set — the probe stays delta-proportional even for a
+    feed full of repeats)."""
+    hashed = batch.select("doc_id", "text", F.md5("text").alias("h"))
+    holder = hashed.groupBy("h").agg(F.min("doc_id").alias("holder_id"))
+    with_holder = hashed.join(holder, "h")
+    holders = with_holder.filter(F.col("doc_id") == F.col("holder_id")).select(
+        "doc_id", "text"
+    )
+    cross = dedup_against_index(holders, index)
+    holder_res = cross.select(
+        F.col("doc_id").alias("holder_id"),
+        F.col("matched_existing").alias("holder_match"),
+    )
+    dups = (
+        with_holder.filter(F.col("doc_id") != F.col("holder_id"))
+        .join(holder_res, "holder_id")
+        .select(
+            "doc_id",
+            F.lit("exact_dup").alias("verdict"),
+            F.coalesce("holder_match", "holder_id").cast("long").alias("matched_existing"),
+        )
+    )
+    verdicts = cross.unionByName(dups)
+    survivors = holders.join(
+        cross.filter(F.col("verdict") == "unique").select("doc_id"), "doc_id", "left_semi"
+    )
+    return verdicts, survivors
+
+
+def ingest_fold(
+    batches: list[DataFrame], index: SignatureIndex
+) -> DataFrame:
+    """Bounded path (the IN1 gate and the foreachBatch body share
+    ``ingest_step``): fold the micro-batches through classify → extend in
+    order, returning every batch's verdicts tagged with its position —
+    (doc_id, verdict, matched_existing, batch).
+
+    Each step's index and verdicts are ``localCheckpoint``-ed: a lazy
+    fold would embed batch N−1's ENTIRE classification plan into every
+    one of batch N's index probes (the plan tree grows combinatorially
+    with batch count — measured 60× slower at two batches).  The
+    checkpoint is the in-memory analog of what the persisted path does
+    structurally: ``ingest_batch`` re-reads the index from parquet each
+    batch, so its plans are born shallow."""
+    index = SignatureIndex(
+        hashes=index.hashes.localCheckpoint(),
+        signatures=index.signatures.localCheckpoint(),
+        bands=index.bands.localCheckpoint(),
+    )
+    outs = []
+    for pos, batch in enumerate(batches):
+        verdicts, survivors = ingest_step(batch, index)
+        outs.append(
+            verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+        )
+        if pos + 1 < len(batches):
+            nxt = extend_signature_index(index, survivors)
+            index = SignatureIndex(
+                hashes=nxt.hashes.localCheckpoint(),
+                signatures=nxt.signatures.localCheckpoint(),
+                bands=nxt.bands.localCheckpoint(),
+            )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _store_df(spark: SparkSession, store_dir: str, manifest: dict, kind: str) -> DataFrame:
+    dirs = manifest["tables"].get(kind, [])
+    paths = [os.path.join(store_dir, d) for d in dirs]
+    paths = [p for p in paths if os.path.isdir(p)]
+    schema = STORE_SCHEMAS[kind]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def load_ingest_store(
+    spark: SparkSession, store_dir: str
+) -> tuple[SignatureIndex, DataFrame, DataFrame]:
+    """(index, corpus, verdict log) as of the last committed manifest.
+
+    Hash uniqueness across delta directories is an invariant, not a read-
+    time fix-up: a batch only appends hashes its survivors introduced,
+    and a doc whose hash the index already held was classified exact_dup
+    and never survived — so the union of delta dirs IS the index."""
+    manifest = _read_manifest(store_dir)
+    index = SignatureIndex(
+        hashes=_store_df(spark, store_dir, manifest, "hashes"),
+        signatures=_store_df(spark, store_dir, manifest, "signatures"),
+        bands=_store_df(spark, store_dir, manifest, "bands"),
+    )
+    corpus = _store_df(spark, store_dir, manifest, "corpus")
+    verdicts = _store_df(spark, store_dir, manifest, "verdicts")
+    return index, corpus, verdicts
+
+
+def _normalize(df: DataFrame, kind: str) -> DataFrame:
+    cols = [
+        F.col(name).cast(dtype).alias(name)
+        for name, dtype in (
+            part.strip().rsplit(" ", 1) for part in STORE_SCHEMAS[kind].split(",")
+        )
+    ]
+    out = df.select(*cols)
+    keys = _STORE_SORT.get(kind)
+    return out.sortWithinPartitions(*keys) if keys else out
+
+
+def ingest_batch(
+    spark: SparkSession, batch_df: DataFrame, store_dir: str, batch_id: int
+) -> None:
+    """The foreachBatch body: classify one micro-batch against the store,
+    append survivor + verdict deltas, swap the manifest.
+
+    Replay-idempotent: docs already in the verdict log (the processed
+    set) are anti-joined away first, so a batch whose previous attempt
+    committed becomes empty and the store is untouched; nothing the
+    current manifest references is ever rewritten, so a crash before the
+    final swap leaves the previous commit fully intact."""
+    os.makedirs(store_dir, exist_ok=True)
+    index, _corpus, seen = load_ingest_store(spark, store_dir)
+    batch = fresh_only(batch_df.select("doc_id", "text"), seen, "doc_id")
+    verdicts, survivors = ingest_step(batch, index)
+    verdicts = verdicts.withColumn("batch", F.lit(batch_id).cast("long"))
+    if not verdicts.take(1):
+        return
+    delta = build_signature_index(survivors)
+    manifest = _read_manifest(store_dir)
+    version = manifest["version"] + 1
+    tables = {k: list(v) for k, v in manifest["tables"].items()}
+    deltas = {
+        "hashes": delta.hashes,
+        "signatures": delta.signatures,
+        "bands": delta.bands,
+        "corpus": survivors,
+        "verdicts": verdicts,
+    }
+    for kind, df in deltas.items():
+        rel = os.path.join(kind, f"d{version:06d}")
+        _normalize(df, kind).write.mode("overwrite").parquet(
+            os.path.join(store_dir, rel)
+        )
+        tables.setdefault(kind, []).append(rel)
+    _commit_manifest(store_dir, {"version": version, "tables": tables})
+
+
+def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -> None:
+    """Initialize a store from an EXISTING corpus WITHOUT classification —
+    the migration path (the corpus predates the stream; its members are
+    axiomatically in, including any internal near-duplicates, exactly as
+    ``build_signature_index`` indexes them for the nightly ID1 path).
+    Every doc is logged with verdict ``bootstrap`` at batch −1, so the
+    replay guard treats it as processed.  Refuses a non-empty store: a
+    bootstrap over live state would fork the corpus's identity."""
+    manifest = _read_manifest(store_dir)
+    if manifest["version"] != 0:
+        raise ValueError(
+            f"store at {store_dir} already has committed state (version "
+            f"{manifest['version']}); bootstrap only initializes empty stores"
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    corpus = corpus_df.select("doc_id", "text")
+    delta = build_signature_index(corpus)
+    verdicts = corpus.select(
+        "doc_id",
+        F.lit("bootstrap").alias("verdict"),
+        F.lit(None).cast("long").alias("matched_existing"),
+        F.lit(-1).cast("long").alias("batch"),
+    )
+    tables: dict[str, list[str]] = {}
+    deltas = {
+        "hashes": delta.hashes,
+        "signatures": delta.signatures,
+        "bands": delta.bands,
+        "corpus": corpus,
+        "verdicts": verdicts,
+    }
+    for kind, df in deltas.items():
+        rel = os.path.join(kind, "d000001")
+        _normalize(df, kind).write.mode("overwrite").parquet(
+            os.path.join(store_dir, rel)
+        )
+        tables[kind] = [rel]
+    _commit_manifest(store_dir, {"version": 1, "tables": tables})
+
+
+def compact_ingest_store(spark: SparkSession, store_dir: str) -> int:
+    """Merge each table's accumulated delta directories into ONE snapshot
+    laid out on its probe key (hashes by hash prefix, bands by
+    (band, bucket), signatures/corpus/verdicts by doc_id) and swap the
+    manifest — the Delta OPTIMIZE analog; bounds per-read file counts as
+    batches accumulate.  Rows are never changed, only re-laid-out
+    (pinned by tests).  Returns the number of tables rewritten;
+    unreferenced directories are left for external garbage collection so
+    a reader holding the previous manifest stays consistent."""
+    manifest = _read_manifest(store_dir)
+    version = manifest["version"] + 1
+    tables = {k: list(v) for k, v in manifest["tables"].items()}
+    rewritten = 0
+    for kind in STORE_SCHEMAS:
+        if len(tables.get(kind, [])) <= 1:
+            continue
+        df = _store_df(spark, store_dir, manifest, kind)
+        rel = os.path.join(kind, f"c{version:06d}")
+        out = df.repartitionByRange(*_STORE_SORT[kind][:1])
+        _normalize(out, kind).write.mode("overwrite").parquet(
+            os.path.join(store_dir, rel)
+        )
+        tables[kind] = [rel]
+        rewritten += 1
+    if rewritten:
+        _commit_manifest(store_dir, {"version": version, "tables": tables})
+    return rewritten
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming ingestion job: a checkpointed parquet file
+    source (each input file discovered exactly once — the reference's
+    cache.txt, subsumed by the checkpoint) feeding ``ingest_batch``.
+    ``available_now`` drains the current backlog then stops (the
+    batch-resume mode); False keeps it running continuously."""
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, store_dir, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

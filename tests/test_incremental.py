@@ -426,3 +426,16 @@ def test_uf1_blocklist_and_cap(spark, sf_dir):
     # the blocklist actually bit: blocked domains exist in the synthesized
     # url space (2 real domains × 5 docs each at any SF)
     assert len(domains) == 98
+
+
+def test_snapshot_diff_statuses(spark):
+    from oc_meta_spark.plans.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone soon")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "brand new")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

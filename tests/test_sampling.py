@@ -21,3 +21,28 @@ def test_mx3_targets_hit_within_tolerance(spark, sf_dir):
         assert abs(r.achieved_tokens - r.target_tokens) <= max(
             0.25 * r.target_tokens, 2000
         ), r
+
+
+def test_mx4_budget_is_exact(spark, sf_dir):
+    """Largest-remainder allocation: kept docs sum to EXACTLY the budget,
+    and each stratum's kept count is within 1 of its exact proportional
+    share (the largest-remainder guarantee)."""
+    from oc_meta_spark.plans.sampling_queries import (
+        _MX4_TOTAL,
+        mx4_exact_quota_stratified_sample,
+    )
+    from oc_meta_spark.sources.tables import load_table
+
+    kept = mx4_exact_quota_stratified_sample(spark, sf_dir)
+    rows = kept.collect()
+    assert len(rows) == _MX4_TOTAL
+    import collections
+
+    per = collections.Counter(r["source"] for r in rows)
+    sizes = collections.Counter(
+        r["source"] for r in load_table(spark, "documents", sf_dir).select("source").collect()
+    )
+    total = sum(sizes.values())
+    for s, c in sizes.items():
+        exact = _MX4_TOTAL * c / total
+        assert abs(per.get(s, 0) - exact) < 1.0
