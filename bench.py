@@ -34,6 +34,8 @@ HEADLINE = [
     "D18_jaccard_similarity_join",
     "D23_cross_doc_span_dedup",
     "ID1_incremental_corpus_dedup",
+    "SD1_corpus_snapshot_diff",
+    "MX4_exact_quota_stratified_sample",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",

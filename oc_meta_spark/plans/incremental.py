@@ -139,22 +139,29 @@ def fresh_only(delta: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     return delta.join(F.broadcast(already), key, "left_anti")
 
 
+def content_hashes(docs: DataFrame) -> DataFrame:
+    """(h, idx_id, hp): one row per distinct md5(text) with the minimum
+    holder doc_id — the exact-dedup side of the index.  hp = 2-char hash
+    prefix: the hive partition column of the persisted hashes/ table
+    (256 uniform partitions) and part of the exact-probe join key."""
+    return (
+        docs.select(F.md5("text").alias("h"), F.col("doc_id"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("idx_id"))
+        .withColumn("hp", F.substring("h", 1, 2))
+    )
+
+
 def build_signature_index(docs: DataFrame) -> SignatureIndex:
     """Build the dedup index for an existing-corpus slice: exact content
     hashes (min holder id per distinct hash) + MinHash signatures + band
     buckets."""
-    hashes = (
-        docs.select(F.md5("text").alias("h"), F.col("doc_id"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("idx_id"))
-        # hp = 2-char hash prefix: the hive partition column of the
-        # persisted hashes/ table (256 uniform partitions) and part of
-        # the exact-probe join key
-        .withColumn("hp", F.substring("h", 1, 2))
-    )
     signatures = minhash_signature(docs)
-    bands = band_buckets(signatures)
-    return SignatureIndex(hashes=hashes, signatures=signatures, bands=bands)
+    return SignatureIndex(
+        hashes=content_hashes(docs),
+        signatures=signatures,
+        bands=band_buckets(signatures),
+    )
 
 
 def write_signature_index(index: SignatureIndex, path: str) -> None:
@@ -582,14 +589,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFr
     Scale shape: one full outer equi-join on the key — both snapshot
     scans project (key, md5) only (narrow), and the join co-locates when
     the snapshots are bucketed/sorted by the key, which a snapshot store
-    should be (sources/shards.py writes doc_id-sorted files)."""
-    o = old.select(F.col(key), F.md5("text").alias("old_hash"))
-    n = new.select(F.col(key), F.md5("text").alias("new_hash"))
+    should be (sources/shards.py writes doc_id-sorted files).
+
+    Presence is keyed on explicit side markers, NOT on the hash's
+    nullability: md5(NULL) is NULL, so a NULL-text row present in both
+    snapshots must still read as changed/unchanged (null-safe hash
+    compare), never as a phantom added/removed."""
+    o = old.select(
+        F.col(key), F.md5("text").alias("old_hash"), F.lit(True).alias("in_old")
+    )
+    n = new.select(
+        F.col(key), F.md5("text").alias("new_hash"), F.lit(True).alias("in_new")
+    )
     return o.join(n, key, "full_outer").select(
         key,
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(~F.col("old_hash").eqNullSafe(F.col("new_hash")), "changed")
         .otherwise("unchanged")
         .alias("status"),
         "old_hash",

@@ -677,10 +677,13 @@ def in1_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 13 <> 0
     ),
     new_snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)
+    -- presence keyed on the JOIN SIDE (snapshot keys are non-null), not
+    -- on md5's nullability, and the hash compare is null-safe — the
+    -- kernel's contract for NULL-text rows
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN md5(o.text) IS NULL THEN 'added'
-                WHEN md5(n.text) IS NULL THEN 'removed'
-                WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
                 ELSE 'unchanged' END AS status,
            md5(o.text) AS old_hash,
            md5(n.text) AS new_hash

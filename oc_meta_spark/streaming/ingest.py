@@ -11,9 +11,9 @@ filter (reference oc_meta/run/meta/preprocess_input.py:157-193 — drop
 input rows the store already knows) and the resumable completed-file
 cache (reference oc_meta/run/meta_process.py:181-193 — work is never
 redone after a crash), re-expressed as Structured Streaming +
-``foreachBatch`` over a manifest-committed parquet store (the same
-write-new + atomic-swap commit as streaming/micro_batch.py — reused, not
-reimplemented).
+``foreachBatch`` over a manifest-committed parquet store (the shared
+write-new + atomic-swap machinery of streaming/store.py, which
+micro_batch.py's curation store also runs on).
 
 Semantics (mirrored 1:1 by the IN1 gate's DuckDB oracle):
 
@@ -60,22 +60,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 from oc_meta_spark.plans.incremental import (
     SignatureIndex,
+    band_buckets,
     build_signature_index,
+    content_hashes,
     dedup_against_index,
     extend_signature_index,
     fresh_only,
+    minhash_signature,
 )
-from oc_meta_spark.streaming.micro_batch import _commit_manifest, _read_manifest
+from oc_meta_spark.streaming.store import (
+    commit_manifest,
+    compact_tables,
+    read_manifest,
+    table_df,
+)
 
 # pinned store schemas: delta writes NORMALIZE to these and reads declare
 # them explicitly, so parquet's vectorized reader never faces a silent
-# int32/int64 drift between a batch-built delta and a compacted snapshot
+# int32/int64 drift between a batch-built delta and a compacted snapshot.
+# The verdict log carries each doc's content hash ``h`` — the processed
+# SET for the replay guard AND the reference the revision guard compares
+# a reused doc_id's text against (classified-away docs are not in the
+# corpus table, so the log is the only place their content is witnessed).
 STORE_SCHEMAS = {
     "hashes": "h string, idx_id bigint, hp string",
     "signatures": "doc_id bigint, k int, h string",
     "bands": "doc_id bigint, band bigint, bucket string",
     "corpus": "doc_id bigint, text string",
-    "verdicts": "doc_id bigint, verdict string, matched_existing bigint, batch bigint",
+    "verdicts": "doc_id bigint, verdict string, matched_existing bigint, batch bigint, h string",
 }
 
 # leading sort key per table: delta files and compacted snapshots are
@@ -141,6 +153,8 @@ def ingest_fold(
     checkpoint is the in-memory analog of what the persisted path does
     structurally: ``ingest_batch`` re-reads the index from parquet each
     batch, so its plans are born shallow."""
+    if not batches:
+        raise ValueError("ingest_fold needs at least one micro-batch")
     index = SignatureIndex(
         hashes=index.hashes.localCheckpoint(),
         signatures=index.signatures.localCheckpoint(),
@@ -153,7 +167,9 @@ def ingest_fold(
             verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
         )
         if pos + 1 < len(batches):
-            nxt = extend_signature_index(index, survivors)
+            # survivors first: the three index-table checkpoints would
+            # otherwise each re-run the classification plan under them
+            nxt = extend_signature_index(index, survivors.localCheckpoint())
             index = SignatureIndex(
                 hashes=nxt.hashes.localCheckpoint(),
                 signatures=nxt.signatures.localCheckpoint(),
@@ -163,13 +179,9 @@ def ingest_fold(
 
 
 def _store_df(spark: SparkSession, store_dir: str, manifest: dict, kind: str) -> DataFrame:
-    dirs = manifest["tables"].get(kind, [])
-    paths = [os.path.join(store_dir, d) for d in dirs]
-    paths = [p for p in paths if os.path.isdir(p)]
-    schema = STORE_SCHEMAS[kind]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return table_df(
+        spark, store_dir, manifest, kind, STORE_SCHEMAS[kind], explicit_schema=True
+    )
 
 
 def load_ingest_store(
@@ -181,7 +193,7 @@ def load_ingest_store(
     time fix-up: a batch only appends hashes its survivors introduced,
     and a doc whose hash the index already held was classified exact_dup
     and never survived — so the union of delta dirs IS the index."""
-    manifest = _read_manifest(store_dir)
+    manifest = read_manifest(store_dir)
     index = SignatureIndex(
         hashes=_store_df(spark, store_dir, manifest, "hashes"),
         signatures=_store_df(spark, store_dir, manifest, "signatures"),
@@ -210,28 +222,75 @@ def ingest_batch(
     """The foreachBatch body: classify one micro-batch against the store,
     append survivor + verdict deltas, swap the manifest.
 
-    Replay-idempotent: docs already in the verdict log (the processed
-    set) are anti-joined away first, so a batch whose previous attempt
-    committed becomes empty and the store is untouched; nothing the
-    current manifest references is ever rewritten, so a crash before the
-    final swap leaves the previous commit fully intact."""
+    Identity guards (doc_id is the store's identity key):
+
+    - a micro-batch carrying the SAME doc_id twice is refused — two rows
+      claiming one identity in one commit is a broken feed, and the
+      holder collapse would log both;
+    - a doc_id already in the verdict log arriving with IDENTICAL text is
+      a checkpoint replay — dropped silently, the store is untouched;
+    - a seen doc_id arriving with DIFFERENT text is a REVISION — refused
+      loudly (``extend_signature_index``'s contract: a revision needs a
+      store rebuild, not an append), never silently discarded.
+
+    Replay-idempotent: a batch whose previous attempt committed becomes
+    empty after the guard and commits nothing; nothing the current
+    manifest references is ever rewritten, so a crash before the final
+    swap leaves the previous commit fully intact.
+
+    The classification is materialized ONCE (``localCheckpoint``) before
+    the guard and the five delta writes — lazily, each write would re-run
+    the whole ingest_step plan (~6× the intended per-batch cost)."""
     os.makedirs(store_dir, exist_ok=True)
     index, _corpus, seen = load_ingest_store(spark, store_dir)
-    batch = fresh_only(batch_df.select("doc_id", "text"), seen, "doc_id")
-    verdicts, survivors = ingest_step(batch, index)
-    verdicts = verdicts.withColumn("batch", F.lit(batch_id).cast("long"))
-    if not verdicts.take(1):
+    hashed = batch_df.select("doc_id", "text", F.md5("text").alias("bh"))
+
+    dup_ids = hashed.groupBy("doc_id").count().filter(F.col("count") > 1)
+    first_dup = dup_ids.take(1)
+    if first_dup:
+        raise ValueError(
+            f"micro-batch {batch_id} carries doc_id {first_dup[0]['doc_id']} "
+            "more than once — doc_id is the store's identity key; fix the feed"
+        )
+    # delta-keyed probe of the corpus-sized log: scan, not shuffle
+    seen_hits = seen.join(
+        F.broadcast(hashed.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "h")
+    conflict = hashed.join(seen_hits, "doc_id").filter(F.col("bh") != F.col("h"))
+    first_conflict = conflict.take(1)
+    if first_conflict:
+        raise ValueError(
+            f"doc_id {first_conflict[0]['doc_id']} was already ingested with "
+            "different text — a revision needs a store rebuild, not an append "
+            "(see extend_signature_index); refusing the batch"
+        )
+
+    batch = fresh_only(hashed.select("doc_id", "text", "bh"), seen, "doc_id")
+    verdicts, _survivors = ingest_step(batch.select("doc_id", "text"), index)
+    log = (
+        verdicts.withColumn("batch", F.lit(batch_id).cast("long"))
+        .join(batch.select("doc_id", F.col("bh").alias("h")), "doc_id")
+        .localCheckpoint()
+    )
+    if not log.take(1):
         return
-    delta = build_signature_index(survivors)
-    manifest = _read_manifest(store_dir)
+    # survivors re-derived from the MATERIALIZED verdicts (unique verdicts
+    # only ever name holders), so no write re-runs the classification
+    survivors = batch.select("doc_id", "text").join(
+        log.filter(F.col("verdict") == "unique").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()
+    sigs = minhash_signature(survivors).localCheckpoint()
+    manifest = read_manifest(store_dir)
     version = manifest["version"] + 1
     tables = {k: list(v) for k, v in manifest["tables"].items()}
     deltas = {
-        "hashes": delta.hashes,
-        "signatures": delta.signatures,
-        "bands": delta.bands,
+        "hashes": content_hashes(survivors),
+        "signatures": sigs,
+        "bands": band_buckets(sigs),
         "corpus": survivors,
-        "verdicts": verdicts,
+        "verdicts": log,
     }
     for kind, df in deltas.items():
         rel = os.path.join(kind, f"d{version:06d}")
@@ -239,7 +298,7 @@ def ingest_batch(
             os.path.join(store_dir, rel)
         )
         tables.setdefault(kind, []).append(rel)
-    _commit_manifest(store_dir, {"version": version, "tables": tables})
+    commit_manifest(store_dir, {"version": version, "tables": tables})
 
 
 def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -> None:
@@ -248,9 +307,10 @@ def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -
     axiomatically in, including any internal near-duplicates, exactly as
     ``build_signature_index`` indexes them for the nightly ID1 path).
     Every doc is logged with verdict ``bootstrap`` at batch −1, so the
-    replay guard treats it as processed.  Refuses a non-empty store: a
-    bootstrap over live state would fork the corpus's identity."""
-    manifest = _read_manifest(store_dir)
+    replay and revision guards treat it as processed.  Refuses a
+    non-empty store: a bootstrap over live state would fork the corpus's
+    identity."""
+    manifest = read_manifest(store_dir)
     if manifest["version"] != 0:
         raise ValueError(
             f"store at {store_dir} already has committed state (version "
@@ -264,6 +324,7 @@ def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -
         F.lit("bootstrap").alias("verdict"),
         F.lit(None).cast("long").alias("matched_existing"),
         F.lit(-1).cast("long").alias("batch"),
+        F.md5("text").alias("h"),
     )
     tables: dict[str, list[str]] = {}
     deltas = {
@@ -279,36 +340,24 @@ def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -
             os.path.join(store_dir, rel)
         )
         tables[kind] = [rel]
-    _commit_manifest(store_dir, {"version": 1, "tables": tables})
+    commit_manifest(store_dir, {"version": 1, "tables": tables})
 
 
 def compact_ingest_store(spark: SparkSession, store_dir: str) -> int:
     """Merge each table's accumulated delta directories into ONE snapshot
     laid out on its probe key (hashes by hash prefix, bands by
-    (band, bucket), signatures/corpus/verdicts by doc_id) and swap the
-    manifest — the Delta OPTIMIZE analog; bounds per-read file counts as
-    batches accumulate.  Rows are never changed, only re-laid-out
-    (pinned by tests).  Returns the number of tables rewritten;
-    unreferenced directories are left for external garbage collection so
-    a reader holding the previous manifest stays consistent."""
-    manifest = _read_manifest(store_dir)
-    version = manifest["version"] + 1
-    tables = {k: list(v) for k, v in manifest["tables"].items()}
-    rewritten = 0
-    for kind in STORE_SCHEMAS:
-        if len(tables.get(kind, [])) <= 1:
-            continue
-        df = _store_df(spark, store_dir, manifest, kind)
-        rel = os.path.join(kind, f"c{version:06d}")
-        out = df.repartitionByRange(*_STORE_SORT[kind][:1])
-        _normalize(out, kind).write.mode("overwrite").parquet(
-            os.path.join(store_dir, rel)
-        )
-        tables[kind] = [rel]
-        rewritten += 1
-    if rewritten:
-        _commit_manifest(store_dir, {"version": version, "tables": tables})
-    return rewritten
+    (band, bucket), signatures/corpus/verdicts by doc_id) — the shared
+    ``compact_tables`` discipline (streaming/store.py).  Rows are never
+    changed, only re-laid-out (pinned by tests).  Returns the number of
+    tables rewritten."""
+
+    def load(manifest: dict, kind: str) -> DataFrame:
+        return _store_df(spark, store_dir, manifest, kind)
+
+    def layout(df: DataFrame, kind: str) -> DataFrame:
+        return _normalize(df.repartitionByRange(_STORE_SORT[kind][0]), kind)
+
+    return compact_tables(store_dir, STORE_SCHEMAS, load, layout)
 
 
 def stream_ingest(

@@ -28,49 +28,25 @@ path, so batch and streaming share one implementation (no semantic drift).
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from oc_meta_spark.plans.curation import EntityCatalog, curate
 from oc_meta_spark.schemas import COUNTER_SCHEMA, ENTITY_TABLES, META_INPUT_SCHEMA
+from oc_meta_spark.streaming.store import (
+    MANIFEST,  # noqa: F401  (re-export: tests and callers name the file through here)
+    commit_manifest as _commit_manifest,
+    compact_tables,
+    read_manifest as _read_manifest,
+    table_df as _table_df,
+)
 
 # append-only entity tables (deltas accumulate); 'ra' and 'counters' are
 # snapshot tables (rewritten per batch when touched)
 APPEND_KINDS = ("br", "id", "entity_id", "ar", "re", "prov")
 ENTITY_KINDS = ("br", "ra", "id", "entity_id", "ar", "re", "prov")
-
-MANIFEST = "MANIFEST.json"
-
-
-def _read_manifest(store_dir: str) -> dict:
-    path = os.path.join(store_dir, MANIFEST)
-    if not os.path.exists(path):
-        return {"version": 0, "tables": {}}
-    with open(path, encoding="utf-8") as f:
-        return json.load(f)
-
-
-def _commit_manifest(store_dir: str, manifest: dict) -> None:
-    """Atomic swap: the manifest becomes visible all-or-nothing."""
-    tmp = os.path.join(store_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(store_dir, MANIFEST))
-
-
-def _table_df(spark: SparkSession, store_dir: str, manifest: dict, kind: str, schema):
-    dirs = manifest["tables"].get(kind, [])
-    paths = [os.path.join(store_dir, d) for d in dirs]
-    paths = [p for p in paths if os.path.isdir(p)]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
 
 
 def load_catalog(spark: SparkSession, store_dir: str) -> EntityCatalog:
@@ -108,29 +84,18 @@ def _layout(df: DataFrame, kind: str) -> DataFrame:
 
 def compact_store(spark: SparkSession, store_dir: str) -> int:
     """Merge each append-only table's accumulated delta directories into
-    ONE key-sorted snapshot and swap the manifest (same all-or-nothing
-    commit as a batch).  Bounds per-read file counts as batches accumulate
-    — at production delta cadence this is the equivalent of Delta's
-    OPTIMIZE.  Returns the number of tables rewritten; directories no
-    longer referenced are left for external garbage collection, so a
-    reader holding the previous manifest stays consistent."""
-    manifest = _read_manifest(store_dir)
-    version = manifest["version"] + 1
-    tables = {k: list(v) for k, v in manifest["tables"].items()}
-    rewritten = 0
-    for kind in APPEND_KINDS:
-        if len(tables.get(kind, [])) <= 1:
-            continue
-        df = _table_df(spark, store_dir, manifest, kind, ENTITY_TABLES[kind])
-        rel = os.path.join(kind, f"c{version:06d}")
+    ONE key-sorted snapshot and swap the manifest (the shared
+    ``compact_tables`` discipline — see streaming/store.py).  Returns the
+    number of tables rewritten."""
+
+    def load(manifest: dict, kind: str) -> DataFrame:
+        return _table_df(spark, store_dir, manifest, kind, ENTITY_TABLES[kind])
+
+    def layout(df: DataFrame, kind: str) -> DataFrame:
         keys = _SORT_KEYS.get(kind)
-        out = df.repartitionByRange(keys[0]) if keys else df
-        _layout(out, kind).write.mode("overwrite").parquet(os.path.join(store_dir, rel))
-        tables[kind] = [rel]
-        rewritten += 1
-    if rewritten:
-        _commit_manifest(store_dir, {"version": version, "tables": tables})
-    return rewritten
+        return _layout(df.repartitionByRange(keys[0]) if keys else df, kind)
+
+    return compact_tables(store_dir, APPEND_KINDS, load, layout)
 
 
 def append_result(result, store_dir: str) -> None:

@@ -439,3 +439,19 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_text(spark):
+    """md5(NULL) is NULL — presence must come from the join side, and the
+    hash compare must be null-safe, so NULL-text rows present in both
+    snapshots never read as phantom added/removed."""
+    from oc_meta_spark.plans.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "fixed text"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

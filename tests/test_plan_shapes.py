@@ -269,3 +269,26 @@ def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_mx4_rank_window_is_partitioned_by_source(spark):
+    # the corpus-side rank window must be per-stratum (partition-parallel);
+    # the quota side joins broadcast (it is the stratum aggregate — tens
+    # of rows — whose own windows are allowed to be unpartitioned)
+    plan = _plan(spark, "MX4_exact_quota_stratified_sample")
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line and "skey" in line:
+            found = True
+            assert re.search(r"\[source#\d+\]", line), line
+    assert found, "no corpus-side rank Window in MX4 plan — test would be vacuous\n" + plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_sd1_diff_is_one_full_outer_equi_join(spark):
+    # the snapshot diff is ONE full outer equi-join on the key over
+    # hash-projected scans — no cartesian, no second corpus shuffle class
+    plan = _plan(spark, "SD1_corpus_snapshot_diff")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("FullOuter") == 1, plan[:3000]
+    assert re.search(r"\[doc_id#\d+L?\], \[doc_id#\d+L?\], FullOuter", plan), plan[:3000]

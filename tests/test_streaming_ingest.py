@@ -198,3 +198,36 @@ def test_empty_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     ingest_batch(spark, empty, store, batch_id=0)
     assert not os.path.exists(os.path.join(store, "MANIFEST.json"))
+
+
+def test_revision_is_refused(spark, tmp_path):
+    """A seen doc_id arriving with DIFFERENT text is a revision — the
+    batch is refused loudly, never silently dropped (the replay guard
+    only swallows identical-text replays)."""
+    store = str(tmp_path / "store")
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(1, "original text body")], "doc_id long, text string"),
+        store,
+        batch_id=0,
+    )
+    revised = spark.createDataFrame([(1, "revised text body")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rebuild"):
+        ingest_batch(spark, revised, store, batch_id=1)
+    assert _manifest(store)["version"] == 1  # nothing committed
+
+
+def test_duplicate_doc_ids_in_batch_refused(spark, tmp_path):
+    store = str(tmp_path / "store")
+    bad = spark.createDataFrame(
+        [(1, "text one"), (1, "text two")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="identity key"):
+        ingest_batch(spark, bad, store, batch_id=0)
+
+
+def test_fold_empty_batches_raises(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        ingest_fold([], build_signature_index(
+            spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        ))
