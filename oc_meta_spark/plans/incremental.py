@@ -259,13 +259,17 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     tests/test_incremental.py::test_extend_index_equals_rebuild), but at
     the cost of the DELTA only.
 
-    Idempotent: a retried nightly job that re-appends the same delta
-    changes nothing — already-indexed doc_ids are anti-joined away, and
-    only hashes the delta actually carries can change their min holder —
-    so a crash between write and bookkeeping is safe to re-run (doc_ids
-    must be stable; re-adding an EXISTING doc_id with different text is a
-    revision, not an append, and needs a rebuild — its old rows are kept,
-    never silently doubled).
+    Idempotent AND revision-inert: docs the index already witnesses —
+    any doc_id in signatures, or holding a hash's min-holder slot — are
+    dropped at the DOC level before the delta index is built, so a
+    retried append changes nothing and a misuse re-add of an existing
+    doc_id with DIFFERENT text (a revision, which needs a rebuild) is
+    ignored consistently across ALL THREE tables rather than slipping its
+    new hash in while its signatures stay stale.  The one unwitnessable
+    case — a sub-3-word doc that was never a hash min-holder — has no
+    signature rows to contradict; the ingest store's verdict log
+    (streaming/ingest.py) closes even that gap by refusing revisions
+    outright.
 
     Delta-keyed like dedup_against_index (round 9): every corpus-sized
     index side is probed with a BROADCAST of delta-derived keys (left-
@@ -273,7 +277,10 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     the delta-bounded ``touched`` hash rows, so the append literally
     costs O(delta).
     """
-    delta = build_signature_index(new_docs)
+    known = index.signatures.select("doc_id").unionByName(
+        index.hashes.select(F.col("idx_id").alias("doc_id"))
+    )
+    delta = build_signature_index(fresh_only(new_docs, known, "doc_id"))
 
     probe = delta.hashes.select("hp", "h")
     # (the equi-join moves its keys to the front — restore build order so
@@ -291,13 +298,12 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
         .withColumn("hp", F.substring("h", 1, 2))
     )
 
-    fresh_sigs = fresh_only(delta.signatures, index.signatures, "doc_id")
-    fresh_bands = fresh_only(delta.bands, index.bands, "doc_id")
-
+    # the doc-level guard above already dropped every known doc_id, so
+    # the delta's signature/band rows are disjoint from the index's
     return SignatureIndex(
         hashes=untouched.unionByName(merged),
-        signatures=index.signatures.unionByName(fresh_sigs),
-        bands=index.bands.unionByName(fresh_bands),
+        signatures=index.signatures.unionByName(delta.signatures),
+        bands=index.bands.unionByName(delta.bands),
     )
 
 
@@ -402,6 +408,30 @@ def dedup_against_index(
     )
 
 
+HOLDOUT_RULE = "48bit_mod10_8_1_1"  # the split hash rule the meta table records
+
+
+def seeded_split(seed: str, key) -> "F.Column":
+    """The ONE 80/10/10 seeded split rule (what ``HOLDOUT_RULE`` names):
+    bucket = first 48 bits of md5(seed || ':' || key) mod 10 → buckets
+    0-7 train, 8 val, 9 test.  HS1, HS2's synthesized prior, and the
+    incremental assigner all call this — editing the rule here is the
+    only way to change it, and the expression is built from Column
+    functions, never an f-string into ``F.expr`` (a seed read back from a
+    store's meta table is DATA; interpolating it into SQL text would let
+    a quote in the seed break — or alter — the expression)."""
+    key_col = (F.col(key) if isinstance(key, str) else key).cast("string")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), key_col)), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+
+
 def assign_holdout_incremental(
     clustered: DataFrame, prior: DataFrame, seed: str = "hs2"
 ) -> DataFrame:
@@ -462,25 +492,16 @@ def assign_holdout_incremental(
         .filter(F.col("rn") == 1)
         .select("cluster", F.col("split").alias("inherited_split"))
     )
-    fresh_bucket = F.expr(
-        f"cast(conv(substr(md5(concat('{seed}:', cast(cluster as string))), 1, 12), 16, 10) as bigint) % 10"
-    )
     assigned = new_docs.join(anchors, "cluster", "left").select(
         "doc_id",
         F.coalesce(
-            F.col("inherited_split"),
-            F.when(fresh_bucket < 8, "train")
-            .when(fresh_bucket == 8, "val")
-            .otherwise("test"),
+            F.col("inherited_split"), seeded_split(seed, "cluster")
         ).alias("split"),
         F.when(F.col("inherited_split").isNotNull(), "inherited")
         .otherwise("fresh")
         .alias("status"),
     )
     return kept.unionByName(assigned)
-
-
-HOLDOUT_RULE = "48bit_mod10_8_1_1"  # the split hash rule the meta table records
 
 
 def append_holdout_assignments(
@@ -529,12 +550,24 @@ def write_holdout_assignments(history: DataFrame, path: str, seed: str) -> None:
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
+def _read_holdout_meta(spark: SparkSession, path: str):
+    return spark.read.parquet(os.path.join(path, "meta")).first()
+
+
+def _read_assignments(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.schema("doc_id bigint, assigned_epoch int, split string")
+        .parquet(os.path.join(path, "assignments"))
+        .select("doc_id", "split", "assigned_epoch")
+    )
+
+
 def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataFrame:
     """Load the history, refusing one written under a different seed or
     split rule: fresh splits drawn with a different seed would be
     inconsistent with every split already in the history — the silent
     cross-epoch leak this store exists to prevent."""
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    meta = _read_holdout_meta(spark, path)
     if (meta["seed"], meta["rule"]) != (seed, HOLDOUT_RULE):
         raise ValueError(
             f"holdout history at {path} was written with seed={meta['seed']}, "
@@ -542,11 +575,7 @@ def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataF
             "a mismatched seed would assign new docs inconsistently with "
             "the existing history"
         )
-    return (
-        spark.read.schema("doc_id bigint, assigned_epoch int, split string")
-        .parquet(os.path.join(path, "assignments"))
-        .select("doc_id", "split", "assigned_epoch")
-    )
+    return _read_assignments(spark, path)
 
 
 def nightly_holdout_update(
@@ -566,11 +595,24 @@ def nightly_holdout_update(
     files being read: Spark refuses overwriting an input path, and a
     mid-write crash must not corrupt the only copy of the history (the
     same overwrite-swap discipline as the signature index).  Returns the
-    night's assignment (doc_id, split, status)."""
-    meta = spark.read.parquet(os.path.join(read_path, "meta")).first()
+    night's assignment (doc_id, split, status) — MATERIALIZED
+    (localCheckpoint), because its lineage reads read_path, which the
+    caller's swap is about to invalidate; a lazy return would throw (or
+    silently recompute against the new history) when collected after the
+    swap.  The rule is re-checked against ``HOLDOUT_RULE`` here (the meta
+    is read once; re-calling the guarded reader with a seed copied from
+    the same file would re-read it to verify a tautology)."""
+    meta = _read_holdout_meta(spark, read_path)
     seed = meta["seed"]
-    prior = read_holdout_assignments(spark, read_path, seed=seed)
-    assigned = assign_holdout_incremental(clustered, prior, seed=seed)
+    if meta["rule"] != HOLDOUT_RULE:
+        raise ValueError(
+            f"holdout history at {read_path} uses rule={meta['rule']}; this "
+            f"build implements {HOLDOUT_RULE} — rebuild or migrate the history"
+        )
+    prior = _read_assignments(spark, read_path)
+    assigned = assign_holdout_incremental(
+        clustered, prior, seed=seed
+    ).localCheckpoint()
     write_holdout_assignments(
         append_holdout_assignments(prior, assigned, epoch), write_path, seed=seed
     )

@@ -29,6 +29,7 @@ from oc_meta_spark.plans.incremental import (
     build_signature_index,
     dedup_against_index,
     seeded_shuffle,
+    seeded_split,
 )
 from oc_meta_spark.plans.registry import register
 from oc_meta_spark.sources.tables import load_table
@@ -344,13 +345,8 @@ def hs1_leakage_safe_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = docs.join(comp, "doc_id", "left").withColumn(
         "cluster", F.coalesce("cluster", F.col("doc_id"))
     )
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat('hs1:', cast(cluster as string))), 1, 12), 16, 10) as bigint) % 10"
-    )
     return clustered.select(
-        "doc_id",
-        "cluster",
-        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+        "doc_id", "cluster", seeded_split("hs1", "cluster").alias("split")
     ).orderBy("doc_id")
 
 
@@ -431,15 +427,9 @@ def hs1_leakage_safe_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hs2_incremental_holdout_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    prior_bucket = F.expr(
-        "cast(conv(substr(md5(concat('prior:', cast(doc_id as string))), 1, 12), 16, 10) as bigint) % 10"
-    )
     prior = docs.filter(F.col("doc_id") % 10 != 0).select(
         "doc_id",
-        F.when(prior_bucket < 8, "train")
-        .when(prior_bucket == 8, "val")
-        .otherwise("test")
-        .alias("split"),
+        seeded_split("prior", "doc_id").alias("split"),
         (F.col("doc_id") % 7).alias("assigned_epoch"),
     )
     clustered = docs.select(

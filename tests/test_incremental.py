@@ -455,3 +455,66 @@ def test_snapshot_diff_null_text(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_seeded_split_survives_hostile_seed(spark):
+    """The seed is DATA (read back from a store's meta table) — a quote
+    or SQL metachars in it must not break or alter the split expression
+    (seeded_split builds Columns, never interpolates into F.expr)."""
+    from oc_meta_spark.plans.incremental import assign_holdout_incremental
+
+    clustered = spark.createDataFrame([(1, 10), (2, 10)], "doc_id long, cluster long")
+    prior = spark.createDataFrame([], "doc_id long, split string, assigned_epoch int")
+    rows = assign_holdout_incremental(clustered, prior, seed="night's--;drop").collect()
+    assert len(rows) == 2 and all(r["status"] == "fresh" for r in rows)
+    assert len({r["split"] for r in rows}) == 1  # same cluster, one split
+
+
+def test_extend_ignores_revision_consistently(spark):
+    """Re-adding an existing doc_id with DIFFERENT text (misuse: a
+    revision needs a rebuild) must change NOTHING — the hashes side must
+    not pick up the new text while signatures/bands keep the old."""
+    from oc_meta_spark.plans.incremental import (
+        build_signature_index,
+        extend_signature_index,
+    )
+
+    base = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    idx = build_signature_index(base)
+    revised = spark.createDataFrame(
+        [(7, "totally different words in here")], "doc_id long, text string"
+    )
+    ext = extend_signature_index(idx, revised)
+    assert sorted(map(tuple, ext.hashes.collect())) == sorted(
+        map(tuple, idx.hashes.collect())
+    )
+    assert ext.signatures.count() == idx.signatures.count()
+    assert ext.bands.count() == idx.bands.count()
+
+
+def test_nightly_update_result_survives_swap(spark, tmp_path):
+    """nightly_holdout_update's result must be usable AFTER the caller's
+    atomic directory swap invalidates the read path (materialized, not a
+    lazy plan over the old files)."""
+    import shutil
+
+    from oc_meta_spark.plans.incremental import (
+        nightly_holdout_update,
+        read_holdout_assignments,
+        write_holdout_assignments,
+    )
+
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    prior = spark.createDataFrame(
+        [(1, "train", 0)], "doc_id long, split string, assigned_epoch int"
+    )
+    write_holdout_assignments(prior, p1, seed="s1")
+    clustered = spark.createDataFrame([(1, 100), (2, 100)], "doc_id long, cluster long")
+    assigned = nightly_holdout_update(spark, p1, p2, clustered, epoch=1)
+    shutil.rmtree(p1)  # the swap: the old history directory is gone
+    got = {r["doc_id"]: (r["split"], r["status"]) for r in assigned.collect()}
+    assert got == {1: ("train", "kept"), 2: ("train", "inherited")}
+    assert read_holdout_assignments(spark, p2, seed="s1").count() == 2
