@@ -148,11 +148,12 @@ def ingest_fold(
 
     Each step's index and verdicts are ``localCheckpoint``-ed: a lazy
     fold would embed batch N−1's ENTIRE classification plan into every
-    one of batch N's index probes (the plan tree grows combinatorially
-    with batch count — measured 60× slower at two batches).  The
-    checkpoint is the in-memory analog of what the persisted path does
-    structurally: ``ingest_batch`` re-reads the index from parquet each
-    batch, so its plans are born shallow."""
+    one of batch N's index probes — the plan tree grows combinatorially
+    with batch count (measured ~5× slower at just two gate-sized
+    batches; deeper folds diverge).  The checkpoint is the in-memory
+    analog of what the persisted path does structurally: ``ingest_batch``
+    re-reads the index from parquet each batch, so its plans are born
+    shallow."""
     if not batches:
         raise ValueError("ingest_fold needs at least one micro-batch")
     index = SignatureIndex(
