@@ -36,6 +36,11 @@ HEADLINE = [
     "ID1_incremental_corpus_dedup",
     "SD1_corpus_snapshot_diff",
     "MX4_exact_quota_stratified_sample",
+    "PX1_lm_bits_per_token_filter",
+    "QB1_token_budget_selection",
+    "DR1_domain_reputation",
+    "SK1_kmv_distinct_sketch",
+    "VB1_bpe_pair_stats",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",

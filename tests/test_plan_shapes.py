@@ -292,3 +292,27 @@ def test_sd1_diff_is_one_full_outer_equi_join(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("FullOuter") == 1, plan[:3000]
     assert re.search(r"\[doc_id#\d+L?\], \[doc_id#\d+L?\], FullOuter", plan), plan[:3000]
+
+
+def test_qb1_corpus_window_is_boundary_bucket_only(spark):
+    # the only window that touches DOCUMENT rows is the final running sum
+    # over the boundary bucket — partitioned by (q_ppm, bucket); the
+    # score/bucket rollup windows are unpartitioned by design (bounded by
+    # score resolution / 256 buckets, never corpus-sized)
+    plan = _plan(spark, "QB1_token_budget_selection")
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "n_tok" in line and "skey" in line:
+            found = True
+            assert re.search(r"\[q_ppm#\d+L?, bucket#\d+\]", line), line
+    assert found, "no boundary-bucket running-sum Window in QB1 plan\n" + plan[:3000]
+
+
+def test_px1_scan_prunes_to_scoring_columns(spark):
+    # PX1 needs (doc_id, text, lang) only — n_chars/source must be pruned
+    # from every documents scan
+    plan = _plan(spark, "PX1_lm_bits_per_token_filter")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "n_chars" not in m.group(1) and "source" not in m.group(1), m.group(0)
+    # the reference-slice scan pushes the lang filter into parquet
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)", plan), plan[:3000]
