@@ -41,6 +41,7 @@ HEADLINE = [
     "DR1_domain_reputation",
     "SK1_kmv_distinct_sketch",
     "VB1_bpe_pair_stats",
+    "IR1_keyword_search_topk",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",

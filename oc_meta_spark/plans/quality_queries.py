@@ -178,78 +178,92 @@ def px1_lm_bits_per_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QB1_SEED = "qb1"
 
 
-def budget_select(
-    t: DataFrame, budget_col_source: DataFrame | None = None
-) -> DataFrame:
+def budget_select(t: DataFrame, n_levels: int = 1) -> DataFrame:
     """Aggregate-then-refine greedy prefix selection over
     (q_ppm DESC, skey, doc_id) — see the module docstring.  ``t`` needs
     columns (doc_id, q_ppm, n_tok, skey); the budget is computed as
     half of t's total tokens.  Returns the kept (doc_id, q_ppm, n_tok).
 
-    Window boundedness: ``w_q`` runs over the per-score rollup (score
-    RESOLUTION rows, ≤1001 for a permille score); ``w_b`` over 256
-    hash buckets of the single boundary score; ``w_r`` over the single
-    boundary bucket — ~1/256th of one score class, the only place a row
+    ``n_levels`` is the number of 2-hex-char hash-bucket refinement
+    levels between the score rollup and the final rank window: the
+    boundary set shrinks ~256× per level, so the rank window's input is
+    ~(boundary score class) / 256^n_levels.  Ordering by successive
+    2-char substrings of ``skey`` IS ordering by ``skey`` (prefix
+    decomposition), so every depth selects the identical greedy prefix —
+    pinned by tests/test_quality.py across n_levels ∈ {0, 1, 2}.  One
+    level suffices until a single score class holds ≥ ~256 executor-
+    partitions' worth of the corpus; add levels, never a global sort.
+
+    Window boundedness: the score cumsum runs over the per-score rollup
+    (score RESOLUTION rows, ≤1001 for a permille score); each bucket
+    cumsum over ≤256 rows per surviving boundary group; the final rank
+    window over the one innermost boundary bucket — the only place a row
     window touches document rows at all.
     """
     budget = t.agg(F.expr("sum(n_tok) div 2").alias("budget"))
 
-    per_q = t.groupBy("q_ppm").agg(F.sum("n_tok").alias("tok_q"))
+    per_q = t.groupBy("q_ppm").agg(F.sum("n_tok").alias("tok"))
     w_q = (
         Window.partitionBy()
         .orderBy(F.col("q_ppm").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_q = (
-        per_q.withColumn("cum_q", F.sum("tok_q").over(w_q))
+        per_q.withColumn("cum", F.sum("tok").over(w_q))
         .join(F.broadcast(budget))
-        .withColumn("cum_before", F.col("cum_q") - F.col("tok_q"))
+        .withColumn("cum_before", F.col("cum") - F.col("tok"))
     )
-    full_q = cum_q.filter(F.col("cum_q") <= F.col("budget")).select("q_ppm")
-    kept_full = t.join(F.broadcast(full_q), "q_ppm", "left_semi")
+    full_q = cum_q.filter(F.col("cum") <= F.col("budget")).select("q_ppm")
+    kept = [t.join(F.broadcast(full_q), "q_ppm", "left_semi")]
 
-    # at most one score class straddles the budget
+    # at most one score class straddles the budget; rem = tokens still
+    # unspent when its docs start
     boundary = cum_q.filter(
-        (F.col("cum_before") < F.col("budget")) & (F.col("cum_q") > F.col("budget"))
-    ).select("q_ppm", (F.col("budget") - F.col("cum_before")).alias("rem1"))
-    bd = t.join(F.broadcast(boundary), "q_ppm").withColumn(
-        "bucket", F.substring("skey", 1, 2)
-    )
+        (F.col("cum_before") < F.col("budget")) & (F.col("cum") > F.col("budget"))
+    ).select("q_ppm", (F.col("budget") - F.col("cum_before")).alias("rem"))
+    bd = t.join(F.broadcast(boundary), "q_ppm")
+    keys = ["q_ppm"]
 
-    per_b = bd.groupBy("q_ppm", "rem1", "bucket").agg(F.sum("n_tok").alias("tok_b"))
-    w_b = (
-        Window.partitionBy("q_ppm")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum_b = per_b.withColumn("cum_b", F.sum("tok_b").over(w_b)).withColumn(
-        "cum_b_before", F.col("cum_b") - F.col("tok_b")
-    )
-    full_b = cum_b.filter(F.col("cum_b") <= F.col("rem1")).select("q_ppm", "bucket")
-    kept_bucket = bd.join(F.broadcast(full_b), ["q_ppm", "bucket"], "left_semi")
+    for lvl in range(1, n_levels + 1):
+        b = f"b{lvl}"
+        bd = bd.withColumn(b, F.substring("skey", 2 * lvl - 1, 2))
+        per_b = bd.groupBy(*keys, "rem", b).agg(F.sum("n_tok").alias("tok"))
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(b)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum_b = per_b.withColumn("cum", F.sum("tok").over(w_b)).withColumn(
+            "cum_before", F.col("cum") - F.col("tok")
+        )
+        full_b = cum_b.filter(F.col("cum") <= F.col("rem")).select(*keys, b)
+        keys = keys + [b]
+        kept.append(bd.join(F.broadcast(full_b), keys, "left_semi"))
+        bboundary = cum_b.filter(
+            (F.col("cum_before") < F.col("rem")) & (F.col("cum") > F.col("rem"))
+        ).select(*keys, (F.col("rem") - F.col("cum_before")).alias("rem2"))
+        bd = (
+            bd.drop("rem")
+            .join(F.broadcast(bboundary), keys)
+            .withColumnRenamed("rem2", "rem")
+        )
 
-    bboundary = cum_b.filter(
-        (F.col("cum_b_before") < F.col("rem1")) & (F.col("cum_b") > F.col("rem1"))
-    ).select(
-        "q_ppm", "bucket", (F.col("rem1") - F.col("cum_b_before")).alias("rem2")
-    )
     w_r = (
-        Window.partitionBy("q_ppm", "bucket")
+        Window.partitionBy(*keys)
         .orderBy("skey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    kept_rank = (
-        bd.join(F.broadcast(bboundary), ["q_ppm", "bucket"])
-        .withColumn("cum_r", F.sum("n_tok").over(w_r))
-        .filter(F.col("cum_r") <= F.col("rem2"))
+    kept.append(
+        bd.withColumn("cum_r", F.sum("n_tok").over(w_r)).filter(
+            F.col("cum_r") <= F.col("rem")
+        )
     )
 
     cols = ["doc_id", "q_ppm", "n_tok"]
-    return (
-        kept_full.select(cols)
-        .unionByName(kept_bucket.select(cols))
-        .unionByName(kept_rank.select(cols))
-    )
+    out = kept[0].select(cols)
+    for k in kept[1:]:
+        out = out.unionByName(k.select(cols))
+    return out
 
 
 @register(

@@ -63,10 +63,12 @@ def load_all() -> dict[str, OracleQuery]:
     on untouched code: editor (17-19), analytics (20-33), graph (34-37),
     similarity (38-45 — X8, the persisted-IVF gate, is also new this
     round and X5's builder shares its kernel), hygiene (46-48), audit
-    (49-50, the window cut landing after MRG1 at exactly 50); fidelity
-    (last witnessed r7) and the other fresh round-7/8 families
-    (multimodal, stream, curation, dedup, text, temporal, pipeline)
-    spill on untouched code.
+    (49-50, the window cut landing after MRG1 at exactly 50); retrieval
+    (IR1, new late in round 9) registers at 51 — deliberately OUTSIDE
+    the window so it doesn't evict the r6-stale audit rows; it rotates
+    to the front next round.  Fidelity (last witnessed r7) and the other
+    fresh round-7/8 families (multimodal, stream, curation, dedup, text,
+    temporal, pipeline) spill on untouched code.
     """
     import oc_meta_spark.plans.quality_queries  # noqa: F401
     import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
@@ -78,6 +80,7 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
+    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401

@@ -39,3 +39,25 @@ def test_vb1_weights_by_frequency_and_multiplicity(spark, tmp_path):
     assert rows["aa"].cnt == 4 and rows["aa"].rank == 1
     assert rows["ab"].cnt == 3 and rows["ab"].rank == 2
     assert "x" not in rows and set(rows) == {"aa", "ab"}
+
+
+def test_ir1_rare_term_outranks_common(spark, tmp_path):
+    # "merge" is in every doc (idf weight 1000·4//4 = 1000); "vector" in
+    # one (weight 4000): the single vector doc must outrank a doc with
+    # more merge hits, and docs hitting no query term must not appear
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "merge vector merge"),
+            (2, "merge merge merge merge merge"),
+            (3, "merge x y"),
+            (4, "merge nothing relevant here"),
+        ],
+    )
+    rows = load_all()["IR1_keyword_search_topk"].builder(spark, sf).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4]
+    # doc1: 2*1000 + 1*4000 = 6000; doc2: 5*1000 = 5000
+    assert rows[0].score == 6000 and rows[0].n_terms_hit == 2
+    assert rows[1].score == 5000 and rows[1].n_terms_hit == 1
+    assert [r.rank for r in rows] == [1, 2, 3, 4]

@@ -304,7 +304,7 @@ def test_qb1_corpus_window_is_boundary_bucket_only(spark):
     for line in plan.splitlines():
         if "Window" in line and "n_tok" in line and "skey" in line:
             found = True
-            assert re.search(r"\[q_ppm#\d+L?, bucket#\d+\]", line), line
+            assert re.search(r"\[q_ppm#\d+L?, b1#\d+\]", line), line
     assert found, "no boundary-bucket running-sum Window in QB1 plan\n" + plan[:3000]
 
 

@@ -42,9 +42,10 @@ def _naive(t):
 
 
 def _assert_matches_naive(t):
-    got = sorted(budget_select(t).collect())
     want = sorted(_naive(t).collect())
-    assert got == want
+    for n_levels in (0, 1, 2):
+        got = sorted(budget_select(t, n_levels=n_levels).collect())
+        assert got == want, f"n_levels={n_levels}"
 
 
 def test_qb1_refinement_single_score_class(spark):
@@ -141,3 +142,11 @@ def test_dr1_planted_boilerplate_domain_quarantined(spark, tmp_path):
     lowq = out["src1-0.example.org"]
     assert lowq.verdict == "low_quality" and lowq.q_ppm < _DR1_QUALITY_FLOOR_PPM
     assert out["src2-1.example.org"].verdict == "ok"
+
+
+def test_qb1_budget_below_first_doc_keeps_nothing(spark):
+    # two docs; budget = total div 2 = 10 < first doc's 15 tokens → the
+    # boundary class's rank window must keep nothing, not underflow
+    t = _keyed(spark, [(1, 900, 15), (2, 100, 5)])
+    _assert_matches_naive(t)
+    assert budget_select(t).count() == 0
