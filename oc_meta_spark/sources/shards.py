@@ -66,6 +66,7 @@ def write_shuffled_shards(
     n_shards: int = 16,
     records_per_shard: int = 100_000,
     id_col: str = "doc_id",
+    epoch: int | None = None,
 ) -> None:
     """Write the corpus in a REPRODUCIBLE seeded training order: the
     deterministic global permutation of plans/incremental.py's
@@ -77,12 +78,24 @@ def write_shuffled_shards(
     repartitionByRange, whose sampled boundaries are nondeterministic);
     a new seed → a fresh permutation for the next epoch.
 
+    ``epoch is not None`` selects the APPENDABLE layout —
+    ``shard=K/epoch=E/`` sub-partitions plus a one-row ``_meta`` parquet
+    recording (seed, n_shards): the store `append_shuffled_shards` grows
+    nightly.  The underscore prefix keeps ``_meta`` INVISIBLE to parquet
+    partition discovery (Spark's `_`-file convention), so the store stays
+    one plain readable directory.  The default (None) keeps the original
+    single-shot layout.
+
     Scale shape: one shuffle on shard; per-shard sorts are local.  At
     100 TB pick n_shards ≈ corpus_bytes / target_shard_bytes — the 48-bit
     hash split is uniform so no shard hot-spots."""
     from oc_meta_spark.plans.incremental import seeded_shuffle
 
     out = seeded_shuffle(df, seed, n_shards, id_col=id_col, with_pos=False)
+    partition_cols = ["shard"]
+    if epoch is not None:
+        out = out.withColumn("epoch", F.lit(epoch).cast("int"))
+        partition_cols.append("epoch")
     # shard leads the local sort: FileFormatWriter requires its input
     # ordered by the partition columns, so sorting (shard, key) satisfies
     # it in ONE sort — sorting (key) alone would make the writer insert
@@ -90,10 +103,82 @@ def write_shuffled_shards(
     # sort stability
     (
         out.repartition(F.col("shard"))
-        .sortWithinPartitions("shard", "sort_key", id_col)
+        .sortWithinPartitions(*partition_cols, "sort_key", id_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_shard)
-        .partitionBy("shard")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    if epoch is not None:
+        df.sparkSession.createDataFrame(
+            [(seed, n_shards)], schema="seed string, n_shards int"
+        ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def append_shuffled_shards(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    seed: str,
+    epoch: int,
+    records_per_shard: int = 100_000,
+    id_col: str = "doc_id",
+) -> None:
+    """The nightly append to an epoched shuffled-shard store: new
+    documents land in the SAME shard a full rebuild would put them in
+    (the shard is a pure hash of the id — membership append≡rebuild is
+    EXACT), as new ``epoch=E`` files; existing files are never touched.
+
+    Order contract: a loader streams each shard epoch-major — old epochs
+    in their original seeded order, then the new epoch's docs in seeded
+    order among themselves.  A full rebuild would instead interleave new
+    docs into the global key order; the divergence is deliberate (the
+    HS2 stability doctrine: what was already written never moves — a
+    mid-training job can keep consuming yesterday's files).
+
+    Guards (the signature-index contract, plans/incremental.py):
+    - seed/n_shards are read from the store's ``_meta`` and must match —
+      a mismatched seed would send a doc to a different shard than the
+      one its rebuild belongs to, silently breaking append≡rebuild;
+    - already-stored doc ids are dropped via a broadcast probe of the
+      delta's ids (`fresh_only` — the store is scanned id-only and never
+      shuffled), so a crashed-and-retried night appends nothing twice;
+    - ``epoch`` must be >= every stored epoch: equal re-enters the SAME
+      night (the crash-retry path — fresh_only writes only the missing
+      docs), smaller is a mis-wired pipeline and is refused.  After a
+      partial-crash repair an epoch holds two file groups, each sorted —
+      a loader that wants the seeded order within a repaired epoch sorts
+      (shard, epoch) groups by ``sort_key`` on read (one local sort;
+      epochs written in one pass stream in file order as-is).
+    """
+    from oc_meta_spark.plans.incremental import fresh_only, seeded_shuffle
+
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first()
+    if meta["seed"] != seed:
+        raise ValueError(
+            f"shard store at {path} was written with seed={meta['seed']}; "
+            f"append got seed={seed} — a mismatched seed scatters docs to "
+            "the wrong shards (rebuild≠append)"
+        )
+    n_shards = meta["n_shards"]
+    existing = spark.read.parquet(path)
+    max_epoch = existing.agg(F.max("epoch")).first()[0]
+    if max_epoch is not None and epoch < max_epoch:
+        raise ValueError(
+            f"shard store at {path} already holds epoch {max_epoch}; "
+            f"append got epoch={epoch} — epochs must not decrease "
+            "(a crash retry re-enters the SAME epoch; only new nights "
+            "advance it)"
+        )
+    fresh = fresh_only(delta, existing.select(id_col), id_col)
+    out = seeded_shuffle(fresh, seed, n_shards, id_col=id_col, with_pos=False)
+    (
+        out.withColumn("epoch", F.lit(epoch).cast("int"))
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "epoch", "sort_key", id_col)
+        .write.mode("append")
+        .option("maxRecordsPerFile", records_per_shard)
+        .partitionBy("shard", "epoch")
         .parquet(path)
     )
 

@@ -518,3 +518,78 @@ def test_nightly_update_result_survives_swap(spark, tmp_path):
     got = {r["doc_id"]: (r["split"], r["status"]) for r in assigned.collect()}
     assert got == {1: ("train", "kept"), 2: ("train", "inherited")}
     assert read_holdout_assignments(spark, p2, seed="s1").count() == 2
+
+
+def test_append_shuffled_shards_grows_without_rewriting(spark, docs):
+    """The nightly shard append: membership append≡rebuild exactly (the
+    shard is a pure id hash), existing files byte-untouched, retry
+    idempotent, seed/epoch guards loud."""
+    import os
+
+    import pytest
+
+    from oc_meta_spark.sources.shards import (
+        append_shuffled_shards,
+        write_shuffled_shards,
+    )
+
+    base = docs.limit(150)
+    delta = docs.filter(F.col("doc_id") >= 150).limit(80)
+    both = base.unionByName(delta)
+    store = tempfile.mkdtemp(prefix="shufinc_")
+    rebuilt = tempfile.mkdtemp(prefix="shufall_")
+    try:
+        write_shuffled_shards(base, store, seed="s", n_shards=4, epoch=0)
+
+        def files(root):
+            out = {}
+            for d, _, fs in os.walk(root):
+                for f in fs:
+                    p = os.path.join(d, f)
+                    if f.endswith(".parquet"):
+                        out[p] = os.path.getsize(p)
+            return out
+
+        before = files(store)
+        append_shuffled_shards(spark, delta, store, seed="s", epoch=1)
+        after = files(store)
+        # every pre-append file still present with identical size
+        assert before == {p: s for p, s in after.items() if p in before}
+        assert len(after) > len(before)
+
+        # membership per shard == a full rebuild's (shard is id-hash only)
+        write_shuffled_shards(both, rebuilt, seed="s", n_shards=4, epoch=0)
+        got = {
+            (r["shard"], r["doc_id"])
+            for r in spark.read.parquet(store).select("shard", "doc_id").collect()
+        }
+        want = {
+            (r["shard"], r["doc_id"])
+            for r in spark.read.parquet(rebuilt).select("shard", "doc_id").collect()
+        }
+        assert got == want and len(got) == 230
+
+        # retried night (same epoch, same delta): appends nothing
+        append_shuffled_shards(spark, delta, store, seed="s", epoch=1)
+        assert files(store) == after
+
+        # guards: wrong seed, decreasing epoch
+        with pytest.raises(ValueError, match="seed"):
+            append_shuffled_shards(spark, delta, store, seed="OTHER", epoch=2)
+        with pytest.raises(ValueError, match="epoch"):
+            append_shuffled_shards(spark, docs.limit(1), store, seed="s", epoch=0)
+
+        # epoch-major loader order: within a shard every epoch-0 row
+        # precedes epoch-1 rows when sorted by (epoch, sort_key), and
+        # within each epoch the seeded order is recoverable
+        one = (
+            spark.read.parquet(store)
+            .filter(F.col("shard") == 0)
+            .select("epoch", "sort_key")
+            .orderBy("epoch", "sort_key")
+            .collect()
+        )
+        assert [r["epoch"] for r in one] == sorted(r["epoch"] for r in one)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(rebuilt, ignore_errors=True)

@@ -316,3 +316,12 @@ def test_px1_scan_prunes_to_scoring_columns(spark):
         assert "n_chars" not in m.group(1) and "source" not in m.group(1), m.group(0)
     # the reference-slice scan pushes the lang filter into parquet
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)", plan), plan[:3000]
+
+
+def test_sk1_and_ir1_topk_is_take_ordered(spark):
+    # the k-smallest-hashes / top-k-scores steps must compile to
+    # TakeOrderedAndProject (per-partition heap + driver merge), never a
+    # global Sort feeding a limit
+    for name in ("SK1_kmv_distinct_sketch", "IR1_keyword_search_topk"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name + "\n" + plan[:3000]
