@@ -212,3 +212,18 @@ def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("source", "file")
     )
+
+
+def read_shuffled_shards(
+    spark: SparkSession, path: str, restore_order: bool = False
+) -> DataFrame:
+    """Read an epoched shuffled-shard store.  ``restore_order=True``
+    returns rows ordered by (shard, epoch, sort_key, doc_id) — the
+    loader contract even for epochs repaired by a crash retry (whose two
+    file groups are each sorted but interleave in file order); it costs
+    one sort, so loaders streaming only cleanly-written epochs skip it
+    and consume file order directly."""
+    df = spark.read.parquet(path)
+    if restore_order:
+        df = df.orderBy("shard", "epoch", "sort_key", "doc_id")
+    return df

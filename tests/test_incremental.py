@@ -593,3 +593,25 @@ def test_append_shuffled_shards_grows_without_rewriting(spark, docs):
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(rebuilt, ignore_errors=True)
+
+
+def test_read_shuffled_shards_restores_epoch_major_order(spark, docs):
+    from oc_meta_spark.sources.shards import (
+        append_shuffled_shards,
+        read_shuffled_shards,
+        write_shuffled_shards,
+    )
+
+    store = tempfile.mkdtemp(prefix="shufread_")
+    try:
+        write_shuffled_shards(docs.limit(60), store, seed="s", n_shards=2, epoch=0)
+        append_shuffled_shards(
+            spark, docs.filter(F.col("doc_id") >= 60).limit(40), store, seed="s", epoch=1
+        )
+        rows = read_shuffled_shards(spark, store, restore_order=True).select(
+            "shard", "epoch", "sort_key", "doc_id"
+        ).collect()
+        keyed = [(r["shard"], r["epoch"], r["sort_key"], r["doc_id"]) for r in rows]
+        assert keyed == sorted(keyed) and len(keyed) == 100
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
