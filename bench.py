@@ -42,6 +42,7 @@ HEADLINE = [
     "SK1_kmv_distinct_sketch",
     "VB1_bpe_pair_stats",
     "IR1_keyword_search_topk",
+    "PX2_perplexity_tertile_split",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",

@@ -120,6 +120,20 @@ _PX1_BIGRAMS = (
 )
 def px1_lm_bits_per_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    return lm_bits_scores(docs).select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "milli_bits",
+        (F.col("milli_bits") <= _PX1_KEEP_MILLI_BITS).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def lm_bits_scores(docs: DataFrame) -> DataFrame:
+    """The PX1 scoring kernel, shared with PX2's head/middle/tail split:
+    (doc_id, lang, n_bigrams, total_bits, milli_bits) per scorable (≥2
+    words) document — add-one bigram model trained on the
+    reference-language slice, integer-bits cost (see the module doc)."""
     words = docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     train = (
         words.filter(F.col("lang") == _PX1_REF_LANG)
@@ -130,8 +144,8 @@ def px1_lm_bits_per_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = train.agg((F.countDistinct("w1") + 1).alias("v"))
     score = words.select(
-        "doc_id", F.explode(F.expr(_PX1_BIGRAMS)).alias("b")
-    ).select("doc_id", "b.w1", "b.w2")
+        "doc_id", "lang", F.explode(F.expr(_PX1_BIGRAMS)).alias("b")
+    ).select("doc_id", "lang", "b.w1", "b.w2")
     # count joins are deliberately UNHINTED: the count tables are
     # vocabulary-sized, so AQE broadcasts them at web-corpus vocabularies
     # and falls back to a keyed shuffle if a tokenizer explosion grows
@@ -144,25 +158,24 @@ def px1_lm_bits_per_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
+            "lang",
             (
                 fl2(F.coalesce("c1", F.lit(0)) + F.col("v"))
                 - fl2(F.coalesce("c12", F.lit(0)) + F.lit(1))
             ).alias("bits"),
         )
     )
-    agg = costed.groupBy("doc_id").agg(
+    agg = costed.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("bits").cast("long").alias("total_bits"),
     )
     return agg.select(
         "doc_id",
+        "lang",
         "n_bigrams",
         "total_bits",
         F.expr("(1000 * total_bits) div n_bigrams").alias("milli_bits"),
-        (F.expr("(1000 * total_bits) div n_bigrams") <= _PX1_KEEP_MILLI_BITS).alias(
-            "keep"
-        ),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,9 +64,9 @@ def load_all() -> dict[str, OracleQuery]:
     similarity (38-45 — X8, the persisted-IVF gate, is also new this
     round and X5's builder shares its kernel), hygiene (46-48), audit
     (49-50, the window cut landing after MRG1 at exactly 50); retrieval
-    (IR1, new late in round 9) registers at 51 — deliberately OUTSIDE
-    the window so it doesn't evict the r6-stale audit rows; it rotates
-    to the front next round.  Fidelity (last witnessed r7) and the other
+    (IR1) and quality-buckets (PX2), both new late in round 9,
+    register at 51-52 — deliberately OUTSIDE the window so they don't
+    evict the r6-stale audit rows; they rotate to the front next round.  Fidelity (last witnessed r7) and the other
     fresh round-7/8 families (multimodal, stream, curation, dedup, text,
     temporal, pipeline) spill on untouched code.
     """
@@ -81,6 +81,7 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
     import oc_meta_spark.plans.retrieval_queries  # noqa: F401
+    import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
     import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.multimodal_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401

@@ -150,3 +150,25 @@ def test_qb1_budget_below_first_doc_keeps_nothing(spark):
     t = _keyed(spark, [(1, 900, 15), (2, 100, 5)])
     _assert_matches_naive(t)
     assert budget_select(t).count() == 0
+
+
+def test_px2_tertiles_balanced_per_lang_and_share_px1_scores(spark, sf_dir):
+    from oc_meta_spark.plans.registry import load_all
+
+    qs = load_all()
+    rows = qs["PX2_perplexity_tertile_split"].builder(spark, sf_dir).collect()
+    px1 = {r.doc_id: r.milli_bits for r in
+           qs["PX1_lm_bits_per_token_filter"].builder(spark, sf_dir).collect()}
+    # one shared scorer: identical milli_bits per doc
+    assert all(px1[r.doc_id] == r.milli_bits for r in rows)
+    # exact tertiles: per lang the three buckets differ by at most 1 doc,
+    # and within a lang every head score <= every middle <= every tail
+    from collections import defaultdict
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r.lang][r.bucket].append(r.milli_bits)
+    for lang, b in by_lang.items():
+        sizes = [len(b["head"]), len(b["middle"]), len(b["tail"])]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(b["head"]) <= min(b["tail"]), lang
