@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from oc_meta_spark.plans.quality_queries import _PX1_REF_LANG, lm_bits_scores
+from oc_meta_spark.plans.quality_queries import PX_SCORING_CTES, lm_bits_scores
 from oc_meta_spark.plans.registry import register
 from oc_meta_spark.sources.tables import load_table
 
@@ -34,34 +34,7 @@ from oc_meta_spark.sources.tables import load_table
 @register(
     "PX2_perplexity_tertile_split",
     f"""
-    WITH words AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
-    ),
-    train_big AS (
-      SELECT ws[i] AS w1, ws[i+1] AS w2
-      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
-            FROM words WHERE lang = '{_PX1_REF_LANG}')
-    ),
-    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_big GROUP BY w1, w2),
-    c1 AS (SELECT w1, COUNT(*) AS c1 FROM train_big GROUP BY w1),
-    vocab AS (SELECT COUNT(DISTINCT w1) + 1 AS v FROM train_big),
-    score_big AS (
-      SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
-      FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM words)
-    ),
-    costed AS (
-      SELECT s.doc_id, s.lang,
-             (length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
-             - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) AS bits
-      FROM score_big s
-      LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
-      LEFT JOIN c1 ON c1.w1 = s.w1
-      CROSS JOIN vocab v
-    ),
-    scored AS (
-      SELECT doc_id, lang, (1000 * SUM(bits)) // COUNT(*) AS milli_bits
-      FROM costed GROUP BY doc_id, lang
-    ),
+    WITH {PX_SCORING_CTES},
     ranked AS (
       SELECT doc_id, lang, milli_bits,
              ROW_NUMBER() OVER (PARTITION BY lang

@@ -82,10 +82,15 @@ _PX1_BIGRAMS = (
 )
 
 
-@register(
-    "PX1_lm_bits_per_token_filter",
-    f"""
-    WITH words AS (
+# The ONE DuckDB rendering of lm_bits_scores: every oracle that claims to
+# share PX1's scorer (PX2's tertile split, PX3's persisted-count scoring)
+# interpolates THIS constant rather than re-typing the CTEs — an edit to
+# the scoring SQL cannot desynchronize the "shared scorer" contract.
+# Yields ``scored (doc_id, lang, n_bigrams, total_bits, milli_bits)`` —
+# one row per scorable (≥2-word) document, milli_bits = integer
+# bits-per-bigram × 1000 (exact log2 via bit length, see the module doc).
+PX_SCORING_CTES = f"""
+    words AS (
       SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
     ),
     train_big AS (
@@ -97,24 +102,35 @@ _PX1_BIGRAMS = (
     c1 AS (SELECT w1, COUNT(*) AS c1 FROM train_big GROUP BY w1),
     vocab AS (SELECT COUNT(DISTINCT w1) + 1 AS v FROM train_big),
     score_big AS (
-      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)
+      SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM words)
     ),
     costed AS (
-      SELECT s.doc_id,
+      SELECT s.doc_id, s.lang,
              (length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
              - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) AS bits
       FROM score_big s
       LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
       LEFT JOIN c1 ON c1.w1 = s.w1
       CROSS JOIN vocab v
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bits) AS BIGINT) AS total_bits,
+             CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT) AS milli_bits
+      FROM costed GROUP BY doc_id, lang
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(bits) AS BIGINT) AS total_bits,
-           CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT) AS milli_bits,
-           (1000 * SUM(bits)) // COUNT(*) <= {_PX1_KEEP_MILLI_BITS} AS keep
-    FROM costed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "PX1_lm_bits_per_token_filter",
+    f"""
+    WITH {PX_SCORING_CTES}
+    SELECT doc_id, n_bigrams, total_bits, milli_bits,
+           milli_bits <= {_PX1_KEEP_MILLI_BITS} AS keep
+    FROM scored ORDER BY doc_id
     """,
     doc="CCNet-style LM quality filter: add-one bigram model trained on the reference-language slice, integer bits-per-bigram score (exact log2 via bit length), keep the reference-like documents.",
 )

@@ -67,6 +67,7 @@ def write_shuffled_shards(
     records_per_shard: int = 100_000,
     id_col: str = "doc_id",
     epoch: int | None = None,
+    overwrite: bool = False,
 ) -> None:
     """Write the corpus in a REPRODUCIBLE seeded training order: the
     deterministic global permutation of plans/incremental.py's
@@ -86,10 +87,41 @@ def write_shuffled_shards(
     one plain readable directory.  The default (None) keeps the original
     single-shot layout.
 
+    This is a BUILD, not an append: the write is ``mode('overwrite')`` on
+    the whole store path.  Calling it with a new epoch on an EXISTING
+    epoched store (a natural misuse, given the epoch parameter) would
+    silently delete every prior epoch and the ``_meta`` — so when
+    ``epoch`` is set and the path already holds a ``_meta``, the write is
+    REFUSED unless ``overwrite=True``: growth goes through
+    ``append_shuffled_shards``; a deliberate rebuild says so explicitly.
+
+    Crash contract: the data overwrite lands before ``_meta`` is
+    rewritten, so a store whose ``_meta`` is missing is an INTERRUPTED
+    build — ``append_shuffled_shards`` refuses it loudly; rebuild with
+    ``overwrite=True``.  (Writing ``_meta`` first would be worse: a crash
+    after the old data is deleted would leave a meta that vouches for
+    data that is not there.)
+
     Scale shape: one shuffle on shard; per-shard sorts are local.  At
     100 TB pick n_shards ≈ corpus_bytes / target_shard_bytes — the 48-bit
     hash split is uniform so no shard hot-spots."""
     from oc_meta_spark.plans.incremental import seeded_shuffle
+
+    if epoch is not None and not overwrite:
+        spark = df.sparkSession
+        existing_meta = None
+        try:  # any-FS-safe probe: the read itself, not a local os.path check
+            existing_meta = spark.read.parquet(os.path.join(path, "_meta")).first()
+        except Exception:
+            pass  # no _meta → fresh (or interrupted) path: the build may proceed
+        if existing_meta is not None:
+            raise ValueError(
+                f"shard store at {path} already exists (seed="
+                f"{existing_meta['seed']}, n_shards={existing_meta['n_shards']}); "
+                "write_shuffled_shards would DELETE every stored epoch — grow "
+                "the store with append_shuffled_shards, or pass overwrite=True "
+                "for a deliberate rebuild"
+            )
 
     out = seeded_shuffle(df, seed, n_shards, id_col=id_col, with_pos=False)
     partition_cols = ["shard"]
@@ -151,9 +183,19 @@ def append_shuffled_shards(
       (shard, epoch) groups by ``sort_key`` on read (one local sort;
       epochs written in one pass stream in file order as-is).
     """
+    from pyspark.errors import AnalysisException
+
     from oc_meta_spark.plans.incremental import fresh_only, seeded_shuffle
 
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first()
+    try:
+        meta = spark.read.parquet(os.path.join(path, "_meta")).first()
+    except AnalysisException as e:
+        raise ValueError(
+            f"shard store at {path} has no _meta — an interrupted build "
+            "(write_shuffled_shards crashed between the data overwrite and "
+            "the _meta write); rebuild it with "
+            "write_shuffled_shards(..., overwrite=True) before appending"
+        ) from e
     if meta["seed"] != seed:
         raise ValueError(
             f"shard store at {path} was written with seed={meta['seed']}; "

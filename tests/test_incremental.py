@@ -579,6 +579,23 @@ def test_append_shuffled_shards_grows_without_rewriting(spark, docs):
         with pytest.raises(ValueError, match="epoch"):
             append_shuffled_shards(spark, docs.limit(1), store, seed="s", epoch=0)
 
+        # re-running the BUILD against an existing epoched store is refused
+        # (it would silently delete every stored epoch); an explicit
+        # overwrite=True is the deliberate-rebuild escape hatch
+        with pytest.raises(ValueError, match="append_shuffled_shards"):
+            write_shuffled_shards(delta, store, seed="s", n_shards=4, epoch=2)
+        assert files(store) == after  # the refused build touched nothing
+        write_shuffled_shards(
+            base, store, seed="s", n_shards=4, epoch=0, overwrite=True
+        )
+        assert spark.read.parquet(store).count() == 150  # rebuilt from base
+
+        # a store with no _meta (interrupted build) is refused LOUDLY by
+        # the append, with the rebuild instruction in the message
+        shutil.rmtree(os.path.join(store, "_meta"))
+        with pytest.raises(ValueError, match="_meta"):
+            append_shuffled_shards(spark, delta, store, seed="s", epoch=1)
+
         # epoch-major loader order: within a shard every epoch-0 row
         # precedes epoch-1 rows when sorted by (epoch, sort_key), and
         # within each epoch the seeded order is recoverable

@@ -168,7 +168,14 @@ def test_px2_tertiles_balanced_per_lang_and_share_px1_scores(spark, sf_dir):
     by_lang = defaultdict(lambda: defaultdict(list))
     for r in rows:
         by_lang[r.lang][r.bucket].append(r.milli_bits)
+    full_tertile_langs = 0
     for lang, b in by_lang.items():
         sizes = [len(b["head"]), len(b["middle"]), len(b["tail"])]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
-        assert max(b["head"]) <= min(b["tail"]), lang
+        # a lang with < 3 scorable docs legitimately lacks a bucket — only
+        # compare head vs tail where both exist (clean assertion failure,
+        # never a ValueError on an empty max/min if the fixture shifts)
+        if b["head"] and b["tail"]:
+            full_tertile_langs += 1
+            assert max(b["head"]) <= min(b["tail"]), lang
+    assert full_tertile_langs > 0, "no lang with all three buckets — vacuous"
