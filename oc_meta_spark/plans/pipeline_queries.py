@@ -45,12 +45,18 @@ _KEEP_NUM, _KEEP_DEN = 1, 2
 # tie-breaks on doc_id — so both engines return identical values with no
 # float contract.
 #
-# Scale notes (100 TB): one shuffle on source, then a per-group sort
-# inside the window — the standard exact order-statistics shape.  Groups
-# are mixture sources (tens to thousands), so per-group sorts are huge
-# but partition-parallel per source; for extreme single-group sizes the
-# sketch alternative is approx_percentile, deliberately NOT used here
-# because threshold selection is a published, re-derivable contract.
+# Scale notes (100 TB): a value-at-rank lookup needs NO corpus row window
+# at all (the round-9 weak finding's cleanest case): roll the corpus up to
+# one row per (source, n_chars) — bounded by the length RESOLUTION, not
+# the corpus — run the cumulative count over that rollup
+# (rank_refine.class_cumsum), and the quantile value is simply the class
+# whose running span contains the target rank.  One corpus shuffle (the
+# rollup's hash agg, map-side combined), then dimension-sized work; an
+# English-sized mega-source costs the same as a tiny one.  The doc_id
+# tie-break in the oracle's ordering cannot affect the VALUE at a rank,
+# so the rollup form is value-identical to the naive ranked window.
+# approx_percentile is deliberately NOT used: threshold selection is a
+# published, re-derivable contract.
 # ---------------------------------------------------------------------------
 @register(
     "QT1_exact_group_quantiles",
@@ -73,19 +79,24 @@ _KEEP_NUM, _KEEP_DEN = 1, 2
     doc="Exact p50/p90/p99 document length per source via rank-based order statistics — integer-exact quantile thresholds for corpus curation.",
 )
 def qt1_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from oc_meta_spark.plans.rank_refine import class_cumsum
 
-    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars", "doc_id")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("source")
-    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
+    docs = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    # (source, n_chars, cnt, cum, cum_before) — bounded by length
+    # resolution per source; the rank-t value is the class whose running
+    # span contains t: cum_before < t <= cum
+    off = class_cumsum(docs, ["source"], ["n_chars"])
+    tot = off.groupBy("source").agg(F.sum("cnt").alias("n"))
+    j = off.join(F.broadcast(tot), "source")
     pick = lambda num, den: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.expr(f"({num} * n + {den} - 1) div {den}"), F.col("n_chars"))
+        F.when(
+            (F.col("cum_before") < F.expr(f"({num} * n + {den} - 1) div {den}"))
+            & (F.expr(f"({num} * n + {den} - 1) div {den}") <= F.col("cum")),
+            F.col("n_chars"),
+        )
     ).cast("long")
     return (
-        ranked.groupBy("source")
+        j.groupBy("source")
         .agg(
             F.max("n").cast("long").alias("n_docs"),
             pick(1, 2).alias("p50"),

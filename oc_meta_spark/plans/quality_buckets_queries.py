@@ -15,16 +15,20 @@ the same unscorable-doc contract as PX1.
 
 Scale shape (100 TB): everything up to the per-doc score is PX1's plan
 (vocabulary-sized count joins, narrow maps, one rollup); the tertile
-rank is ONE window partitioned by language — partition-parallel (the
-MX2/MX4 per-stratum argument; a language is big but bounded, and a
-mega-language can be salt-split by the QB1 aggregate-then-refine
-pattern since the bucket rule is a pure rank threshold).
+bucketing is rank_refine's aggregate-then-refine (the bucket rule is a
+pure rank threshold): the per-(lang, milli_bits) rollup cumsum classifies
+whole score classes, only the <= 2 straddling classes per language rank
+their rows, and that rank window is salted by the doc_id's hex prefix —
+no window anywhere is partitioned by language alone over corpus rows
+(English ≈ half a web crawl; the round-9 weak finding this rewrite
+closes).  Value-identical to the naive per-language rank window, which
+the oracle below still is.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from oc_meta_spark.plans.quality_queries import PX_SCORING_CTES, lm_bits_scores
 from oc_meta_spark.plans.registry import register
@@ -52,19 +56,66 @@ from oc_meta_spark.sources.tables import load_table
     doc="CCNet head/middle/tail split: per-language exact perplexity tertiles over the shared integer-bits LM scorer — rank-threshold buckets, never engine-defined NTILE.",
 )
 def px2_perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.rank_refine import bucketed_rank, class_cumsum, hex_prefix
+
     docs = load_table(spark, "documents", sf_dir)
-    scored = lm_bits_scores(docs)
-    w_r = Window.partitionBy("lang").orderBy("milli_bits", "doc_id")
-    w_n = Window.partitionBy("lang")
-    ranked = scored.withColumn("r", F.row_number().over(w_r)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
+    scored = lm_bits_scores(docs).select("doc_id", "lang", "milli_bits")
+
+    # The tertile bucket is a pure rank threshold over (milli_bits,
+    # doc_id) per language: head = r <= t1, middle = t1 < r <= t2, with
+    # t1 = (n+2) div 3 and t2 = (2n+2) div 3 (the integer forms of
+    # "(3·(r−1)) div n" — same buckets as the oracle's expression).
+    # Aggregate-then-refine: the per-(lang, milli_bits) rollup's running
+    # spans classify every NON-straddling score class as a whole; only
+    # the (at most two) classes straddling t1/t2 rank their rows — salted
+    # by the doc_id's order-preserving hex prefix, so even an all-one-
+    # score mega-class never sorts in one task.
+    off = class_cumsum(scored, ["lang"], ["milli_bits"])
+    thr = off.groupBy("lang").agg(
+        F.expr("(sum(cnt) + 2) div 3").alias("t1"),
+        F.expr("(2 * sum(cnt) + 2) div 3").alias("t2"),
     )
-    return ranked.select(
-        "doc_id",
-        "lang",
-        "milli_bits",
-        F.when(F.expr("(3 * (r - 1)) div n") == 0, "head")
-        .when(F.expr("(3 * (r - 1)) div n") == 1, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    ).orderBy("doc_id")
+    cls = off.join(F.broadcast(thr), "lang").withColumn(
+        "whole",
+        F.when(F.col("cum") <= F.col("t1"), "head")
+        .when(
+            (F.col("cum_before") >= F.col("t1")) & (F.col("cum") <= F.col("t2")),
+            "middle",
+        )
+        .when(F.col("cum_before") >= F.col("t2"), "tail"),
+    )
+    # whole classes: bucket decided at the rollup — the class table is
+    # score-resolution-sized, joined unhinted (AQE broadcasts it)
+    bulk = scored.join(
+        cls.filter(F.col("whole").isNotNull()).select(
+            "lang", "milli_bits", F.col("whole").alias("bucket")
+        ),
+        ["lang", "milli_bits"],
+    )
+    # boundary classes (<= 2 per language — bounded, broadcast): exact
+    # in-class rank by doc_id via the hex-prefix salt, plus the class's
+    # rollup offset, recovers the identical global rank
+    bclass = cls.filter(F.col("whole").isNull()).select(
+        "lang", "milli_bits", F.col("cum_before").alias("class_off"), "t1", "t2"
+    )
+    bd = scored.join(F.broadcast(bclass), ["lang", "milli_bits"]).withColumn(
+        "hb", hex_prefix("doc_id")
+    )
+    bded = (
+        bucketed_rank(bd, ["lang", "milli_bits"], ["hb"], ["doc_id"], rank_col="rin")
+        .withColumn("r", F.col("class_off") + F.col("rin"))
+        .select(
+            "lang",
+            "milli_bits",
+            "doc_id",
+            F.when(F.col("r") <= F.col("t1"), "head")
+            .when(F.col("r") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return (
+        bulk.unionByName(bded)
+        .select("doc_id", "lang", "milli_bits", "bucket")
+        .orderBy("doc_id")
+    )

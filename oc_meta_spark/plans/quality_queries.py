@@ -229,18 +229,15 @@ def budget_select(t: DataFrame, n_levels: int = 1) -> DataFrame:
     window over the one innermost boundary bucket — the only place a row
     window touches document rows at all.
     """
+    from oc_meta_spark.plans.rank_refine import class_cumsum
+
     budget = t.agg(F.expr("sum(n_tok) div 2").alias("budget"))
 
-    per_q = t.groupBy("q_ppm").agg(F.sum("n_tok").alias("tok"))
-    w_q = (
-        Window.partitionBy()
-        .orderBy(F.col("q_ppm").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum_q = (
-        per_q.withColumn("cum", F.sum("tok").over(w_q))
-        .join(F.broadcast(budget))
-        .withColumn("cum_before", F.col("cum") - F.col("tok"))
+    # the per-score rollup with running token totals — rank_refine's
+    # class_cumsum (this function is where the pattern was first proven;
+    # the helper now owns the rollup-cumsum step for all its consumers)
+    cum_q = class_cumsum(t, [], ["q_ppm"], weight_col="n_tok", ascending=False).join(
+        F.broadcast(budget)
     )
     full_q = cum_q.filter(F.col("cum") <= F.col("budget")).select("q_ppm")
     kept = [t.join(F.broadcast(full_q), "q_ppm", "left_semi")]

@@ -249,9 +249,15 @@ def mx3_mixture_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale notes (100 TB): the quota computation runs entirely on the
 # per-stratum COUNT aggregate — a table bounded by the source VOCABULARY
 # (tens of rows), which is why its windows are deliberately unpartitioned
-# (dimension-sized, never corpus-sized); the corpus side is one hash agg
-# + one per-stratum rank window + a broadcast quota join — no corpus
-# shuffle beyond the stratum window's own.
+# (dimension-sized, never corpus-sized).  The within-stratum draw uses
+# rank_refine.bucketed_rank: the only corpus-row window is salted by the
+# draw key's 2-char prefix (256 buckets per stratum — a mega-stratum
+# never sorts in one task), global ranks are recovered from the bounded
+# rollup's running offsets, and buckets wholly past the quota are pruned
+# before any row is ranked.  The rank is IDENTICAL to the naive
+# per-source window (prefix decomposition of the sort key) — the oracle
+# below still IS that naive window.
+
 # ---------------------------------------------------------------------------
 _MX4_TOTAL = 200
 
@@ -318,11 +324,25 @@ def mx4_exact_quota_stratified_sample(spark: SparkSession, sf_dir: str) -> DataF
         "source",
         F.md5(F.concat(F.lit("mx4:"), F.col("doc_id").cast("string"))).alias("skey"),
     )
-    w_rank = Window.partitionBy("source").orderBy("skey", "doc_id")
+    # the within-stratum draw is rank over (skey, doc_id) per source — a
+    # corpus-sized window on the skewed stratum key if done naively (the
+    # round-9 weak finding).  bucketed_rank salts it by the skey's 2-char
+    # prefix (a prefix of the sort key, so the rank is IDENTICAL — the
+    # oracle is still the naive per-source window) and prunes whole
+    # buckets past the quota before any row is ranked.
+    from oc_meta_spark.plans.rank_refine import bucketed_rank
+
+    keyed = keyed.withColumn("b", F.substring("skey", 1, 2))
     return (
-        keyed.withColumn("r", F.row_number().over(w_rank))
-        .join(F.broadcast(quota), "source")
-        .filter(F.col("r") <= F.col("quota"))
-        .select("doc_id", "source", F.col("r").cast("long").alias("stratum_rank"))
+        bucketed_rank(
+            keyed,
+            ["source"],
+            ["b"],
+            ["skey", "doc_id"],
+            rank_col="r",
+            max_rank_df=quota.withColumnRenamed("quota", "max_rank"),
+        )
+        .filter(F.col("r") <= F.col("max_rank"))
+        .select("doc_id", "source", F.col("r").alias("stratum_rank"))
         .orderBy("doc_id")
     )

@@ -271,18 +271,43 @@ def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_mx4_rank_window_is_partitioned_by_source(spark):
-    # the corpus-side rank window must be per-stratum (partition-parallel);
-    # the quota side joins broadcast (it is the stratum aggregate — tens
-    # of rows — whose own windows are allowed to be unpartitioned)
+def test_mx4_rank_window_is_salted_by_key_prefix(spark):
+    # the within-stratum draw must never sort a whole stratum in one task
+    # (round-9 weak finding): the only corpus-side rank window is salted
+    # by the draw key's 2-char prefix — partitioned by (source, b), never
+    # source alone; the quota/offset sides join broadcast
     plan = _plan(spark, "MX4_exact_quota_stratified_sample")
     found = False
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line and "skey" in line:
             found = True
-            assert re.search(r"\[source#\d+\]", line), line
+            assert re.search(r"\[source#\d+, b#\d+\]", line), line
     assert found, "no corpus-side rank Window in MX4 plan — test would be vacuous\n" + plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_qt1_quantiles_need_no_corpus_row_window(spark):
+    # value-at-rank over the bounded (source, n_chars) rollup: the plan
+    # must contain NO row_number at all (the naive form's per-source rank
+    # was the round-9 weak finding), and the scan must prune to exactly
+    # the two columns the rollup needs
+    plan = _plan(spark, "QT1_exact_group_quantiles")
+    assert "row_number" not in plan, plan[:3000]
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "doc_id" not in m.group(1) and "text" not in m.group(1), m.group(0)
+
+
+def test_px2_rank_windows_are_boundary_class_only(spark):
+    # the tertile split may rank rows ONLY inside a straddling score
+    # class, salted by the doc_id hex prefix: every row_number window is
+    # partitioned by (lang, milli_bits, hb) — never lang alone
+    plan = _plan(spark, "PX2_perplexity_tertile_split")
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            found = True
+            assert re.search(r"\[lang#\d+, milli_bits#\d+L?, hb#\d+\]", line), line
+    assert found, "no boundary-class rank Window in PX2 plan — vacuous\n" + plan[:3000]
 
 
 def test_sd1_diff_is_one_full_outer_equi_join(spark):
