@@ -253,6 +253,29 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def banded_pairs(docs: DataFrame, n_band_rows: int = 4) -> DataFrame:
+    """(doc_a, doc_b), doc_a < doc_b: the banded-LSH candidate pairs of a
+    (doc_id, text) corpus — D16's kernel over an arbitrary frame, shared
+    with HS1/HS3's cluster derivations.  The MinHash/banding kernel is
+    ONE implementation (plans/incremental.py), two band geometries
+    (within-corpus: 2 bands of 4; incremental index: 4 bands of 2)."""
+    from oc_meta_spark.plans.incremental import band_buckets, minhash_signature
+
+    bands = band_buckets(minhash_signature(docs), n_band_rows=n_band_rows)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
 @register(
     "D16_minhash_lsh_near_dup",
     f"""
@@ -273,26 +296,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
     doc="MinHash over 3-word shingles + banded LSH candidate pairs (training-data dedup; SURVEY M6).",
 )
 def d16_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the MinHash/banding kernel is shared with the incremental-corpus
-    # index (plans/incremental.py) — ONE implementation, two band
-    # geometries (within-corpus: 2 bands of 4; index: 4 bands of 2)
-    from oc_meta_spark.plans.incremental import band_buckets, minhash_signature
-
-    docs = _t(spark, sf_dir, "documents")
-    bands = band_buckets(minhash_signature(docs), n_band_rows=4)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
-        .orderBy("doc_a", "doc_b")
-    )
+    return banded_pairs(_t(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -442,6 +442,226 @@ def hs2_incremental_holdout_stability(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# HS3 — the HS1→HS2 COMPOSITION over the real clustering kernel: HS2's
+# driver row pins the assignment rule over synthetic clusters; this gate
+# derives both yesterday's and today's clusters from the REAL banded-
+# MinHash + connected-components path (HS1's kernel, D16's geometry) and
+# runs the incremental assigner across real growth.
+#
+# Plants (all deterministic through the honest kernel — both engines
+# derive them from the same md5 banding):
+#   %30==1 (old, >=3 words)  → text := its own first 3 words REPEATED
+#                              ("w1 w2 w3 w1 w2 w3");
+#   %30==0 (new)             → the ROTATION of its old neighbor's triple
+#                              ("w2 w3 w1 w2 w3 w1"): the two texts have
+#                              the IDENTICAL shingle set, hence identical
+#                              signatures and band buckets — a GUARANTEED
+#                              banded near-dup merge of the new doc into
+#                              the old cluster (different md5, so the
+#                              exact path cannot shortcut it);
+#   %50==0 (new, donor not a %30==1 plant) → the old neighbor's text
+#                              verbatim — the exact-dup merge path.
+# Every other new doc exercises the fresh path; every old doc must come
+# back 'kept' with yesterday's split byte-identical.
+#
+# Why no cross-OLD-cluster bridge is planted: under banded MinHash the
+# only DETERMINISTIC similarity is shingle-set equality, which is an
+# equivalence relation — any doc set it connects was already ONE cluster
+# in yesterday's run, so a guaranteed two-old-cluster merge through the
+# real kernel is impossible by construction (a probabilistic band
+# collision could do it, but then the gate's expectations would be
+# SF-dependent).  The cross-split straddle-merge contract is therefore
+# pinned where it can be forced: HS2's synthetic-cluster gate and the
+# explicit-bridge pytest (tests/test_incremental.py::
+# test_incremental_holdout_never_reassigns).
+#
+# Scale notes: two runs of HS1's shape (pairs are block-then-verify,
+# CC is pointer-jumping) + HS2's assignment joins; in production
+# yesterday's clusters come from the persisted holdout history, not a
+# re-derivation — the double clustering here exists to make the oracle
+# self-contained.
+# ---------------------------------------------------------------------------
+_HS3_SEED = "hs3"
+
+
+def _hs3_w(col: str, i: int) -> str:
+    return f"string_split({col}, ' ')[{i}]"
+
+
+def _hs3_triple(col: str, order: tuple[int, int, int]) -> str:
+    a, b, c = (_hs3_w(col, i) for i in order)
+    return f"({a} || ' ' || {b} || ' ' || {c} || ' ' || {a} || ' ' || {b} || ' ' || {c})"
+
+
+def _hs3_cluster_block(tag: str, src: str) -> str:
+    """The HS1 kernel as CTEs over ``src``: shingles → k=8 MinHash →
+    2 bands of 4 → candidate pairs → recursive-CTE CC → (doc_id, cluster)
+    as ``cl{tag}`` (singletons are their own cluster)."""
+    return f"""
+    sh{tag} AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))
+    ),
+    mh{tag} AS (
+      SELECT doc_id, k, MIN(md5(s || '#' || CAST(k AS VARCHAR))) AS h
+      FROM sh{tag} CROSS JOIN (SELECT unnest(range(8)) AS k)
+      GROUP BY doc_id, k
+    ),
+    bd{tag} AS (
+      SELECT doc_id, k // 4 AS band, md5(string_agg(h, '|' ORDER BY k)) AS bucket
+      FROM mh{tag} GROUP BY doc_id, k // 4
+    ),
+    pr{tag} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bd{tag} a JOIN bd{tag} b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym{tag} AS (
+      SELECT doc_a AS u, doc_b AS v FROM pr{tag}
+      UNION SELECT doc_b, doc_a FROM pr{tag}
+    ),
+    nodes{tag} AS (SELECT DISTINCT u AS node FROM sym{tag}),
+    reach{tag}(node, r) AS (
+      SELECT node, node FROM nodes{tag}
+      UNION
+      SELECT reach{tag}.node, s.v FROM reach{tag} JOIN sym{tag} s ON s.u = reach{tag}.r
+    ),
+    comp{tag} AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach{tag} GROUP BY node),
+    cl{tag} AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM {src} d LEFT JOIN comp{tag} c ON c.doc_id = d.doc_id
+    )"""
+
+
+_HS3_ORACLE = f"""
+    WITH RECURSIVE planted AS (
+      SELECT m.doc_id,
+             CASE
+               WHEN m.doc_id % 30 = 1 AND len(string_split(m.text, ' ')) >= 3
+                 THEN {_hs3_triple("m.text", (1, 2, 3))}
+               WHEN m.doc_id % 30 = 0 AND n.text IS NOT NULL
+                    AND len(string_split(n.text, ' ')) >= 3
+                 THEN {_hs3_triple("n.text", (2, 3, 1))}
+               WHEN m.doc_id % 50 = 0 AND n.text IS NOT NULL
+                    AND (m.doc_id + 1) % 30 <> 1
+                 THEN n.text
+               ELSE m.text END AS text
+      FROM documents m LEFT JOIN documents n ON n.doc_id = m.doc_id + 1
+    ),
+    old AS (SELECT doc_id, text FROM planted WHERE doc_id % 10 <> 0),
+    {_hs3_cluster_block("o", "old")},
+    prior_split AS (
+      SELECT doc_id,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+             0 AS assigned_epoch
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('{_HS3_SEED}:' || CAST(cluster AS VARCHAR)), 1, 12))::BIGINT % 10 AS b
+        FROM clo
+      )
+    ),
+    {_hs3_cluster_block("f", "planted")},
+    anchors AS (
+      SELECT cluster, split AS inherited_split FROM (
+        SELECT c.cluster, p.split,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                  ORDER BY p.assigned_epoch, p.doc_id) AS rn
+        FROM clf c JOIN prior_split p ON p.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    fresh AS (
+      SELECT doc_id, cluster,
+             ('0x' || substr(md5('{_HS3_SEED}:' || CAST(cluster AS VARCHAR)), 1, 12))::BIGINT % 10 AS fb
+      FROM clf WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, split, 'kept' AS status FROM prior_split
+    UNION ALL
+    SELECT f.doc_id,
+           COALESCE(a.inherited_split,
+                    CASE WHEN f.fb < 8 THEN 'train'
+                         WHEN f.fb = 8 THEN 'val' ELSE 'test' END) AS split,
+           CASE WHEN a.inherited_split IS NOT NULL
+                THEN 'inherited' ELSE 'fresh' END AS status
+    FROM fresh f LEFT JOIN anchors a ON a.cluster = f.cluster
+    ORDER BY doc_id
+"""
+
+
+def hs3_planted_corpus(docs: DataFrame) -> DataFrame:
+    """HS3's planted corpus (doc_id, text) — the SINGLE definition of the
+    plant; the gate and tests/test_incremental.py both import it.  See
+    the residue table in the comment block above."""
+    n = docs.select(F.col("doc_id").alias("n_id"), F.col("text").alias("n_text"))
+    j = docs.join(n, F.col("n_id") == F.col("doc_id") + 1, "left")
+    ws = F.split(F.col("text"), " ")
+    nws = F.split(F.col("n_text"), " ")
+
+    def triple(arr, order):
+        a, b, c = (F.element_at(arr, i) for i in order)
+        return F.concat_ws(" ", a, b, c, a, b, c)
+
+    return j.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 30 == 1) & (F.size(ws) >= 3), triple(ws, (1, 2, 3))
+        )
+        .when(
+            (F.col("doc_id") % 30 == 0)
+            & F.col("n_text").isNotNull()
+            & (F.size(nws) >= 3),
+            triple(nws, (2, 3, 1)),
+        )
+        .when(
+            (F.col("doc_id") % 50 == 0)
+            & F.col("n_text").isNotNull()
+            & ((F.col("doc_id") + 1) % 30 != 1),
+            F.col("n_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def lsh_clusters(corpus: DataFrame) -> DataFrame:
+    """(doc_id, cluster): HS1's clustering kernel over an arbitrary
+    (doc_id, text) frame — banded-MinHash candidate pairs + pointer-
+    jumping connected components; docs in no pair are their own
+    singleton cluster."""
+    from oc_meta_spark.operators.cc import connected_components
+    from oc_meta_spark.plans.dedup_queries import banded_pairs
+
+    pairs = banded_pairs(corpus)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("doc_id")))
+    )
+
+
+@register(
+    "HS3_composed_holdout_growth",
+    _HS3_ORACLE,
+    doc="HS1→HS2 composition over the real clustering kernel: yesterday's holdout from banded-MinHash+CC clusters of the old corpus, today's growth (planted exact and rotation near-dup merges plus fresh docs) assigned incrementally — old assignments never move.",
+)
+def hs3_composed_holdout_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = hs3_planted_corpus(docs)
+    old = planted.filter(F.col("doc_id") % 10 != 0)
+    prior = lsh_clusters(old).select(
+        "doc_id",
+        seeded_split(_HS3_SEED, "cluster").alias("split"),
+        F.lit(0).cast("int").alias("assigned_epoch"),
+    )
+    clustered = lsh_clusters(planted)
+    return assign_holdout_incremental(clustered, prior, seed=_HS3_SEED).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # IN1 — streaming ingestion with online dedup: the continuous form of the
 # nightly ID1 loop (streaming/ingest.py).  A sequence of micro-batches is
 # folded through classify-against-index → extend-index, so a document is

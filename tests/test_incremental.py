@@ -632,3 +632,56 @@ def test_read_shuffled_shards_restores_epoch_major_order(spark, docs):
         assert keyed == sorted(keyed) and len(keyed) == 100
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_hs3_composed_growth_planted_paths(spark, sf_dir):
+    """HS3's composition over the real clustering kernel: every old doc
+    comes back 'kept' with yesterday's split byte-identical; the rotation
+    plants (%30==0 — same shingle set as the old neighbor's repeated
+    triple, DIFFERENT md5) merge through the banded near-dup path and
+    inherit; the exact-copy plants (%50==0 with a raw-text donor) inherit
+    through the exact path; and the rotation docs are provably NOT exact
+    duplicates of their donor (text differs), so the inherit really went
+    through banding."""
+    from oc_meta_spark.plans.incremental import seeded_split
+    from oc_meta_spark.plans.incremental_queries import (
+        hs3_composed_holdout_growth,
+        hs3_planted_corpus,
+        lsh_clusters,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = hs3_planted_corpus(docs)
+    got = {r["doc_id"]: (r["split"], r["status"])
+           for r in hs3_composed_holdout_growth(spark, sf_dir).collect()}
+
+    # yesterday's assignment, re-derived independently here
+    old = planted.filter(F.col("doc_id") % 10 != 0)
+    prior = {r["doc_id"]: r["split"]
+             for r in lsh_clusters(old)
+             .select("doc_id", seeded_split("hs3", "cluster").alias("split"))
+             .collect()}
+    assert set(prior) == {d for d in got if d % 10 != 0}
+    for d, split in prior.items():
+        assert got[d] == (split, "kept"), d  # old docs NEVER move
+
+    texts = {r["doc_id"]: r["text"] for r in planted.collect()}
+    rotated = [d for d in got if d % 30 == 0 and d + 1 in texts
+               and len(texts[d + 1].split(" ")) >= 3]
+    assert rotated, "no rotation plant at this SF — vacuous"
+    for d in rotated:
+        # guaranteed banded merge into the old neighbor's cluster → the
+        # neighbor's (kept) split is inherited; and the texts differ, so
+        # the exact-hash path cannot have shortcut the banding
+        assert texts[d] != texts[d + 1], d
+        assert got[d] == (prior[d + 1], "inherited"), d
+
+    copied = [d for d in got if d % 50 == 0 and d % 30 != 0 and d + 1 in texts
+              and (d + 1) % 30 != 1]
+    assert copied, "no exact-copy plant at this SF — vacuous"
+    for d in copied:
+        assert texts[d] == texts[d + 1], d
+        assert got[d] == (prior[d + 1], "inherited"), d
+
+    # the fresh path exists: some new doc in an all-new cluster
+    assert any(got[d][1] == "fresh" for d in got if d % 10 == 0)
