@@ -1,0 +1,171 @@
+"""Persisted inverted index (postings table) for ranked keyword search —
+IR1's nightly shape.  IR1's gate re-explodes the corpus per query; a
+standing search service builds the postings ONCE and appends nightly
+(the SCALING note IR1 shipped with), under the same persisted-store
+contract as the dedup signature index and the IVF index
+(plans/incremental.py, plans/ivf_index.py; reference analog: the
+resumable-cache discipline of oc_meta/run/meta_process.py:183-190 —
+processed state is immutable across runs):
+
+- ``postings``: (term, doc_id, tf) — one row per (document, distinct
+  term), hive-partitioned by ``tp`` = the 2-char md5 prefix of the term
+  (256 uniform partitions: term cardinality is unbounded, so the term
+  itself cannot be the partition column, but its hash prefix bounds file
+  counts AND lets a query push its terms' prefixes as STATIC partition
+  filters, so the scan lists only the probed terms' files — the parquet
+  analog of per-term posting lists).
+- ``docs``: (doc_id) — one row per indexed document.  This is BOTH the
+  idf denominator (N = count of indexed docs, a parquet-metadata count)
+  and the retry-idempotency witness: a term-less document leaves no
+  postings row, so without it a retried append would silently inflate N.
+- ``meta``: the layout marker; ``read_postings_index`` refuses a store
+  written under a different layout.
+
+Postings rows are disjoint per doc_id, and N is one count — so
+``extend_postings_index`` (index the delta, union) is EXACTLY equivalent
+to rebuilding from the full corpus, at delta cost, and idempotent under
+retried appends (the ``fresh_only`` broadcast-probe guard; re-adding a
+known doc_id with different text is a revision and needs a rebuild — it
+is ignored consistently in BOTH tables, never half-applied).
+
+Scoring is IR1's integer contract — score(d) = Σ tf · ((1000·N) div df),
+df computed at query time from the probed postings themselves (the
+pruned partitions hold EVERY posting of the probed terms, so df is
+exact) — which is why the IR2 gate's oracle is literally IR1's SQL over
+the full corpus: build-on-a-slice + extend-with-the-rest must reproduce
+the from-scratch ranking bit for bit.
+
+Scale shape (100 TB corpus, ~1 TB nightly delta): the build is one
+explode + one (doc, term) hash agg; the append touches delta rows only;
+a query reads nprobe≈|query| term partitions (a scan of the probed 256ths
+of the store, never a shuffle of it), aggregates query-cardinality df
+rows, broadcasts them back, and takes top-k via TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+POSTINGS_LAYOUT = "tp_v1"  # the meta marker: postings/ partitioned by tp
+
+
+@dataclass
+class PostingsIndex:
+    """The persisted search index (see module doc)."""
+
+    postings: DataFrame  # (term, doc_id, tf, tp)
+    docs: DataFrame  # (doc_id): every indexed document, term-less included
+
+
+def build_postings_index(docs: DataFrame) -> PostingsIndex:
+    """Index a (doc_id, text) corpus: whitespace terms, per-(doc, term)
+    frequency, the 2-char term-hash partition column."""
+    postings = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        # split("") yields [""]: the empty token is not a term — dropping
+        # it keeps a term-less doc postings-free (its N contribution lives
+        # in docs/) and cannot affect scoring (query terms are non-empty)
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tp", F.substring(F.md5("term"), 1, 2))
+    )
+    return PostingsIndex(postings=postings, docs=docs.select("doc_id"))
+
+
+def extend_postings_index(index: PostingsIndex, new_docs: DataFrame) -> PostingsIndex:
+    """The nightly append: index the genuinely-new documents and union.
+    Exactly equivalent to rebuilding from the full corpus (postings are
+    per-doc disjoint; N is a count over the docs table) at delta cost;
+    idempotent under a retried append — the corpus-sized docs table is
+    probed with a BROADCAST of the delta's ids (``fresh_only``: a scan,
+    never a shuffle)."""
+    from oc_meta_spark.plans.incremental import fresh_only
+
+    fresh = fresh_only(new_docs.select("doc_id", "text"), index.docs, "doc_id")
+    delta = build_postings_index(fresh)
+    return PostingsIndex(
+        postings=index.postings.unionByName(delta.postings),
+        docs=index.docs.unionByName(delta.docs),
+    )
+
+
+def write_postings_index(index: PostingsIndex, path: str) -> None:
+    """Persist postings/ hive-partitioned by ``tp`` (probe-pruned posting
+    lists), docs/ plain, and the one-row meta/ layout marker — the same
+    overwrite-swap layout as the signature and IVF indexes."""
+    index.postings.write.mode("overwrite").partitionBy("tp").parquet(
+        os.path.join(path, "postings")
+    )
+    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(POSTINGS_LAYOUT,)], schema="layout string"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def read_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
+    """Load a persisted index, refusing a foreign layout.  The read
+    schema is EXPLICIT (the signature-index lesson): ``tp`` must come
+    back as the scan's true partition attribute — directory-name
+    inference would read an all-numeric prefix like ``07`` as INT and
+    drop the leading zero, and a recomputed substring projection could
+    not dynamic-partition-prune the probe."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    if meta["layout"] != POSTINGS_LAYOUT:
+        raise ValueError(
+            f"postings index at {path} has layout={meta['layout']}; this "
+            f"build reads {POSTINGS_LAYOUT} — rebuild the index, do not mix "
+            "configurations"
+        )
+    postings = (
+        spark.read.schema("term string, doc_id bigint, tf bigint, tp string")
+        .parquet(os.path.join(path, "postings"))
+        .select("term", "doc_id", "tf", "tp")
+    )
+    return PostingsIndex(
+        postings=postings,
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+    )
+
+
+def search_postings(index: PostingsIndex, terms: list[str], k: int) -> DataFrame:
+    """(doc_id, score, n_terms_hit, rank): IR1's ranked boolean retrieval
+    over the persisted postings — integer rational idf, ties on doc_id.
+    The query's terms are known at PLAN time, so their tp prefixes are
+    computed driver-side and pushed as STATIC partition filters — the
+    scan of a persisted store lists only the probed terms' directories
+    (PartitionFilters, stronger than a DPP subquery, which Spark would
+    decline for an unfiltered local-relation probe anyway); df is exact
+    because those partitions hold every posting of the probed terms;
+    top-k is TakeOrderedAndProject with the rank window over the taken k
+    rows only."""
+    import hashlib
+
+    prefixes = sorted({hashlib.md5(t.encode("utf-8")).hexdigest()[:2] for t in terms})
+    hits = index.postings.filter(
+        F.col("tp").isin(prefixes) & F.col("term").isin(list(terms))
+    )
+    n = index.docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df), "term")  # df is query-cardinality rows
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(1000 * n_docs) div df")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.partitionBy().orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        "rank",
+    )

@@ -17,10 +17,14 @@ term-keyed agg over the postings (query-cardinality rows, broadcast
 back); the top-k is ``orderBy().limit(k)`` — Spark's
 ``TakeOrderedAndProject``, a per-partition heap + driver merge, never a
 global sort; the rank column is a window over the ALREADY-TAKEN k rows
-(k-bounded, the MX4 dimension-window argument).  For a standing search
-service, persist the (term, doc_id, tf) postings table bucketed by term
-(the inverted index) and skip the explode per query — the ivf_index
-persistence contract applies unchanged.
+(k-bounded, the MX4 dimension-window argument).
+
+**IR2** is the standing-service form: the (term, doc_id, tf) postings
+persist as a term-hash-partitioned inverted index
+(plans/postings_index.py — the signature/IVF store contract), built once
+and nightly-extended; each query probe-prunes to its own terms' files
+instead of re-exploding the corpus.  Its oracle is IR1's SQL verbatim,
+so the gate pins extend≡rebuild at the value level.
 
 No reference counterpart (the reference looks entities up by exact
 identifier, never by ranked text relevance); the closest analog is the
@@ -40,10 +44,10 @@ _IR1_TERMS = ("vector", "merge", "window")
 _IR1_K = 10
 _IR1_TERMS_SQL = ", ".join(f"'{t}'" for t in _IR1_TERMS)
 
-
-@register(
-    "IR1_keyword_search_topk",
-    f"""
+# IR1's full scoring SQL — shared verbatim by IR2, whose persisted-index
+# build-then-extend path must reproduce the from-scratch ranking exactly
+# (the PX_SCORING_CTES discipline: one rendering per shared contract)
+_IR1_ORACLE = f"""
     WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
     tf AS (
       SELECT doc_id, w AS term, COUNT(*) AS tf
@@ -67,7 +71,12 @@ _IR1_TERMS_SQL = ", ".join(f"'{t}'" for t in _IR1_TERMS)
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score,
            CAST(n_terms_hit AS BIGINT) AS n_terms_hit, CAST(rank AS BIGINT) AS rank
     FROM rk WHERE rank <= {_IR1_K} ORDER BY rank
-    """,
+"""
+
+
+@register(
+    "IR1_keyword_search_topk",
+    _IR1_ORACLE,
     doc="TF-IDF keyword search: rational idf weights (integer-exact cross-engine), per-doc term-frequency scoring, top-k via TakeOrderedAndProject — ranked text retrieval over the corpus.",
 )
 def ir1_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,3 +108,36 @@ def ir1_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IR2 — the PERSISTED form of IR1: build the term-bucketed postings index
+# on a founding slice (doc_id % 10 != 0), extend it with the rest (the
+# nightly append), search the extended index.  The oracle is IR1's SQL
+# over the FULL corpus verbatim — so the gate pins extend≡rebuild AND the
+# probe-pruned search in one value-level check: if the append missed or
+# doubled a posting, or the probe dropped one, a tf/df/N would shift and
+# the ranking hash would diverge.  Store persistence, the static partition
+# filters on tp, retry idempotency, and the layout guard are pinned by
+# tests/test_postings_index.py (the gate runs the in-memory composition —
+# same plan shapes minus the parquet round-trip).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "IR2_persisted_postings_search",
+    _IR1_ORACLE,
+    doc="Persisted inverted-index search: term-bucketed postings built on a founding slice and nightly-extended with the delta must reproduce IR1's from-scratch ranking exactly (extend≡rebuild, probed-partition df).",
+)
+def ir2_persisted_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.postings_index import (
+        build_postings_index,
+        extend_postings_index,
+        search_postings,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    founding = build_postings_index(docs.filter(F.col("doc_id") % 10 != 0))
+    extended = extend_postings_index(founding, docs.filter(F.col("doc_id") % 10 == 0))
+    return search_postings(extended, list(_IR1_TERMS), _IR1_K)
+
