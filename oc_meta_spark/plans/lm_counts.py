@@ -1,0 +1,229 @@
+"""Persisted LM count tables for the CCNet-style perplexity scorer —
+PX1's nightly shape.  PX1's gate re-trains the add-one bigram model per
+run; a production corpus trains on the reference slice ONCE and extends
+the counts nightly as the reference slice grows (the SCALING note PX1
+shipped with), under the persisted-store contract of the signature/IVF/
+postings indexes (plans/incremental.py, plans/ivf_index.py,
+plans/postings_index.py; reference analog: the resumable-cache
+discipline of oc_meta/run/meta_process.py:183-190):
+
+- ``heads``: (w1, c1) — head-word counts, hive-partitioned by ``gp`` =
+  the 2-char md5 prefix of w1 (the gram-hash bucketing of the SCALING
+  note: gram cardinality is unbounded, its hash prefix is 256 uniform
+  partitions, and the extend's touched-gram probes partition-prune on
+  it).  The vocabulary size v = |heads| + 1 is DERIVED from this table —
+  never stored, so it cannot drift.
+- ``bigrams``: (w1, w2, c12), same ``gp`` layout (bucketed on the HEAD
+  word's hash so a head's bigram family co-locates with its head count).
+- ``docs``: (doc_id) — every trained document: the retry-idempotency
+  witness (counts are ADDITIVE, so unlike the set-union stores a
+  replayed delta would silently DOUBLE them without a doc-level guard).
+- ``meta``: the layout marker.
+
+Counts are additive, so ``extend_lm_counts`` (count the genuinely-new
+training docs, merge per gram) is EXACTLY equivalent to rebuilding from
+the full training slice, at delta cost — the merge re-aggregates only
+the delta-touched gram rows (broadcast semi/anti probes, the
+extend_signature_index discipline: the vocabulary-sized tables are
+scanned, never shuffled wholesale).
+
+``score_with_counts`` is lm_bits_scores' cost kernel over the persisted
+tables — which is why the PX3 gate's oracle is PX1's scoring SQL
+(PX_SCORING_CTES) verbatim: build-on-a-slice + extend-with-the-rest must
+reproduce the from-scratch model's every milli_bits bit for bit.
+
+Scale shape (100 TB corpus): the count tables are VOCABULARY-sized; the
+nightly extend costs O(delta bigrams); scoring joins are keyed equi-joins
+left unhinted (AQE broadcasts a small vocabulary, shuffles by key if a
+tokenizer explosion grows it — the PX1 doctrine).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+LM_LAYOUT = "gp_v1"  # meta marker: heads/ and bigrams/ partitioned by gp
+
+# one (w1, w2) struct per bigram; guarded for sub-2-word docs — the same
+# expression lm_bits_scores uses (sequence(1, 0) is DESCENDING in Spark)
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(1, size(ws) - 1), "
+    "i -> struct(ws[i-1] AS w1, ws[i] AS w2)) "
+    "ELSE array() END"
+)
+
+
+@dataclass
+class LmCounts:
+    """The persisted bigram-LM state (see module doc)."""
+
+    heads: DataFrame  # (w1, c1, gp)
+    bigrams: DataFrame  # (w1, w2, c12, gp)
+    docs: DataFrame  # (doc_id): every trained document
+
+
+def _gp(col: str) -> Column:
+    return F.substring(F.md5(col), 1, 2)
+
+
+def _train_pairs(train_docs: DataFrame) -> DataFrame:
+    """(w1, w2): one row per bigram occurrence of the training slice."""
+    return (
+        train_docs.select(F.split("text", " ").alias("ws"))
+        .select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+
+
+def build_lm_counts(train_docs: DataFrame) -> LmCounts:
+    """Count a (doc_id, text) training slice into the persisted shape."""
+    pairs = _train_pairs(train_docs)
+    heads = (
+        pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumn("gp", _gp("w1"))
+    )
+    bigrams = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("gp", _gp("w1"))
+    )
+    return LmCounts(heads=heads, bigrams=bigrams, docs=train_docs.select("doc_id"))
+
+
+def extend_lm_counts(counts: LmCounts, new_train_docs: DataFrame) -> LmCounts:
+    """The nightly append: count the genuinely-new training docs and merge
+    per gram.  Counts are additive, so this EXACTLY equals a rebuild from
+    the full slice — at delta cost: only delta-touched gram rows
+    re-aggregate (broadcast semi/anti probes keyed on the delta's grams;
+    the vocabulary-sized tables are scanned, never shuffled wholesale).
+    Idempotent under a retried append via the doc-level witness — counts
+    are additive, so WITHOUT the guard a replay would double them, the
+    exact failure the docs table exists to prevent.  Re-adding a known
+    doc_id with different text is a revision and needs a rebuild; it is
+    ignored consistently across all three tables."""
+    from oc_meta_spark.plans.incremental import fresh_only
+
+    fresh = fresh_only(new_train_docs.select("doc_id", "text"), counts.docs, "doc_id")
+    delta = build_lm_counts(fresh)
+
+    probe_h = delta.heads.select("gp", "w1")
+    touched_h = counts.heads.join(F.broadcast(probe_h), ["gp", "w1"], "left_semi").select(
+        "w1", "c1", "gp"
+    )
+    untouched_h = counts.heads.join(
+        F.broadcast(probe_h), ["gp", "w1"], "left_anti"
+    ).select("w1", "c1", "gp")
+    merged_h = (
+        touched_h.unionByName(delta.heads)
+        .groupBy("w1")
+        .agg(F.sum("c1").alias("c1"))
+        .withColumn("gp", _gp("w1"))
+    )
+
+    probe_b = delta.bigrams.select("gp", "w1", "w2")
+    touched_b = counts.bigrams.join(
+        F.broadcast(probe_b), ["gp", "w1", "w2"], "left_semi"
+    ).select("w1", "w2", "c12", "gp")
+    untouched_b = counts.bigrams.join(
+        F.broadcast(probe_b), ["gp", "w1", "w2"], "left_anti"
+    ).select("w1", "w2", "c12", "gp")
+    merged_b = (
+        touched_b.unionByName(delta.bigrams)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+        .withColumn("gp", _gp("w1"))
+    )
+
+    return LmCounts(
+        heads=untouched_h.unionByName(merged_h),
+        bigrams=untouched_b.unionByName(merged_b),
+        docs=counts.docs.unionByName(delta.docs),
+    )
+
+
+def write_lm_counts(counts: LmCounts, path: str) -> None:
+    """Persist heads/ and bigrams/ hive-partitioned by ``gp``, docs/
+    plain, and the one-row meta/ layout marker — the overwrite-swap
+    layout of the sibling stores."""
+    counts.heads.write.mode("overwrite").partitionBy("gp").parquet(
+        os.path.join(path, "heads")
+    )
+    counts.bigrams.write.mode("overwrite").partitionBy("gp").parquet(
+        os.path.join(path, "bigrams")
+    )
+    counts.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    spark = counts.heads.sparkSession
+    spark.createDataFrame([(LM_LAYOUT,)], schema="layout string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "meta"))
+
+
+def read_lm_counts(spark: SparkSession, path: str) -> LmCounts:
+    """Load persisted counts, refusing a foreign layout.  Read schemas are
+    EXPLICIT so ``gp`` comes back as the scan's true partition attribute
+    (the signature-index lesson: inference would read an all-numeric
+    prefix like 07 as INT) and the extend's probes can prune on it."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    if meta["layout"] != LM_LAYOUT:
+        raise ValueError(
+            f"LM count store at {path} has layout={meta['layout']}; this "
+            f"build reads {LM_LAYOUT} — rebuild the store, do not mix "
+            "configurations"
+        )
+    heads = (
+        spark.read.schema("w1 string, c1 bigint, gp string")
+        .parquet(os.path.join(path, "heads"))
+        .select("w1", "c1", "gp")
+    )
+    bigrams = (
+        spark.read.schema("w1 string, w2 string, c12 bigint, gp string")
+        .parquet(os.path.join(path, "bigrams"))
+        .select("w1", "w2", "c12", "gp")
+    )
+    return LmCounts(
+        heads=heads,
+        bigrams=bigrams,
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+    )
+
+
+def score_with_counts(docs: DataFrame, counts: LmCounts) -> DataFrame:
+    """lm_bits_scores' cost kernel over the persisted tables: (doc_id,
+    lang, n_bigrams, total_bits, milli_bits) per scorable (>= 2-word)
+    document — add-one bigram costs in exact integer bits, v derived as
+    |heads| + 1.  Joins deliberately UNHINTED (vocabulary-sized sides;
+    the PX1 doctrine)."""
+    words = docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    score = words.select(
+        "doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    vocab = counts.heads.agg((F.count(F.lit(1)) + 1).alias("v"))
+    fl2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2(x)), x >= 1
+    costed = (
+        score.join(counts.bigrams.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(counts.heads.select("w1", "c1"), ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                fl2(F.coalesce("c1", F.lit(0)) + F.col("v"))
+                - fl2(F.coalesce("c12", F.lit(0)) + F.lit(1))
+            ).alias("bits"),
+        )
+    )
+    agg = costed.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "total_bits",
+        F.expr("(1000 * total_bits) div n_bigrams").alias("milli_bits"),
+    )

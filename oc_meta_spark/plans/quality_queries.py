@@ -195,6 +195,47 @@ def lm_bits_scores(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PX3 — the PERSISTED form of PX1's model: build the gram-bucketed LM
+# count tables on a founding slice of the reference language (doc_id %
+# 10 != 0), extend them with the rest (the nightly append — counts are
+# additive, so extend ≡ rebuild exactly), score the WHOLE corpus against
+# the extended counts.  The oracle is PX1's scoring SQL (PX_SCORING_CTES)
+# verbatim — a missed, doubled, or half-merged gram count would shift
+# some document's total_bits and the hash would diverge.  Store
+# persistence, gp partition layout, retry idempotency (additive counts
+# DOUBLE on replay without the doc witness), and the layout guard are
+# pinned by tests/test_lm_counts.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "PX3_incremental_lm_scoring",
+    f"""
+    WITH {PX_SCORING_CTES}
+    SELECT doc_id, lang, n_bigrams, total_bits, milli_bits
+    FROM scored ORDER BY doc_id
+    """,
+    doc="Persisted LM count tables: founding-slice counts nightly-extended with the delta must score every document identically to PX1's from-scratch model (additive extend≡rebuild, gram-hash-bucketed store).",
+)
+def px3_incremental_lm_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.lm_counts import (
+        build_lm_counts,
+        extend_lm_counts,
+        score_with_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("lang") == _PX1_REF_LANG).select("doc_id", "text")
+    founding = build_lm_counts(train.filter(F.col("doc_id") % 10 != 0))
+    extended = extend_lm_counts(founding, train.filter(F.col("doc_id") % 10 == 0))
+    return (
+        score_with_counts(docs, extended)
+        .select("doc_id", "lang", "n_bigrams", "total_bits", "milli_bits")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # QB1 — token-budget quality selection.  Quality = type-token ratio in
 # permille (integer — any integer score plugs in); tokens = whitespace
 # words; budget = half the corpus's tokens (computed from the data, so
