@@ -258,9 +258,19 @@ def uf1_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit "no domain, no document" — see the oracle's allowed CTE
     parseable = hosts.filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
     allowed = parseable.join(F.broadcast(blocklist), "domain", "left_anti")
-    w = Window.partitionBy("domain").orderBy("doc_id")
+    # the cap is a rank threshold over doc_id per domain — a mega-domain
+    # (half the crawl) would make one hot window partition if ranked
+    # naively (the SCALING row's risk); bucketed_rank salts by the
+    # doc_id's order-preserving hex prefix and, because the cap is a
+    # LITERAL, prunes every class past it before ranking a single row
+    from oc_meta_spark.plans.rank_refine import bucketed_rank, hex_prefix
+
+    keyed = allowed.withColumn("hb", hex_prefix("doc_id"))
     return (
-        allowed.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        bucketed_rank(
+            keyed, ["domain"], ["hb"], ["doc_id"],
+            rank_col="domain_rank", max_rank=_UF1_CAP,
+        )
         .filter(F.col("domain_rank") <= _UF1_CAP)
         .select("doc_id", "domain", "domain_rank")
         .orderBy("doc_id")

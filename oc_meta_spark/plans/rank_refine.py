@@ -93,6 +93,7 @@ def bucketed_rank(
     order_cols: Sequence[str],
     rank_col: str = "r",
     max_rank_df: DataFrame | None = None,
+    max_rank: int | None = None,
 ) -> DataFrame:
     """Exact ``row_number() OVER (PARTITION BY part ORDER BY class,
     order)`` without a per-part corpus window: rank = the class's rollup
@@ -110,9 +111,15 @@ def bucketed_rank(
     contain a row with rank <= max_rank, so at a selective threshold the
     row window never even reads the corpus tail.  The threshold column is
     kept on the output for the caller's final ``rank <= max_rank``
-    filter."""
+    filter.  ``max_rank`` is the scalar form of the same prune for a
+    LITERAL threshold (e.g. UF1's per-domain cap) — no join at all, the
+    class filter folds into the rollup scan."""
+    if max_rank_df is not None and max_rank is not None:
+        raise ValueError("pass max_rank_df or max_rank, not both")
     offsets = class_cumsum(df, part_keys, class_cols)
     keep = [*part_keys, *class_cols, "cum_before"]
+    if max_rank is not None:
+        offsets = offsets.filter(F.col("cum_before") < F.lit(max_rank))
     if max_rank_df is not None:
         offsets = (
             offsets.join(F.broadcast(max_rank_df), list(part_keys))

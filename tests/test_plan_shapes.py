@@ -248,6 +248,14 @@ def test_uf1_blocklist_is_broadcast_anti_join(spark):
     assert "LeftAnti, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan[:3000]
+    # the per-domain cap is rank-refined: every row_number window is
+    # salted by the doc_id hex prefix — never domain alone (round 10)
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            found = True
+            assert re.search(r"\[domain#\d+, hb#\d+\]", line), line
+    assert found, "no salted cap Window in UF1 plan — vacuous\n" + plan[:3000]
 
 
 def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
