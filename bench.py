@@ -39,7 +39,9 @@ HEADLINE = [
     "PX1_lm_bits_per_token_filter",
     "QB1_token_budget_selection",
     "DR1_domain_reputation",
+    "DR2_incremental_domain_reputation",
     "SK1_kmv_distinct_sketch",
+    "SK2_mergeable_kmv_sketch",
     "VB1_bpe_pair_stats",
     "IR1_keyword_search_topk",
     "IR2_persisted_postings_search",

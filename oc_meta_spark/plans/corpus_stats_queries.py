@@ -95,6 +95,78 @@ def sk1_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SK2 — KMV MERGEABILITY: the property that makes the sketch a nightly
+# profiling tool (SCALING's SK1 note).  KMV merge is EXACT: every one of
+# the global k minima is among its own partition's k minima, so
+# top-k(distinct(top-k(A) ∪ top-k(B))) == top-k(distinct(A ∪ B)) — two
+# k-row sketch states union into the whole-corpus sketch with zero loss.
+# The gate sketches the two doc_id-parity halves independently and merges
+# the 2×k rows; the ORACLE is the direct whole-corpus sketch (SK1's SQL
+# minus the exhibition exact column) — the value-level pin that the
+# merged state IS the direct state (the IR2/PX3/DR2 oracle discipline).
+# At 100 TB: each shard's nightly profile job persists its k-row state;
+# the corpus estimate is a union + top-k over n_shards × k rows — no
+# corpus re-scan, and the merge tree can nest to any depth exactly.
+#
+# Registers outside the driver's 50-gate window this round (the IR1/PX2
+# round-9 pattern — the window is exactly full with the rotation debt);
+# locally oracle-verified; rotates to the front in round 11.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "SK2_mergeable_kmv_sketch",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+      FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+    ),
+    kmv AS (SELECT h FROM sh ORDER BY h LIMIT {_SK1_K}),
+    kth AS (SELECT MAX(h) AS hk, COUNT(*) AS n FROM kmv)
+    SELECT CAST(n AS BIGINT) AS n_kept, hk,
+           CAST(CASE WHEN n < {_SK1_K} THEN n
+                ELSE (n - 1) * {_POW48}
+                     // CAST('0x' || substr(hk, 1, 12) AS BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM kth
+    """,
+    doc="KMV sketch mergeability: per-partition k-row sketch states union into the exact whole-corpus sketch — the oracle is the direct sketch, pinning the merge losslessly.",
+)
+def sk2_mergeable_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.dedup_queries import _shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = _shingles(docs).select("doc_id", F.md5("s").alias("h"))
+    # two independent partition sketches (each a TakeOrderedAndProject
+    # over its half's distinct hashes — k rows of state each) ...
+    sketches = [
+        h.filter(F.col("doc_id") % 2 == p)
+        .select("h")
+        .dropDuplicates()
+        .orderBy("h")
+        .limit(_SK1_K)
+        for p in (0, 1)
+    ]
+    # ... merged: union the 2×k state rows, re-take the k minima
+    merged = (
+        sketches[0].unionByName(sketches[1]).dropDuplicates().orderBy("h").limit(_SK1_K)
+    )
+    kth = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n"))
+    est = F.when(F.col("n") < _SK1_K, F.col("n")).otherwise(
+        F.expr(
+            f"(n - 1) * cast({_POW48} as bigint)"
+            " div cast(conv(substr(hk, 1, 12), 16, 10) as bigint)"
+        )
+    )
+    return kth.select(
+        F.col("n").cast("long").alias("n_kept"),
+        "hk",
+        est.cast("long").alias("est_distinct"),
+    )
+
+
 _VB1_TOP = 20
 
 # adjacent symbol pairs of one word as substrings — no char-split edge

@@ -1,0 +1,217 @@
+"""Persisted domain-reputation statistics — DR1's nightly shape.  DR1's
+gate re-scans the whole corpus per run; a production crawl rolls the
+per-domain evidence up ONCE and extends it nightly, under the
+persisted-store contract of the signature/IVF/postings/LM-count stores
+(plans/incremental.py, ivf_index.py, postings_index.py, lm_counts.py;
+reference analog: the resumable-cache discipline of
+oc_meta/run/meta_process.py:183-190):
+
+- ``domain_stats``: (domain, n_docs, sum_uniq, sum_words) — the pooled-
+  quality accumulators, ADDITIVE, one row per domain (host-vocabulary
+  sized, plain parquet).
+- ``prefix_domain``: (prefix5, domain, n_docs) — how many of a domain's
+  documents open with each 5-word prefix, hive-partitioned by ``pp`` =
+  the 2-char md5 prefix of prefix5 (the gram-hash bucketing of the
+  sibling stores).  The boilerplate-duplication evidence is DERIVED:
+  a prefix is duplicated iff its count summed over all domains >= 2, and
+  a domain's n_dup_docs is the sum of its counts over duplicated
+  prefixes — so the corpus-global dup rule stays exact under nightly
+  growth (a prefix that becomes duplicated only when tonight's copy
+  lands retroactively charges yesterday's holder, exactly as a full
+  rescan would).
+- ``docs``: (doc_id) — the retry-idempotency witness (counts are
+  additive: a replayed delta would silently double them without it).
+- ``meta``: the layout marker.
+
+Every accumulator is additive, so ``extend_domain_stats`` (count the
+genuinely-new docs, merge per key) EXACTLY equals a rebuild from the
+full corpus, at delta cost — the merge re-aggregates only delta-touched
+rows (broadcast semi/anti probes, the extend_signature_index
+discipline).  ``reputation_from_stats`` derives DR1's verdict table from
+the store — which is why the DR2 gate's oracle is DR1's SQL verbatim.
+
+Scale shape (100 TB crawl): the store is vocabulary-sized (hosts,
+distinct prefixes); the nightly extend costs O(delta); the verdict
+derivation never touches a document — two vocabulary-table aggregates
+and one keyed semi-join.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+DOMAIN_STATS_LAYOUT = "pp_v1"  # meta marker: prefix_domain/ partitioned by pp
+
+_PREFIX_WORDS = 5  # DR1's boilerplate-prefix length — one definition
+
+
+@dataclass
+class DomainStats:
+    """The persisted reputation accumulators (see module doc)."""
+
+    domain_stats: DataFrame  # (domain, n_docs, sum_uniq, sum_words)
+    prefix_domain: DataFrame  # (prefix5, domain, n_docs, pp)
+    docs: DataFrame  # (doc_id): every counted document
+
+
+def _evidence(docs: DataFrame) -> DataFrame:
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "domain",
+        F.array_join(F.slice(ws, 1, _PREFIX_WORDS), " ").alias("prefix5"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_uniq"),
+    )
+
+
+def build_domain_stats(docs: DataFrame) -> DomainStats:
+    """Accumulate a (doc_id, domain, text) corpus into the store shape."""
+    ev = _evidence(docs)
+    domain_stats = ev.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_uniq").alias("sum_uniq"),
+        F.sum("n_words").alias("sum_words"),
+    )
+    prefix_domain = (
+        ev.groupBy("prefix5", "domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("pp", F.substring(F.md5("prefix5"), 1, 2))
+    )
+    return DomainStats(
+        domain_stats=domain_stats,
+        prefix_domain=prefix_domain,
+        docs=docs.select("doc_id"),
+    )
+
+
+def extend_domain_stats(stats: DomainStats, new_docs: DataFrame) -> DomainStats:
+    """The nightly append: accumulate the genuinely-new documents and
+    merge per key.  Additive accumulators make this EXACTLY a rebuild at
+    delta cost; the doc-level witness keeps a replayed delta from
+    doubling counts; only delta-touched rows re-aggregate (broadcast
+    semi/anti probes — the vocabulary-sized tables are scanned, never
+    shuffled wholesale)."""
+    from oc_meta_spark.plans.incremental import fresh_only
+
+    fresh = fresh_only(
+        new_docs.select("doc_id", "domain", "text"), stats.docs, "doc_id"
+    )
+    delta = build_domain_stats(fresh)
+
+    probe_d = delta.domain_stats.select("domain")
+    touched_d = stats.domain_stats.join(F.broadcast(probe_d), ["domain"], "left_semi")
+    untouched_d = stats.domain_stats.join(F.broadcast(probe_d), ["domain"], "left_anti")
+    merged_d = (
+        touched_d.unionByName(delta.domain_stats)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_uniq").alias("sum_uniq"),
+            F.sum("sum_words").alias("sum_words"),
+        )
+    )
+
+    probe_p = delta.prefix_domain.select("pp", "prefix5", "domain")
+    touched_p = stats.prefix_domain.join(
+        F.broadcast(probe_p), ["pp", "prefix5", "domain"], "left_semi"
+    ).select("prefix5", "domain", "n_docs", "pp")
+    untouched_p = stats.prefix_domain.join(
+        F.broadcast(probe_p), ["pp", "prefix5", "domain"], "left_anti"
+    ).select("prefix5", "domain", "n_docs", "pp")
+    merged_p = (
+        touched_p.unionByName(delta.prefix_domain)
+        .groupBy("prefix5", "domain")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .withColumn("pp", F.substring(F.md5("prefix5"), 1, 2))
+    )
+
+    return DomainStats(
+        domain_stats=untouched_d.unionByName(merged_d),
+        prefix_domain=untouched_p.unionByName(merged_p),
+        docs=stats.docs.unionByName(delta.docs),
+    )
+
+
+def write_domain_stats(stats: DomainStats, path: str) -> None:
+    """Persist domain_stats/ plain (host-vocabulary sized), prefix_domain/
+    hive-partitioned by ``pp``, docs/ plain, and the one-row meta/ layout
+    marker — the overwrite-swap layout of the sibling stores."""
+    stats.domain_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "domain_stats")
+    )
+    stats.prefix_domain.write.mode("overwrite").partitionBy("pp").parquet(
+        os.path.join(path, "prefix_domain")
+    )
+    stats.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    spark = stats.domain_stats.sparkSession
+    spark.createDataFrame([(DOMAIN_STATS_LAYOUT,)], schema="layout string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "meta"))
+
+
+def read_domain_stats(spark: SparkSession, path: str) -> DomainStats:
+    """Load a persisted store, refusing a foreign layout; explicit read
+    schemas keep ``pp`` a true partition attribute (the signature-index
+    lesson)."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    if meta["layout"] != DOMAIN_STATS_LAYOUT:
+        raise ValueError(
+            f"domain-stats store at {path} has layout={meta['layout']}; this "
+            f"build reads {DOMAIN_STATS_LAYOUT} — rebuild the store, do not "
+            "mix configurations"
+        )
+    prefix_domain = (
+        spark.read.schema("prefix5 string, domain string, n_docs bigint, pp string")
+        .parquet(os.path.join(path, "prefix_domain"))
+        .select("prefix5", "domain", "n_docs", "pp")
+    )
+    return DomainStats(
+        domain_stats=spark.read.parquet(os.path.join(path, "domain_stats")),
+        prefix_domain=prefix_domain,
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+    )
+
+
+def reputation_from_stats(
+    stats: DomainStats, quality_floor_ppm: int
+) -> DataFrame:
+    """DR1's verdict table derived from the accumulators — never touching
+    a document: dup prefixes from the global prefix rollup (>= 2 docs
+    corpus-wide), n_dup_docs per domain over the dup set (unhinted keyed
+    semi-join — boilerplate-vocabulary sized), pooled q_ppm from the
+    additive sums, the quarantine/low_quality/ok thresholds."""
+    dup = (
+        stats.prefix_domain.groupBy("prefix5")
+        .agg(F.sum("n_docs").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("prefix5")
+    )
+    dup_per_domain = (
+        stats.prefix_domain.join(dup, "prefix5", "left_semi")
+        .groupBy("domain")
+        .agg(F.sum("n_docs").alias("n_dup_docs"))
+    )
+    return (
+        stats.domain_stats.join(dup_per_domain, "domain", "left")
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.expr("(1000 * sum_uniq) div sum_words").alias("q_ppm"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_dup_docs",
+            "q_ppm",
+            F.when(4 * F.col("n_dup_docs") >= F.col("n_docs"), "quarantine")
+            .when(F.col("q_ppm") < quality_floor_ppm, "low_quality")
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+    )

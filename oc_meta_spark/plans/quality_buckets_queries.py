@@ -59,7 +59,15 @@ def px2_perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.rank_refine import bucketed_rank, class_cumsum, hex_prefix
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = lm_bits_scores(docs).select("doc_id", "lang", "milli_bits")
+    # MATERIALIZED once (localCheckpoint — the curation _cp discipline):
+    # the refine consumes `scored` four times (class rollup, whole-class
+    # join, boundary join, boundary rank rollup), and each lazy reference
+    # would re-run the entire LM scoring pipeline — measured 3.1× the
+    # gate's cost at sf0.1.  At 100 TB the scored table is the persisted
+    # PX3 output anyway; materializing here is the in-memory analog.
+    scored = (
+        lm_bits_scores(docs).select("doc_id", "lang", "milli_bits").localCheckpoint()
+    )
 
     # The tertile bucket is a pure rank threshold over (milli_bits,
     # doc_id) per language: head = r <= t1, middle = t1 < r <= t2, with

@@ -395,10 +395,11 @@ def qb1_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DR1_PREFIX_WORDS = 5
 _DR1_QUALITY_FLOOR_PPM = 380
 
-
-@register(
-    "DR1_domain_reputation",
-    f"""
+# The ONE DuckDB rendering of the reputation rollup — DR2's persisted-
+# stats gate shares it verbatim (the PX_SCORING_CTES discipline), so the
+# store's build+extend path must reproduce the full-rescan verdicts bit
+# for bit.
+_DR1_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id,
              source || '-' || CAST((doc_id // 20) % 5 AS VARCHAR)
@@ -423,7 +424,23 @@ _DR1_QUALITY_FLOOR_PPM = 380
                 WHEN q_ppm < {_DR1_QUALITY_FLOOR_PPM} THEN 'low_quality'
                 ELSE 'ok' END AS verdict
     FROM rolled ORDER BY domain
-    """,
+"""
+
+
+def _dr_domain() -> F.Column:
+    """The UF1/DR1 synthetic host (source × doc_id-range) — one
+    definition for DR1's rescan and DR2's persisted-stats gate."""
+    return F.concat(
+        F.col("source"),
+        F.lit("-"),
+        F.expr("cast((doc_id div 20) % 5 as string)"),
+        F.lit(".example.org"),
+    )
+
+
+@register(
+    "DR1_domain_reputation",
+    _DR1_ORACLE,
     doc="Web-curation domain reputation: per-host rollup of boilerplate duplication and pooled quality, with quarantine/low-quality/ok verdicts (RefinedWeb-style host-level filtering).",
 )
 def dr1_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,12 +448,7 @@ def dr1_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split("text", " ")
     d = docs.select(
         "doc_id",
-        F.concat(
-            F.col("source"),
-            F.lit("-"),
-            F.expr("cast((doc_id div 20) % 5 as string)"),
-            F.lit(".example.org"),
-        ).alias("domain"),
+        _dr_domain().alias("domain"),
         F.array_join(F.slice(ws, 1, _DR1_PREFIX_WORDS), " ").alias("prefix5"),
         F.size(ws).alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_uniq"),
@@ -479,3 +491,37 @@ def dr1_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# DR2 — the PERSISTED form of DR1: accumulate the per-domain evidence on
+# a founding slice (doc_id % 10 != 0), extend with the rest (the nightly
+# append — every accumulator is additive, so extend ≡ rebuild exactly),
+# derive the verdicts from the store alone.  The oracle is DR1's SQL
+# verbatim — the retroactive-dup property is the subtle part it pins: a
+# prefix whose SECOND copy arrives only in the delta must charge the
+# founding-slice holder too, exactly as a full rescan would (the store
+# keeps per-(prefix, domain) counts, so the corpus-global dup rule is
+# derived, never frozen at build time).  Store persistence, replay
+# doubling, and the layout guard are pinned by tests/test_domain_stats.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "DR2_incremental_domain_reputation",
+    _DR1_ORACLE,
+    doc="Persisted domain-reputation stats: founding-slice accumulators nightly-extended with the delta must yield DR1's full-rescan verdicts exactly (additive extend≡rebuild, derived corpus-global dup rule).",
+)
+def dr2_incremental_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.domain_stats import (
+        build_domain_stats,
+        extend_domain_stats,
+        reputation_from_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _dr_domain().alias("domain"), "text"
+    )
+    founding = build_domain_stats(docs.filter(F.col("doc_id") % 10 != 0))
+    extended = extend_domain_stats(founding, docs.filter(F.col("doc_id") % 10 == 0))
+    return reputation_from_stats(extended, _DR1_QUALITY_FLOOR_PPM).orderBy("domain")

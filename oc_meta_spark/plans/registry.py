@@ -63,10 +63,15 @@ def load_all() -> dict[str, OracleQuery]:
     rewritten onto rank_refine); incremental (18-25 — HS3, the composed
     holdout-growth gate, is new; banded_pairs was factored for it).
     Then the families whose latest recorded rows date to round 7 on
-    untouched code: fidelity (26-43), multimodal (44-45), stream
-    (46-48), and the head of curation (49-50: J8/J7, last witnessed
-    r8 — the window cut lands at exactly 50).  Everything after spills
-    on untouched code, all witnessed r8/r9.
+    untouched code: fidelity (27-44), multimodal (45-46), stream
+    (47-49), and the head of curation (50: J8, last witnessed r8 —
+    the window cut lands at exactly 50; DR2, added late in round 10,
+    slotted into quality at 7 and pushed J7 just out).  Everything
+    after spills on untouched code, all witnessed r8/r9 — except SK2
+    (mergeable KMV, also late round 10), which registers outside the
+    window deliberately (the window is exactly full with the r7
+    rotation debt — the IR1/PX2 round-9 pattern) and rotates to the
+    front in round 11; it is locally oracle-verified.
     """
     import oc_meta_spark.plans.retrieval_queries  # noqa: F401
     import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401

@@ -61,3 +61,17 @@ def test_ir1_rare_term_outranks_common(spark, tmp_path):
     assert rows[0].score == 6000 and rows[0].n_terms_hit == 2
     assert rows[1].score == 5000 and rows[1].n_terms_hit == 1
     assert [r.rank for r in rows] == [1, 2, 3, 4]
+
+
+def test_sk2_merged_sketch_equals_direct(spark, sf_dir):
+    """KMV mergeability is lossless: the two half-corpus sketch states
+    union into exactly the direct whole-corpus sketch (same k minima,
+    same kth hash, same estimate)."""
+    from oc_meta_spark.plans.registry import load_all
+
+    qs = load_all()
+    merged = qs["SK2_mergeable_kmv_sketch"].builder(spark, sf_dir).first()
+    direct = qs["SK1_kmv_distinct_sketch"].builder(spark, sf_dir).first()
+    assert (merged["n_kept"], merged["hk"], merged["est_distinct"]) == (
+        direct["n_kept"], direct["hk"], direct["est_distinct"]
+    )
