@@ -657,15 +657,40 @@ def lsh_clusters(corpus: DataFrame) -> DataFrame:
     doc="HS1→HS2 composition over the real clustering kernel: yesterday's holdout from banded-MinHash+CC clusters of the old corpus, today's growth (planted exact and rotation near-dup merges plus fresh docs) assigned incrementally — old assignments never move.",
 )
 def hs3_composed_holdout_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.operators.cc import connected_components
+    from oc_meta_spark.plans.dedup_queries import banded_pairs
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     planted = hs3_planted_corpus(docs)
     old = planted.filter(F.col("doc_id") % 10 != 0)
-    prior = lsh_clusters(old).select(
+
+    # ONE MinHash/banding pass serves both clusterings: a banded pair is
+    # a property of its two docs alone (bucket equality), so the old
+    # corpus's pairs are EXACTLY the full corpus's pairs restricted to
+    # old endpoints — re-running the kernel on the old slice (as the
+    # self-contained oracle does) would compute the identical set at
+    # twice the cost.  Materialized once: both CC runs and their retry
+    # iterations re-read the pair set.
+    pairs_full = banded_pairs(planted).localCheckpoint()
+    pairs_old = pairs_full.filter(
+        (F.col("doc_a") % 10 != 0) & (F.col("doc_b") % 10 != 0)
+    )
+
+    def clusters(corpus, pairs):
+        labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
+        comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+        return (
+            corpus.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn("cluster", F.coalesce("cluster", F.col("doc_id")))
+        )
+
+    prior = clusters(old, pairs_old).select(
         "doc_id",
         seeded_split(_HS3_SEED, "cluster").alias("split"),
         F.lit(0).cast("int").alias("assigned_epoch"),
     )
-    clustered = lsh_clusters(planted)
+    clustered = clusters(planted, pairs_full)
     return assign_holdout_incremental(clustered, prior, seed=_HS3_SEED).orderBy(
         "doc_id"
     )
