@@ -261,14 +261,15 @@ def uf1_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap is a rank threshold over doc_id per domain — a mega-domain
     # (half the crawl) would make one hot window partition if ranked
     # naively (the SCALING row's risk); bucketed_rank salts by the
-    # doc_id's order-preserving hex prefix and, because the cap is a
-    # LITERAL, prunes every class past it before ranking a single row
-    from oc_meta_spark.plans.rank_refine import bucketed_rank, hex_prefix
+    # min/max-anchored range class of doc_id (spreads for ANY id
+    # distribution) and, because the cap is a LITERAL, prunes every
+    # class past it before ranking a single row
+    from oc_meta_spark.plans.rank_refine import bucketed_rank, range_class
 
-    keyed = allowed.withColumn("hb", hex_prefix("doc_id"))
+    keyed = range_class(allowed, "doc_id")
     return (
         bucketed_rank(
-            keyed, ["domain"], ["hb"], ["doc_id"],
+            keyed, ["domain"], ["rb"], ["doc_id"],
             rank_col="domain_rank", max_rank=_UF1_CAP,
         )
         .filter(F.col("domain_rank") <= _UF1_CAP)
@@ -633,15 +634,18 @@ def hs3_planted_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_clusters(corpus: DataFrame) -> DataFrame:
+def lsh_clusters(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, cluster): HS1's clustering kernel over an arbitrary
     (doc_id, text) frame — banded-MinHash candidate pairs + pointer-
     jumping connected components; docs in no pair are their own
-    singleton cluster."""
+    singleton cluster.  ``pairs`` (doc_a, doc_b) supplies a precomputed
+    candidate set so a caller with several corpus views of ONE banding
+    pass (HS3) reuses it instead of re-running the kernel."""
     from oc_meta_spark.operators.cc import connected_components
     from oc_meta_spark.plans.dedup_queries import banded_pairs
 
-    pairs = banded_pairs(corpus)
+    if pairs is None:
+        pairs = banded_pairs(corpus)
     labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
     comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
     return (
@@ -657,7 +661,6 @@ def lsh_clusters(corpus: DataFrame) -> DataFrame:
     doc="HS1→HS2 composition over the real clustering kernel: yesterday's holdout from banded-MinHash+CC clusters of the old corpus, today's growth (planted exact and rotation near-dup merges plus fresh docs) assigned incrementally — old assignments never move.",
 )
 def hs3_composed_holdout_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oc_meta_spark.operators.cc import connected_components
     from oc_meta_spark.plans.dedup_queries import banded_pairs
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -676,21 +679,12 @@ def hs3_composed_holdout_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % 10 != 0) & (F.col("doc_b") % 10 != 0)
     )
 
-    def clusters(corpus, pairs):
-        labels = connected_components(pairs, src="doc_a", dst="doc_b", local_threshold=0)
-        comp = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
-        return (
-            corpus.select("doc_id")
-            .join(comp, "doc_id", "left")
-            .withColumn("cluster", F.coalesce("cluster", F.col("doc_id")))
-        )
-
-    prior = clusters(old, pairs_old).select(
+    prior = lsh_clusters(old, pairs=pairs_old).select(
         "doc_id",
         seeded_split(_HS3_SEED, "cluster").alias("split"),
         F.lit(0).cast("int").alias("assigned_epoch"),
     )
-    clustered = clusters(planted, pairs_full)
+    clustered = lsh_clusters(planted, pairs=pairs_full)
     return assign_holdout_incremental(clustered, prior, seed=_HS3_SEED).orderBy(
         "doc_id"
     )

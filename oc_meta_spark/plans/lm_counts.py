@@ -48,9 +48,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 LM_LAYOUT = "gp_v1"  # meta marker: heads/ and bigrams/ partitioned by gp
 
-# one (w1, w2) struct per bigram; guarded for sub-2-word docs — the same
-# expression lm_bits_scores uses (sequence(1, 0) is DESCENDING in Spark)
-_BIGRAMS_EXPR = (
+# one (w1, w2) struct per bigram; guarded for sub-2-word docs
+# (sequence(1, 0) is DESCENDING in Spark).  This is THE Spark rendering
+# of the bigram decomposition — quality_queries imports it (this module
+# registers no gates, so the import direction cannot perturb the
+# registry's rotation order), the same one-rendering-per-shared-contract
+# discipline as PX_SCORING_CTES on the oracle side.
+BIGRAMS_EXPR = (
     "CASE WHEN size(ws) >= 2 THEN "
     "transform(sequence(1, size(ws) - 1), "
     "i -> struct(ws[i-1] AS w1, ws[i] AS w2)) "
@@ -75,7 +79,7 @@ def _train_pairs(train_docs: DataFrame) -> DataFrame:
     """(w1, w2): one row per bigram occurrence of the training slice."""
     return (
         train_docs.select(F.split("text", " ").alias("ws"))
-        .select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("b"))
+        .select(F.explode(F.expr(BIGRAMS_EXPR)).alias("b"))
         .select("b.w1", "b.w2")
     )
 
@@ -199,7 +203,7 @@ def score_with_counts(docs: DataFrame, counts: LmCounts) -> DataFrame:
     the PX1 doctrine)."""
     words = docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     score = words.select(
-        "doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
+        "doc_id", "lang", F.explode(F.expr(BIGRAMS_EXPR)).alias("b")
     ).select("doc_id", "lang", "b.w1", "b.w2")
     vocab = counts.heads.agg((F.count(F.lit(1)) + 1).alias("v"))
     fl2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2(x)), x >= 1

@@ -56,7 +56,7 @@ from oc_meta_spark.sources.tables import load_table
     doc="CCNet head/middle/tail split: per-language exact perplexity tertiles over the shared integer-bits LM scorer — rank-threshold buckets, never engine-defined NTILE.",
 )
 def px2_perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oc_meta_spark.plans.rank_refine import bucketed_rank, class_cumsum, hex_prefix
+    from oc_meta_spark.plans.rank_refine import bucketed_rank, class_cumsum, range_class
 
     docs = load_table(spark, "documents", sf_dir)
     # MATERIALIZED once (localCheckpoint — the curation _cp discipline):
@@ -101,16 +101,18 @@ def px2_perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang", "milli_bits"],
     )
     # boundary classes (<= 2 per language — bounded, broadcast): exact
-    # in-class rank by doc_id via the hex-prefix salt, plus the class's
-    # rollup offset, recovers the identical global rank
+    # in-class rank by doc_id via the min/max-anchored range-class salt
+    # (spreads for ANY id distribution — a fixed-width prefix of the id
+    # degenerates to one bucket, the round-10 review finding), plus the
+    # class's rollup offset, recovers the identical global rank
     bclass = cls.filter(F.col("whole").isNull()).select(
         "lang", "milli_bits", F.col("cum_before").alias("class_off"), "t1", "t2"
     )
-    bd = scored.join(F.broadcast(bclass), ["lang", "milli_bits"]).withColumn(
-        "hb", hex_prefix("doc_id")
+    bd = range_class(
+        scored.join(F.broadcast(bclass), ["lang", "milli_bits"]), "doc_id"
     )
     bded = (
-        bucketed_rank(bd, ["lang", "milli_bits"], ["hb"], ["doc_id"], rank_col="rin")
+        bucketed_rank(bd, ["lang", "milli_bits"], ["rb"], ["doc_id"], rank_col="rin")
         .withColumn("r", F.col("class_off") + F.col("rin"))
         .select(
             "lang",

@@ -72,14 +72,11 @@ from oc_meta_spark.sources.tables import load_table
 _PX1_REF_LANG = "en"
 _PX1_KEEP_MILLI_BITS = 4860
 
-# one (i, w1, w2) struct per bigram; guarded for sub-2-word docs
-# (sequence(1, 0) is DESCENDING in Spark — see D23/CH1)
-_PX1_BIGRAMS = (
-    "CASE WHEN size(ws) >= 2 THEN "
-    "transform(sequence(1, size(ws) - 1), "
-    "i -> struct(ws[i-1] AS w1, ws[i] AS w2)) "
-    "ELSE array() END"
-)
+# the bigram decomposition (guarded for sub-2-word docs — see D23/CH1 on
+# Spark's descending sequence(1, 0)) lives in lm_counts.BIGRAMS_EXPR: ONE
+# Spark rendering shared by the inline scorer and the persisted-count
+# scorer, mirroring PX_SCORING_CTES on the oracle side
+from oc_meta_spark.plans.lm_counts import BIGRAMS_EXPR as _PX1_BIGRAMS  # noqa: E402
 
 
 # The ONE DuckDB rendering of lm_bits_scores: every oracle that claims to

@@ -10,9 +10,11 @@ decompose the ordering:
 
 1.  pick a CLASS column (or columns) that is a *prefix of the sort key* —
     the score itself when its resolution is bounded (milli_bits, n_chars
-    in permille-ish ranges), or the leading 2 hex chars of the sort key
-    when the key is a uniform hash (ordering by ``substr(k,1,2), k`` IS
-    ordering by ``k``: prefix decomposition);
+    in permille-ish ranges), the leading 2 hex chars of the sort key when
+    the key is a uniform hash (ordering by ``substr(k,1,2), k`` IS
+    ordering by ``k``: prefix decomposition), or :func:`range_class` over
+    an arbitrary numeric key (min/max-anchored, so it spreads for ANY id
+    distribution);
 2.  roll the corpus up to one row per (stratum, class) and run the
     cumulative count over THAT rollup — a window over a dimension-sized
     table (score resolution, or 256 hash buckets), never corpus rows
@@ -46,16 +48,36 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
 
-def hex_prefix(col: str | Column, n: int = 2) -> Column:
-    """An order-preserving class column for a NON-NEGATIVE bigint sort
-    key: the first ``n`` chars of the zero-padded 16-digit hex rendering.
-    Ordering by (hex_prefix(id), id) == ordering by id — the numeric
-    analog of taking the leading chars of an md5 sort key."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.substring(F.lpad(F.hex(c), 16, "0"), 1, n)
+def range_class(
+    df: DataFrame, col: str, n: int = 256, class_col: str = "rb"
+) -> DataFrame:
+    """Append an order-preserving class column for a bigint sort key:
+    ``class = (key − min) div ceil((max − min + 1) / n)`` with min/max
+    taken from ``df`` itself (one broadcast 1-row aggregate).  Any
+    nondecreasing step function of the key is a valid rank-decomposition
+    prefix (ordering by (class, key) == ordering by key), and anchoring
+    at the OBSERVED min/max guarantees the classes actually spread: a
+    fixed-width rendering (leading hex chars of a 64-bit id, ``id div
+    K`` for a guessed K) degenerates to one bucket whenever the ids
+    cluster far below the type's range — sequential ids, offset ids, a
+    tenant prefix — which silently turns the salt back into the
+    single-task sort it exists to prevent (the round-10 review finding).
+    At most ``n`` classes, at least 1; empty input stays empty."""
+    mm = df.agg(
+        F.min(F.col(col)).cast("long").alias("_rc_mn"),
+        F.max(F.col(col)).cast("long").alias("_rc_mx"),
+    )
+    return (
+        df.join(F.broadcast(mm))
+        .withColumn(
+            class_col,
+            F.expr(f"({col} - _rc_mn) div ((_rc_mx - _rc_mn + {n}) div {n})"),
+        )
+        .drop("_rc_mn", "_rc_mx")
+    )
 
 
 def class_cumsum(
@@ -103,7 +125,7 @@ def bucketed_rank(
 
     REQUIRES ``class_cols`` to be a prefix of the intended sort key
     (ordering by class then order_cols == ordering by the full key) —
-    hash-key prefixes and :func:`hex_prefix` qualify by construction.
+    hash-key prefixes and :func:`range_class` qualify by construction.
 
     ``max_rank_df`` ((part_keys…, max_rank) — a bounded per-stratum
     threshold table, e.g. MX4's quotas) prunes classes whose

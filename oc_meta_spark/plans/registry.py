@@ -55,18 +55,19 @@ def load_all() -> dict[str, OracleQuery]:
     predates a code change, first.  Round-10 order: retrieval leads
     (positions 1-2 — IR1 had no driver row yet; IR2, the persisted
     postings index, is NEW); quality registers next via quality-buckets'
-    import of the shared scorer (3-6 — PX3, the persisted LM count
-    store, is new; QB1's rollup now calls the shared rank_refine helper)
-    and PX2, the other row-less gate, rewritten onto rank_refine, lands
-    at 7; pipeline (8-13 — QT1 rewritten onto rank_refine; the module
-    also carries the r7-stale T7/CH1/TF1); sampling (14-17 — MX4
-    rewritten onto rank_refine); incremental (18-25 — HS3, the composed
-    holdout-growth gate, is new; banded_pairs was factored for it).
+    import of the shared scorer (3-7 — PX3, the persisted LM count
+    store, and DR2, the persisted domain stats, are new; QB1's rollup
+    now calls the shared rank_refine helper) and PX2, the other row-less
+    gate, rewritten onto rank_refine, lands at 8; pipeline (9-14 — QT1
+    rewritten onto rank_refine; the module also carries the r7-stale
+    T7/CH1/TF1); sampling (15-18 — MX4 rewritten onto rank_refine);
+    incremental (19-26 — HS3, the composed holdout-growth gate, is new;
+    banded_pairs was factored for it).
     Then the families whose latest recorded rows date to round 7 on
     untouched code: fidelity (27-44), multimodal (45-46), stream
     (47-49), and the head of curation (50: J8, last witnessed r8 —
     the window cut lands at exactly 50; DR2, added late in round 10,
-    slotted into quality at 7 and pushed J7 just out).  Everything
+    slotted into quality and pushed J7 just out).  Everything
     after spills on untouched code, all witnessed r8/r9 — except SK2
     (mergeable KMV, also late round 10), which registers outside the
     window deliberately (the window is exactly full with the r7

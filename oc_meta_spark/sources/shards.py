@@ -88,12 +88,16 @@ def write_shuffled_shards(
     single-shot layout.
 
     This is a BUILD, not an append: the write is ``mode('overwrite')`` on
-    the whole store path.  Calling it with a new epoch on an EXISTING
-    epoched store (a natural misuse, given the epoch parameter) would
-    silently delete every prior epoch and the ``_meta`` — so when
-    ``epoch`` is set and the path already holds a ``_meta``, the write is
-    REFUSED unless ``overwrite=True``: growth goes through
-    ``append_shuffled_shards``; a deliberate rebuild says so explicitly.
+    the whole store path.  Re-running it against an EXISTING epoched
+    store (a natural misuse given the epoch parameter — and just as
+    destructive through the original epoch-less call shape) would
+    silently delete every prior epoch and the ``_meta`` — so whenever the
+    path already holds a ``_meta``, the write is REFUSED unless
+    ``overwrite=True``: growth goes through ``append_shuffled_shards``; a
+    deliberate rebuild says so explicitly.  Only a clean
+    path-not-found/empty probe (AnalysisException) counts as "no store":
+    any OTHER failure reading ``_meta`` propagates loudly rather than
+    being read as permission to destroy whatever is there.
 
     Crash contract: the data overwrite lands before ``_meta`` is
     rewritten, so a store whose ``_meta`` is missing is an INTERRUPTED
@@ -107,12 +111,14 @@ def write_shuffled_shards(
     hash split is uniform so no shard hot-spots."""
     from oc_meta_spark.plans.incremental import seeded_shuffle
 
-    if epoch is not None and not overwrite:
+    if not overwrite:
+        from pyspark.errors import AnalysisException
+
         spark = df.sparkSession
         existing_meta = None
         try:  # any-FS-safe probe: the read itself, not a local os.path check
             existing_meta = spark.read.parquet(os.path.join(path, "_meta")).first()
-        except Exception:
+        except AnalysisException:
             pass  # no _meta → fresh (or interrupted) path: the build may proceed
         if existing_meta is not None:
             raise ValueError(

@@ -249,12 +249,12 @@ def test_uf1_blocklist_is_broadcast_anti_join(spark):
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan[:3000]
     # the per-domain cap is rank-refined: every row_number window is
-    # salted by the doc_id hex prefix — never domain alone (round 10)
+    # salted by the doc_id range class — never domain alone (round 10)
     found = False
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             found = True
-            assert re.search(r"\[domain#\d+, hb#\d+\]", line), line
+            assert re.search(r"\[domain#\d+, rb#\d+L?\]", line), line
     assert found, "no salted cap Window in UF1 plan — vacuous\n" + plan[:3000]
 
 
@@ -307,14 +307,14 @@ def test_qt1_quantiles_need_no_corpus_row_window(spark):
 
 def test_px2_rank_windows_are_boundary_class_only(spark):
     # the tertile split may rank rows ONLY inside a straddling score
-    # class, salted by the doc_id hex prefix: every row_number window is
-    # partitioned by (lang, milli_bits, hb) — never lang alone
+    # class, salted by the doc_id range class: every row_number window is
+    # partitioned by (lang, milli_bits, rb) — never lang alone
     plan = _plan(spark, "PX2_perplexity_tertile_split")
     found = False
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             found = True
-            assert re.search(r"\[lang#\d+, milli_bits#\d+L?, hb#\d+\]", line), line
+            assert re.search(r"\[lang#\d+, milli_bits#\d+L?, rb#\d+L?\]", line), line
     assert found, "no boundary-class rank Window in PX2 plan — vacuous\n" + plan[:3000]
 
 

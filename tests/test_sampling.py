@@ -46,3 +46,27 @@ def test_mx4_budget_is_exact(spark, sf_dir):
     for s, c in sizes.items():
         exact = _MX4_TOTAL * c / total
         assert abs(per.get(s, 0) - exact) < 1.0
+
+
+def test_range_class_spreads_for_any_id_distribution(spark):
+    """The round-10 review finding: a fixed-width prefix of a 64-bit id
+    ('00' for every realistic id) degenerates the salt to ONE bucket.
+    range_class anchors at the observed min/max, so it must spread both
+    sequential ids AND offset-clustered ids, stay order-preserving, and
+    respect the bucket cap."""
+    import pyspark.sql.functions as F
+
+    from oc_meta_spark.plans.rank_refine import range_class
+
+    seq = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    offset = spark.range(10**12, 10**12 + 1000).select(F.col("id").alias("doc_id"))
+    for frame in (seq, offset):
+        rows = sorted(
+            (r["doc_id"], r["rb"])
+            for r in range_class(frame, "doc_id").collect()
+        )
+        buckets = {b for _, b in rows}
+        assert len(buckets) > 100, len(buckets)  # genuinely spread
+        assert len(buckets) <= 256
+        # nondecreasing in the key — a valid rank-decomposition prefix
+        assert [b for _, b in rows] == sorted(b for _, b in rows)
