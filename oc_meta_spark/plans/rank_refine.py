@@ -159,3 +159,32 @@ def bucketed_rank(
     return pruned.withColumn(
         rank_col, (F.col("cum_before") + F.row_number().over(w)).cast("long")
     ).drop("cum_before")
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    class_cols: Sequence[str],
+    order_cols: Sequence[str],
+    weight_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact ``SUM(weight) OVER (PARTITION BY part ORDER BY class, order
+    ROWS UNBOUNDED PRECEDING)`` without a per-part corpus window — the
+    WEIGHTED form of :func:`bucketed_rank` (a rank is the running sum of
+    ones; prefix sums decompose identically): class offsets come from the
+    weighted rollup cumsum, the in-class running sum is partitioned by
+    (part, class), and their sum is the exact per-part running total.
+    Same class-prefix requirement as bucketed_rank."""
+    offsets = class_cumsum(df, part_keys, class_cols, weight_col=weight_col)
+    keys = [*part_keys, *class_cols]
+    # bounded offsets side, deliberately unhinted (see bucketed_rank)
+    pruned = df.join(offsets.select(*keys, "cum_before"), keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pruned.withColumn(
+        out_col, F.col("cum_before") + F.sum(weight_col).over(w)
+    ).drop("cum_before")

@@ -11,11 +11,12 @@ are pure relational plans:
   engine, and uniformly distributed, so a per-source threshold implements
   a per-source sampling RATE with no shuffle at all (the filter is a scan
   predicate; at 100 TB it pushes down to parquet row groups).
-- MX2 is one window (cumulative token count per source ordered by doc_id)
-  plus integer division to assign a bin — the greedy sequential packing
-  used by block-concatenation data loaders.  Partitioned by source, so the
-  window parallelizes across sources; within a source Spark's range
-  partitioning on the sort key keeps each partition's scan local.
+- MX2 is a per-source cumulative token count (ordered by doc_id) plus
+  integer division to assign a bin — the greedy sequential packing used
+  by block-concatenation data loaders.  The prefix sum is rank-refined
+  (rank_refine.bucketed_running_sum): class offsets from the bounded
+  per-(source, range-class) rollup, in-class running sums salted by the
+  range class — a mega-source never serializes into one window task.
 """
 
 from __future__ import annotations
@@ -99,14 +100,22 @@ _BUDGET = 4096
     doc="Greedy token-budget packing: per-source cumulative token count cut into fixed context-window bins.",
 )
 def mx2_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-source running token sum is a PREFIX SUM over (doc_id) —
+    # the same decomposition as the quota ranks (round-10): offsets from
+    # the bounded per-(source, range-class) rollup cumsum + an in-class
+    # running sum, so a mega-source never runs its whole extent through
+    # one window task.  Value-identical to the naive per-source window,
+    # which the oracle below still is.
+    from oc_meta_spark.plans.rank_refine import bucketed_running_sum, range_class
+
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    toks = range_class(
+        docs.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id",
     )
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = bucketed_running_sum(
+        toks, ["source"], ["rb"], ["doc_id"], "n_tok", out_col="cum_tok"
     )
-    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
     return cum.select(
         "doc_id",
         "source",

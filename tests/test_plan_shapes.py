@@ -106,9 +106,18 @@ def test_mx1_sample_filter_is_scan_predicate(spark):
     assert plan.count("FileScan parquet") == 1, plan[:3000]
 
 
-def test_mx2_window_is_partitioned_by_source(spark):
+def test_mx2_window_is_salted_by_range_class(spark):
+    # the packing prefix sum is rank-refined (round 10): the corpus-row
+    # running-sum window is partitioned by (source, rb) — a mega-source
+    # never sums its whole extent in one task; the rollup cumsum window
+    # stays per-source over bounded rollup rows
     plan = _plan(spark, "MX2_token_budget_packing")
-    assert "Window" in plan
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "n_tok" in line and "doc_id" in line:
+            found = True
+            assert re.search(r"\[source#\d+, rb#\d+L?\]", line), line
+    assert found, "no in-class running-sum Window in MX2 plan — vacuous\n" + plan[:3000]
     assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan), plan[:3000]
 
 
