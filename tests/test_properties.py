@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from oc_meta_spark.functions.cleaning import clean_date_py, clean_name_py, clean_title_py
@@ -133,6 +133,22 @@ _JUNK = st.sampled_from(
 )
 
 
+def _survives_invalid_cascade(cell: str) -> bool:
+    """True iff the cell does NOT fullmatch any row of the machine's own
+    INVALID repair table.  The cross-column swap (cleaner.py:447-471) is
+    only reached by cells the invalid cascade leaves alone, so the swap
+    properties' premise holds exactly for these cells.  Without this
+    filter the generator can emit e.g. issue='vol. 0nc', where the alnum
+    token '0nc' parses as _VI('0') + NUMERO('n') + _VI('c') and the
+    vol_iss repair fires first — the reference returns ('0','c') there,
+    byte-identical to this repo (the round-10 verdict's falsified-premise
+    finding), so the old expectation of a verbatim swap was the TEST's
+    bug, not the engine's."""
+    from oc_meta_spark.functions.volume_issue import _RE_INVALID
+
+    return not any(pat.match(cell) for pat, _ in _RE_INVALID)
+
+
 class TestVolumeIssueFamilies:
     """Family-driven properties for the full C9 machine — inputs generated
     from the reference's own INVALID/VALID pattern families
@@ -199,6 +215,7 @@ class TestVolumeIssueFamilies:
         from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
 
         cell = tpl.format(v=v)
+        assume(_survives_invalid_cascade(cell))
         out_v, out_i, typ, _ = clean_volume_and_issue("", cell, "journal issue", "")
         assert out_v == cell and out_i == ""
         assert typ == "journal volume"
@@ -209,6 +226,7 @@ class TestVolumeIssueFamilies:
         from oc_meta_spark.functions.volume_issue import clean_volume_and_issue
 
         cell = tpl.format(i=i)
+        assume(_survives_invalid_cascade(cell))
         out_v, out_i, typ, _ = clean_volume_and_issue(cell, "", "journal volume", "")
         assert out_i == cell and out_v == ""
         assert typ == "journal issue"
