@@ -140,9 +140,12 @@ def sk2_mergeable_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     h = _shingles(docs).select("doc_id", F.md5("s").alias("h"))
     # two independent partition sketches (each a TakeOrderedAndProject
-    # over its half's distinct hashes — k rows of state each) ...
+    # over its half's distinct hashes — k rows of state each); pmod, not
+    # %, so the split provably covers ANY id domain (Spark's % is
+    # sign-preserving: a negative doc_id's remainder -1 would fall into
+    # neither half and its shingles would vanish from the merged sketch)
     sketches = [
-        h.filter(F.col("doc_id") % 2 == p)
+        h.filter(F.pmod(F.col("doc_id"), F.lit(2)) == p)
         .select("h")
         .dropDuplicates()
         .orderBy("h")

@@ -38,6 +38,18 @@ score rollup.  Equivalence to the naive global window is pinned per
 consumer by the unchanged DuckDB oracles and by tests/test_quality.py /
 tests/test_sampling.py; plan shapes by tests/test_plan_shapes.py.
 
+PRECONDITION (all helpers): partition keys and class columns must be
+NON-NULL.  The refinement reattaches rollup offsets to rows with an inner
+equi-join, and SQL's NULL ≠ NULL means a null-keyed row never matches its
+own rollup row — it would be silently DROPPED, where a naive row_number
+window would have kept it (nulls sort first).  Every current caller
+derives its keys from non-null columns (source/lang strata, range_class
+over a non-null numeric, md5 prefixes); a new caller with nullable keys
+must coalesce them to a sentinel first.  Likewise ``max_rank_df``: a
+stratum absent from the threshold table is pruned wholesale (inner join),
+which is exactly right for quota draws — a stratum with no quota
+contributes nothing — but is a semantic choice, not an accident.
+
 Reference analog: the chunked external-aggregation discipline of
 oc_meta/run/find/duplicated_ids.py:95-141 — never hold one group's whole
 extent in one place.
@@ -125,7 +137,10 @@ def bucketed_rank(
 
     REQUIRES ``class_cols`` to be a prefix of the intended sort key
     (ordering by class then order_cols == ordering by the full key) —
-    hash-key prefixes and :func:`range_class` qualify by construction.
+    hash-key prefixes and :func:`range_class` qualify by construction —
+    and, like every helper here, NON-NULL part/class keys (see the module
+    docstring: a null key never equi-joins its own rollup row and the row
+    would silently drop).
 
     ``max_rank_df`` ((part_keys…, max_rank) — a bounded per-stratum
     threshold table, e.g. MX4's quotas) prunes classes whose

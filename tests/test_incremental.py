@@ -669,12 +669,23 @@ def test_hs3_composed_growth_planted_paths(spark, sf_dir):
     rotated = [d for d in got if d % 30 == 0 and d + 1 in texts
                and len(texts[d + 1].split(" ")) >= 3]
     assert rotated, "no rotation plant at this SF — vacuous"
+    # a donor whose leading triple is all one word is rotation-INVARIANT:
+    # its rotated plant equals the donor's repeated triple verbatim and
+    # legitimately inherits through the exact path instead — count those
+    # separately so the banded-path proof is asserted on the remainder
+    # only (round-10 ADVICE: the blanket texts-differ assert was
+    # fixture-data-dependent)
+    variant = [d for d in rotated
+               if len(set(texts[d + 1].split(" ")[:3])) > 1]
+    assert variant, "every rotation donor is rotation-invariant — vacuous"
     for d in rotated:
-        # guaranteed banded merge into the old neighbor's cluster → the
-        # neighbor's (kept) split is inherited; and the texts differ, so
-        # the exact-hash path cannot have shortcut the banding
-        assert texts[d] != texts[d + 1], d
+        # guaranteed merge into the old neighbor's cluster → the
+        # neighbor's (kept) split is inherited ...
         assert got[d] == (prior[d + 1], "inherited"), d
+    for d in variant:
+        # ... and where the rotation actually changed the text, the
+        # exact-hash path cannot have shortcut the banding
+        assert texts[d] != texts[d + 1], d
 
     copied = [d for d in got if d % 50 == 0 and d % 30 != 0 and d + 1 in texts
               and (d + 1) % 30 != 1]
