@@ -442,8 +442,9 @@ def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D19 — prefix-filtered exact Jaccard join (AllPairs/PPJoin family:
 # Bayardo et al. WWW'07, Xiao et al. WWW'08 — public algorithms).  Same
 # semantics and ORACLE as D18, different candidate generation: tokens are
-# globally ordered by ascending document frequency and a pair can only
-# materialize through a shared token in both docs' PREFIXES
+# ordered by ascending document frequency (one fixed (df, w) order per
+# source, applied per doc — no global rank materialized) and a pair can
+# only materialize through a shared token in both docs' PREFIXES
 # (|x| - ceil(t·|x|) + 1 rarest tokens).  Hub words — the residual skew
 # risk of D18's full posting-list join — sit at the END of the order and
 # almost never in a prefix, so the candidate shuffle is bounded by
@@ -478,17 +479,22 @@ def d19_prefix_filtered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
 
-    # global token order per blocking source: ascending document frequency,
-    # ties by word — rare tokens first
-    tok_rank = (
-        words.groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("r", F.row_number().over(Window.partitionBy("source").orderBy("df", "w")))
-    )
+    # The prefix filter needs ONE fixed total token order per blocking
+    # source (ascending document frequency, ties by word — rare first),
+    # but no doc ever compares tokens across sources, so the order is
+    # consumed entirely INSIDE per-doc windows: join each token's df and
+    # sort by (df, w) per doc_id.  The former per-source row_number over
+    # the whole vocabulary (the round-10 weak finding: one task sorting
+    # the biggest source's ~10⁹-token vocabulary at 100 TB) is GONE, not
+    # salted — a df-derived range_class would degenerate anyway (df is
+    # Zipf: most of any vocabulary sits at df=1, i.e. in one class).  The
+    # only row windows left are doc_id-partitioned — bounded by document
+    # length (plan-pinned in tests/test_plan_shapes.py).
+    tok_df = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("df"))
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wpos = (
-        words.join(tok_rank, ["source", "w"])
-        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("r")))
+        words.join(tok_df, ["source", "w"])
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")))
         .join(sizes, "doc_id")
     )
     # prefix = |x| - ceil(t*|x|) + 1 rarest tokens of each doc

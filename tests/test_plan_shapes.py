@@ -327,6 +327,22 @@ def test_px2_rank_windows_are_boundary_class_only(spark):
     assert found, "no boundary-class rank Window in PX2 plan — vacuous\n" + plan[:3000]
 
 
+def test_d19_row_windows_are_doc_bounded(spark):
+    # the prefix-filter token order is consumed per doc: every row_number
+    # window is partitioned by doc_id (bounded by document length) — the
+    # former per-source window over the whole vocabulary (round-10 weak
+    # finding) must not reappear
+    plan = _plan(spark, "D19_prefix_filtered_jaccard")
+    found = False
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            found = True
+            assert re.search(r"partitionBy=\[doc_id#\d+L?\]", line) or re.search(
+                r"\[doc_id#\d+L?\], \[", line
+            ), line
+    assert found, "no per-doc rank Window in D19 plan — vacuous\n" + plan[:3000]
+
+
 def test_sd1_diff_is_one_full_outer_equi_join(spark):
     # the snapshot diff is ONE full outer equi-join on the key over
     # hash-projected scans — no cartesian, no second corpus shuffle class
