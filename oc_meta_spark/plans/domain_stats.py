@@ -38,7 +38,6 @@ and one keyed semi-join.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -140,40 +139,38 @@ def extend_domain_stats(stats: DomainStats, new_docs: DataFrame) -> DomainStats:
 def write_domain_stats(stats: DomainStats, path: str) -> None:
     """Persist domain_stats/ plain (host-vocabulary sized), prefix_domain/
     hive-partitioned by ``pp``, docs/ plain, and the one-row meta/ layout
-    marker — the overwrite-swap layout of the sibling stores."""
-    stats.domain_stats.write.mode("overwrite").parquet(
-        os.path.join(path, "domain_stats")
+    marker — the shared store contract (plans/store_contract.py)."""
+    from oc_meta_spark.plans.store_contract import write_store
+
+    write_store(
+        path,
+        {
+            "domain_stats": (stats.domain_stats, None),
+            "prefix_domain": (stats.prefix_domain, "pp"),
+            "docs": (stats.docs, None),
+        },
+        "layout string",
+        (DOMAIN_STATS_LAYOUT,),
     )
-    stats.prefix_domain.write.mode("overwrite").partitionBy("pp").parquet(
-        os.path.join(path, "prefix_domain")
-    )
-    stats.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    spark = stats.domain_stats.sparkSession
-    spark.createDataFrame([(DOMAIN_STATS_LAYOUT,)], schema="layout string").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "meta"))
 
 
 def read_domain_stats(spark: SparkSession, path: str) -> DomainStats:
     """Load a persisted store, refusing a foreign layout; explicit read
-    schemas keep ``pp`` a true partition attribute (the signature-index
-    lesson)."""
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    if meta["layout"] != DOMAIN_STATS_LAYOUT:
-        raise ValueError(
-            f"domain-stats store at {path} has layout={meta['layout']}; this "
-            f"build reads {DOMAIN_STATS_LAYOUT} — rebuild the store, do not "
-            "mix configurations"
-        )
-    prefix_domain = (
-        spark.read.schema("prefix5 string, domain string, n_docs bigint, pp string")
-        .parquet(os.path.join(path, "prefix_domain"))
-        .select("prefix5", "domain", "n_docs", "pp")
-    )
+    schemas keep ``pp`` a true partition attribute (the store contract's
+    rule)."""
+    from oc_meta_spark.plans.store_contract import check_meta, read_meta, read_table
+
+    meta = read_meta(spark, path)
+    check_meta(meta, {"layout": DOMAIN_STATS_LAYOUT}, path, "domain-stats store")
     return DomainStats(
-        domain_stats=spark.read.parquet(os.path.join(path, "domain_stats")),
-        prefix_domain=prefix_domain,
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        domain_stats=read_table(spark, path, "domain_stats", None),
+        prefix_domain=read_table(
+            spark,
+            path,
+            "prefix_domain",
+            "prefix5 string, domain string, n_docs bigint, pp string",
+        ),
+        docs=read_table(spark, path, "docs", None),
     )
 
 

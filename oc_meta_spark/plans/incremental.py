@@ -174,18 +174,18 @@ def write_signature_index(index: SignatureIndex, path: str) -> None:
     signatures were built with (the layout a nightly job overwrite-swaps;
     same contract as sources/shards.py: plain parquet dirs, no
     side-channel state)."""
-    index.hashes.write.mode("overwrite").partitionBy("hp").parquet(
-        os.path.join(path, "hashes")
+    from oc_meta_spark.plans.store_contract import write_store
+
+    write_store(
+        path,
+        {
+            "hashes": (index.hashes, "hp"),
+            "signatures": (index.signatures, None),
+            "bands": (index.bands, "band"),
+        },
+        "n_minhash int, n_band_rows int, layout string",
+        (N_MINHASH, N_BAND_ROWS, INDEX_LAYOUT),
     )
-    index.signatures.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    index.bands.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(path, "bands")
-    )
-    spark = index.hashes.sparkSession
-    spark.createDataFrame(
-        [(N_MINHASH, N_BAND_ROWS, INDEX_LAYOUT)],
-        schema="n_minhash int, n_band_rows int, layout string",
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
@@ -195,29 +195,23 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
     probed with 2-row-band buckets never candidates; a k=16 index halves
     every agreement count).  Pre-meta indexes (no ``meta/`` dir) load
     unguarded for compatibility."""
-    from pyspark.errors import AnalysisException
+    from oc_meta_spark.plans.store_contract import check_meta, read_meta, read_table
 
-    meta = None
-    try:
-        meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    except AnalysisException:
-        pass  # pre-meta index — load unguarded (any-FS-safe probe: the
-        # read itself, not a local os.path check)
+    # required=False: pre-meta indexes (no meta/ dir) load unguarded —
+    # the contract's any-FS-safe absent probe (the read itself, not a
+    # local os.path check)
+    meta = read_meta(spark, path, required=False)
     layout = None
     if meta is not None:
-        if (meta["n_minhash"], meta["n_band_rows"]) != (N_MINHASH, N_BAND_ROWS):
-            raise ValueError(
-                f"signature index at {path} was built with n_minhash="
-                f"{meta['n_minhash']}, n_band_rows={meta['n_band_rows']}; "
-                f"this build expects {N_MINHASH}/{N_BAND_ROWS} — rebuild the "
-                "index, do not mix configurations"
-            )
+        check_meta(
+            meta,
+            {"n_minhash": N_MINHASH, "n_band_rows": N_BAND_ROWS},
+            path,
+            "signature index",
+        )
         layout = meta.asDict().get("layout")
-        if layout is not None and layout != INDEX_LAYOUT:
-            raise ValueError(
-                f"signature index at {path} has layout={layout}; this build "
-                f"reads {INDEX_LAYOUT} — rebuild the index"
-            )
+        if layout is not None:
+            check_meta(meta, {"layout": INDEX_LAYOUT}, path, "signature index")
     # EXPLICIT read schemas, not directory-name inference (which would
     # read an all-numeric prefix like 07 as INT and drop the leading
     # zero) and not recomputation: hp must come back as the scan's true
@@ -227,26 +221,18 @@ def read_signature_index(spark: SparkSession, path: str) -> SignatureIndex:
     # all 256 partitions every night.  The layout marker in meta/ selects
     # the branch — a one-row read, not a second partition-discovery pass
     # over the corpus-sized hashes/ directory.
-    hashes_dir = os.path.join(path, "hashes")
     if layout == INDEX_LAYOUT:
-        hashes = (
-            spark.read.schema("h string, idx_id bigint, hp string")
-            .parquet(hashes_dir)
-            .select("h", "idx_id", "hp")
-        )
+        hashes = read_table(spark, path, "hashes", "h string, idx_id bigint, hp string")
     else:  # pre-layout-marker index: unpartitioned — derive hp; no pruning
-        hashes = spark.read.parquet(hashes_dir).withColumn(
+        hashes = spark.read.parquet(os.path.join(path, "hashes")).withColumn(
             "hp", F.substring("h", 1, 2)
         )
-    bands = (
-        spark.read.schema("doc_id bigint, band bigint, bucket string")
-        .parquet(os.path.join(path, "bands"))
-        .select("doc_id", "band", "bucket")
-    )
     return SignatureIndex(
         hashes=hashes,
-        signatures=spark.read.parquet(os.path.join(path, "signatures")),
-        bands=bands,
+        signatures=read_table(spark, path, "signatures", None),
+        bands=read_table(
+            spark, path, "bands", "doc_id bigint, band bigint, bucket string"
+        ),
     )
 
 
@@ -537,29 +523,33 @@ def write_holdout_assignments(history: DataFrame, path: str, seed: str) -> None:
     INT64→int narrowing, so a bootstrap history built with a long epoch
     must be narrowed here, at write time, not crash a later night's
     read."""
-    history.select(
+    from oc_meta_spark.plans.store_contract import write_store
+
+    normalized = history.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("split").cast("string").alias("split"),
         F.col("assigned_epoch").cast("int").alias("assigned_epoch"),
-    ).write.mode("overwrite").partitionBy("split").parquet(
-        os.path.join(path, "assignments")
     )
-    spark = history.sparkSession
-    spark.createDataFrame(
-        [(seed, HOLDOUT_RULE)], schema="seed string, rule string"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    write_store(
+        path,
+        {"assignments": (normalized, "split")},
+        "seed string, rule string",
+        (seed, HOLDOUT_RULE),
+    )
 
 
 def _read_holdout_meta(spark: SparkSession, path: str):
-    return spark.read.parquet(os.path.join(path, "meta")).first()
+    from oc_meta_spark.plans.store_contract import read_meta
+
+    return read_meta(spark, path)
 
 
 def _read_assignments(spark: SparkSession, path: str) -> DataFrame:
-    return (
-        spark.read.schema("doc_id bigint, assigned_epoch int, split string")
-        .parquet(os.path.join(path, "assignments"))
-        .select("doc_id", "split", "assigned_epoch")
-    )
+    from oc_meta_spark.plans.store_contract import read_table
+
+    return read_table(
+        spark, path, "assignments", "doc_id bigint, assigned_epoch int, split string"
+    ).select("doc_id", "split", "assigned_epoch")
 
 
 def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataFrame:
@@ -567,14 +557,17 @@ def read_holdout_assignments(spark: SparkSession, path: str, seed: str) -> DataF
     split rule: fresh splits drawn with a different seed would be
     inconsistent with every split already in the history — the silent
     cross-epoch leak this store exists to prevent."""
+    from oc_meta_spark.plans.store_contract import check_meta
+
     meta = _read_holdout_meta(spark, path)
-    if (meta["seed"], meta["rule"]) != (seed, HOLDOUT_RULE):
-        raise ValueError(
-            f"holdout history at {path} was written with seed={meta['seed']}, "
-            f"rule={meta['rule']}; this run expects {seed}/{HOLDOUT_RULE} — "
-            "a mismatched seed would assign new docs inconsistently with "
-            "the existing history"
-        )
+    check_meta(
+        meta,
+        {"seed": seed, "rule": HOLDOUT_RULE},
+        path,
+        "holdout history",
+        hint="a mismatched seed would assign new docs inconsistently with "
+        "the existing history",
+    )
     return _read_assignments(spark, path)
 
 

@@ -37,7 +37,6 @@ the corpus-sized inverted lists are partition-pruned and never shuffled.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -115,38 +114,36 @@ def extend_ivf_index(index: IvfIndex, new_vecs: DataFrame) -> IvfIndex:
 def write_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist centroids/ (k rows, plain), assignments/ hive-partitioned
     by cid (probe-pruned inverted lists), and the one-row meta/ config
-    table — same overwrite-swap layout as write_signature_index."""
-    index.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    index.assignments.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "assignments")
+    table — the shared store contract (plans/store_contract.py)."""
+    from oc_meta_spark.plans.store_contract import write_store
+
+    write_store(
+        path,
+        {
+            "centroids": (index.centroids, None),
+            "assignments": (index.assignments, "cid"),
+        },
+        "k int, draw string",
+        (index.k, IVF_DRAW),
     )
-    spark = index.centroids.sparkSession
-    spark.createDataFrame(
-        [(index.k, IVF_DRAW)], schema="k int, draw string"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def read_ivf_index(spark: SparkSession, path: str, k: int) -> IvfIndex:
     """Load a persisted index, refusing one built under a different k or
-    draw rule — mismatched centroids silently move every cell boundary."""
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    if (meta["k"], meta["draw"]) != (k, IVF_DRAW):
-        raise ValueError(
-            f"ivf index at {path} was built with k={meta['k']}, "
-            f"draw={meta['draw']}; this build expects k={k}/{IVF_DRAW} — "
-            "rebuild the index, do not mix configurations"
-        )
-    # explicit schema (like the signature index): cid comes back as the
-    # scan's bigint PARTITION ATTRIBUTE, so the probed-cid semi-join
-    # dynamic-partition-prunes the inverted lists without a cast
-    assignments = (
-        spark.read.schema("vec_id bigint, embedding array<float>, cid bigint")
-        .parquet(os.path.join(path, "assignments"))
-        .select("vec_id", "embedding", "cid")
-    )
+    draw rule — mismatched centroids silently move every cell boundary.
+    Explicit assignments schema (the store contract's rule): cid comes
+    back as the scan's bigint PARTITION ATTRIBUTE, so the probed-cid
+    semi-join dynamic-partition-prunes the inverted lists without a
+    cast."""
+    from oc_meta_spark.plans.store_contract import check_meta, read_meta, read_table
+
+    meta = read_meta(spark, path)
+    check_meta(meta, {"k": k, "draw": IVF_DRAW}, path, "ivf index")
     return IvfIndex(
-        centroids=spark.read.parquet(os.path.join(path, "centroids")),
-        assignments=assignments,
+        centroids=read_table(spark, path, "centroids", None),
+        assignments=read_table(
+            spark, path, "assignments", "vec_id bigint, embedding array<float>, cid bigint"
+        ),
         k=k,
     )
 

@@ -40,7 +40,6 @@ tokenizer explosion grows it — the PX1 doctrine).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -151,47 +150,37 @@ def extend_lm_counts(counts: LmCounts, new_train_docs: DataFrame) -> LmCounts:
 
 def write_lm_counts(counts: LmCounts, path: str) -> None:
     """Persist heads/ and bigrams/ hive-partitioned by ``gp``, docs/
-    plain, and the one-row meta/ layout marker — the overwrite-swap
-    layout of the sibling stores."""
-    counts.heads.write.mode("overwrite").partitionBy("gp").parquet(
-        os.path.join(path, "heads")
+    plain, and the one-row meta/ layout marker — the shared store
+    contract (plans/store_contract.py)."""
+    from oc_meta_spark.plans.store_contract import write_store
+
+    write_store(
+        path,
+        {
+            "heads": (counts.heads, "gp"),
+            "bigrams": (counts.bigrams, "gp"),
+            "docs": (counts.docs, None),
+        },
+        "layout string",
+        (LM_LAYOUT,),
     )
-    counts.bigrams.write.mode("overwrite").partitionBy("gp").parquet(
-        os.path.join(path, "bigrams")
-    )
-    counts.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    spark = counts.heads.sparkSession
-    spark.createDataFrame([(LM_LAYOUT,)], schema="layout string").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "meta"))
 
 
 def read_lm_counts(spark: SparkSession, path: str) -> LmCounts:
     """Load persisted counts, refusing a foreign layout.  Read schemas are
     EXPLICIT so ``gp`` comes back as the scan's true partition attribute
-    (the signature-index lesson: inference would read an all-numeric
+    (the store contract's rule: inference would read an all-numeric
     prefix like 07 as INT) and the extend's probes can prune on it."""
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    if meta["layout"] != LM_LAYOUT:
-        raise ValueError(
-            f"LM count store at {path} has layout={meta['layout']}; this "
-            f"build reads {LM_LAYOUT} — rebuild the store, do not mix "
-            "configurations"
-        )
-    heads = (
-        spark.read.schema("w1 string, c1 bigint, gp string")
-        .parquet(os.path.join(path, "heads"))
-        .select("w1", "c1", "gp")
-    )
-    bigrams = (
-        spark.read.schema("w1 string, w2 string, c12 bigint, gp string")
-        .parquet(os.path.join(path, "bigrams"))
-        .select("w1", "w2", "c12", "gp")
-    )
+    from oc_meta_spark.plans.store_contract import check_meta, read_meta, read_table
+
+    meta = read_meta(spark, path)
+    check_meta(meta, {"layout": LM_LAYOUT}, path, "LM count store")
     return LmCounts(
-        heads=heads,
-        bigrams=bigrams,
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        heads=read_table(spark, path, "heads", "w1 string, c1 bigint, gp string"),
+        bigrams=read_table(
+            spark, path, "bigrams", "w1 string, w2 string, c12 bigint, gp string"
+        ),
+        docs=read_table(spark, path, "docs", None),
     )
 
 

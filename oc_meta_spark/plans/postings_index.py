@@ -44,7 +44,6 @@ rows, broadcasts them back, and takes top-k via TakeOrderedAndProject.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -96,40 +95,34 @@ def extend_postings_index(index: PostingsIndex, new_docs: DataFrame) -> Postings
 
 def write_postings_index(index: PostingsIndex, path: str) -> None:
     """Persist postings/ hive-partitioned by ``tp`` (probe-pruned posting
-    lists), docs/ plain, and the one-row meta/ layout marker — the same
-    overwrite-swap layout as the signature and IVF indexes."""
-    index.postings.write.mode("overwrite").partitionBy("tp").parquet(
-        os.path.join(path, "postings")
+    lists), docs/ plain, and the one-row meta/ layout marker — the shared
+    store contract (plans/store_contract.py)."""
+    from oc_meta_spark.plans.store_contract import write_store
+
+    write_store(
+        path,
+        {"postings": (index.postings, "tp"), "docs": (index.docs, None)},
+        "layout string",
+        (POSTINGS_LAYOUT,),
     )
-    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(POSTINGS_LAYOUT,)], schema="layout string"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def read_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
     """Load a persisted index, refusing a foreign layout.  The read
-    schema is EXPLICIT (the signature-index lesson): ``tp`` must come
+    schema is EXPLICIT (the store contract's rule): ``tp`` must come
     back as the scan's true partition attribute — directory-name
     inference would read an all-numeric prefix like ``07`` as INT and
     drop the leading zero, and a recomputed substring projection could
     not dynamic-partition-prune the probe."""
-    meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    if meta["layout"] != POSTINGS_LAYOUT:
-        raise ValueError(
-            f"postings index at {path} has layout={meta['layout']}; this "
-            f"build reads {POSTINGS_LAYOUT} — rebuild the index, do not mix "
-            "configurations"
-        )
-    postings = (
-        spark.read.schema("term string, doc_id bigint, tf bigint, tp string")
-        .parquet(os.path.join(path, "postings"))
-        .select("term", "doc_id", "tf", "tp")
-    )
+    from oc_meta_spark.plans.store_contract import check_meta, read_meta, read_table
+
+    meta = read_meta(spark, path)
+    check_meta(meta, {"layout": POSTINGS_LAYOUT}, path, "postings index")
     return PostingsIndex(
-        postings=postings,
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        postings=read_table(
+            spark, path, "postings", "term string, doc_id bigint, tf bigint, tp string"
+        ),
+        docs=read_table(spark, path, "docs", None),
     )
 
 
