@@ -48,6 +48,7 @@ HEADLINE = [
     "PX2_perplexity_tertile_split",
     "PX3_incremental_lm_scoring",
     "HS3_composed_holdout_growth",
+    "IN2_composed_nightly_fold",
     "QT1_exact_group_quantiles",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",

