@@ -355,6 +355,13 @@ def ingest_batch(
     the guard and the five delta writes — lazily, each write would re-run
     the whole ingest_step plan (~6× the intended per-batch cost)."""
     os.makedirs(store_dir, exist_ok=True)
+    if nightly and "domain" not in batch_df.columns:
+        # fail before the classification spends anything (_nightly_deltas
+        # re-checks as a backstop for direct callers)
+        raise ValueError(
+            "nightly ingest needs a domain column on the feed (the "
+            "domain-stats tables are keyed on it)"
+        )
     index, _corpus, seen = load_ingest_store(spark, store_dir)
     hashed = batch_df.select("doc_id", "text", F.md5("text").alias("bh"))
 
