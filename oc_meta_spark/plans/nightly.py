@@ -101,31 +101,26 @@ def extend_nightly_stores(stores: NightlyStores, survivors: DataFrame) -> Nightl
     )
 
 
-def _checkpointed(stores: NightlyStores) -> NightlyStores:
-    """Materialize every store table (ingest_fold's discipline: a lazy
-    fold embeds batch N−1's whole classification plan into every one of
-    batch N's probes — plan trees grow combinatorially with batch
-    count)."""
-    cp = lambda df: df.localCheckpoint()  # noqa: E731
-    return NightlyStores(
-        index=SignatureIndex(
-            hashes=cp(stores.index.hashes),
-            signatures=cp(stores.index.signatures),
-            bands=cp(stores.index.bands),
-        ),
-        postings=PostingsIndex(
-            postings=cp(stores.postings.postings), docs=cp(stores.postings.docs)
-        ),
-        lm=LmCounts(
-            heads=cp(stores.lm.heads),
-            bigrams=cp(stores.lm.bigrams),
-            docs=cp(stores.lm.docs),
-        ),
-        domains=DomainStats(
-            domain_stats=cp(stores.domains.domain_stats),
-            prefix_domain=cp(stores.domains.prefix_domain),
-            docs=cp(stores.domains.docs),
-        ),
+def _checkpointed_index(index: SignatureIndex) -> SignatureIndex:
+    """Materialize the signature index (ingest_fold's discipline: the
+    index is PROBED by every later batch's classification, so a lazy
+    fold would embed batch N−1's whole plan into every one of batch N's
+    probes — plan trees grow combinatorially with batch count).
+
+    Only the index.  The other stores are never probed by the fold —
+    they are consumed once, by whoever reads the returned stores — so
+    their extend chains stay LAZY: each is evaluated exactly once at
+    that read, and the chains are depth-|batches| over CHECKPOINTED
+    survivor frames (shallow bases, no combinatorial growth).
+    Materializing all nine tables per batch would pay nine write-jobs
+    per batch that nothing probes — a per-batch tax that grows linearly
+    with batch count (measured small at the two-batch gate scale, where
+    the classification itself dominates; the gate's cost is ~IN1 + the
+    O(delta) extends + the component reads)."""
+    return SignatureIndex(
+        hashes=index.hashes.localCheckpoint(),
+        signatures=index.signatures.localCheckpoint(),
+        bands=index.bands.localCheckpoint(),
     )
 
 
@@ -143,7 +138,12 @@ def nightly_fold(
     store" is the invariant being composed."""
     if not batches:
         raise ValueError("nightly_fold needs at least one micro-batch")
-    stores = _checkpointed(stores)
+    stores = NightlyStores(
+        index=_checkpointed_index(stores.index),
+        postings=stores.postings,
+        lm=stores.lm,
+        domains=stores.domains,
+    )
     outs = []
     for pos, batch in enumerate(batches):
         verdicts, survivors = ingest_step(batch.select("doc_id", "text"), stores.index)
@@ -152,12 +152,18 @@ def nightly_fold(
         )
         # survivors re-attach their domain from the batch (classification
         # runs on (doc_id, text) only), then every store extends from the
-        # one survivor set — materialized first so the store checkpoints
-        # do not re-run the classification plan
+        # one survivor set — materialized first so neither the index
+        # checkpoint nor the lazy store chains re-run the classification
         surv = (
             batch.join(survivors.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "text", "domain")
             .localCheckpoint()
         )
-        stores = _checkpointed(extend_nightly_stores(stores, surv))
+        extended = extend_nightly_stores(stores, surv)
+        stores = NightlyStores(
+            index=_checkpointed_index(extended.index),
+            postings=extended.postings,
+            lm=extended.lm,
+            domains=extended.domains,
+        )
     return reduce(lambda a, b: a.unionByName(b), outs), stores
