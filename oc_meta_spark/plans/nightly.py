@@ -29,6 +29,14 @@ Bounded (in-memory) form here — the IN2 gate and tests run it; the
 persisted form is streaming/ingest.py's ``nightly=True`` path (same
 kernels, manifest-committed delta tables).
 
+The holdout history is deliberately NOT in this fold: its incremental
+rule (plans/incremental.py::assign_holdout_incremental) anchors against
+TODAY'S CLUSTERING of the full corpus — a banded-MinHash + CC job that
+runs at nightly cadence, not per micro-batch (re-clustering per batch
+would be neither O(delta) nor stable).  It composes at its own cadence
+via ``nightly_holdout_update`` over this fold's corpus, and that
+composition is value-pinned end-to-end by HS3.
+
 Scale shape (100 TB corpus, ~1 TB nightly delta): the classification is
 ID1's delta-prefiltered probe discipline; each store extend touches
 O(delta) rows (postings disjoint-union; LM/domain additive merges probe

@@ -107,7 +107,14 @@ def read_table(spark: SparkSession, path: str, name: str, schema: str | None) ->
     schema order, so hive partition columns land where the schema says —
     as true partition attributes, prunable by the probe joins).  A None
     schema reads unguarded (tables whose shape the writer alone controls,
-    e.g. k-row centroid tables)."""
+    e.g. k-row centroid tables).
+
+    The schema string must be FLAT comma-separated ``name type`` pairs
+    whose types contain no commas or spaces (``array<float>`` is fine,
+    ``decimal(18, 4)`` or nested structs are not — the column-name
+    extraction splits on ',' and the last ' ').  Every store schema today
+    qualifies; a store needing a parameterized type should pass the
+    parsed StructType instead of growing this parser."""
     target = os.path.join(path, name)
     if schema is None:
         return spark.read.parquet(target)
