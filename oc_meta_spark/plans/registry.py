@@ -60,12 +60,14 @@ def load_all() -> dict[str, OracleQuery]:
     untouched code: curation (5-21 — the CUR/RT/VR suite, EQ1, SO1,
     J7-J9, A3/A4), dedup (22-34 — D19's vocabulary window was removed
     this round; the D2/D8/D9/D14-D22/A8 family), text (35-45 — T1-T6,
-    C1/C3/C4/C8/C10), temporal (46-47 — AS1/RJ1); editor (48-50 —
-    r9-witnessed, fills the window exactly).  Everything after spills
-    on untouched code, all witnessed r9/r10: analytics, graph,
-    similarity, hygiene, audit (r9), then retrieval, quality (via
-    quality-buckets' import of the shared scorer), pipeline, sampling,
-    incremental, fidelity, multimodal, stream (r10).
+    C1/C3/C4/C8/C10), temporal (46-47 — AS1/RJ1); hygiene (48-51 —
+    DC4, the NEW persisted-decontamination gate, registers first in its
+    module and lands at 48; DC1/DC2 follow inside the window, DC3 at 51
+    spills on its r9 evidence).  Everything after spills on untouched
+    code, all witnessed r9/r10: editor, analytics, graph, similarity,
+    audit (r9), then retrieval, quality (via quality-buckets' import of
+    the shared scorer), pipeline, sampling, incremental, fidelity,
+    multimodal, stream (r10).
     """
     import oc_meta_spark.plans.nightly_queries  # noqa: F401
     import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
@@ -73,11 +75,11 @@ def load_all() -> dict[str, OracleQuery]:
     import oc_meta_spark.plans.dedup_queries  # noqa: F401
     import oc_meta_spark.plans.text_queries  # noqa: F401
     import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
     import oc_meta_spark.plans.analytics  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
     import oc_meta_spark.plans.similarity_queries  # noqa: F401
-    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.audit_queries  # noqa: F401
     import oc_meta_spark.plans.retrieval_queries  # noqa: F401
     import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
