@@ -48,6 +48,22 @@ def test_extend_equals_rebuild_and_is_idempotent(spark):
     assert not [r for r in _rows(rebuilt.grams) if r[0] == 3]
 
 
+def test_probe_plan_broadcasts_the_benchmark_side(spark):
+    """The decontamination probe must be ONE BroadcastHashJoin of the
+    benchmark-sized gram index into the corpus's gram explosion — never
+    a sort-merge shuffle of the corpus, never a cartesian (DC1's
+    documented 100 TB shape, now pinned for the persisted path too)."""
+    bench = spark.createDataFrame(B0 + B1, BENCH_SCHEMA)
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon different tail")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, build_decontam_index(bench))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_roundtrip_layout_guard_and_probe(spark, tmp_path):
     bench = spark.createDataFrame(B0 + B1, BENCH_SCHEMA)
     idx = build_decontam_index(bench)
