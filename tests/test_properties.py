@@ -143,9 +143,25 @@ def _survives_invalid_cascade(cell: str) -> bool:
     vol_iss repair fires first — the reference returns ('0','c') there,
     byte-identical to this repo (the round-10 verdict's falsified-premise
     finding), so the old expectation of a verbatim swap was the TEST's
-    bug, not the engine's."""
+    bug, not the engine's.
+
+    The match runs over the NORMALIZED cell — the machine matches
+    _RE_INVALID only after hyphen/space normalization + html unescape
+    (volume_issue.py:148-151), so matching the raw cell here would filter
+    differently from how the engine actually branches (e.g. an input
+    carrying '&na;' as '&amp;na;', or a U+2010 hyphen the table's '-'
+    row only sees post-normalization)."""
+    import html
+
+    from oc_meta_spark.functions.cleaning import (
+        normalize_hyphens_py,
+        normalize_spaces_py,
+    )
     from oc_meta_spark.functions.volume_issue import _RE_INVALID
 
+    cell = normalize_hyphens_py(cell)
+    cell = " ".join(normalize_spaces_py(cell).split())
+    cell = html.unescape(cell)
     return not any(pat.match(cell) for pat, _ in _RE_INVALID)
 
 
