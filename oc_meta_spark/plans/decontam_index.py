@@ -13,17 +13,21 @@ oc_meta/run/meta_process.py:183-190):
   5-gram), hive-partitioned by ``gp`` = the 2-char md5 prefix of the
   gram (the gram-hash bucketing of the sibling stores: gram cardinality
   is unbounded, its hash prefix bounds file counts).
-- ``benchmarks``: (bench_id) — every indexed benchmark doc, gram-less
-  (< 5 words) included: the retry-idempotency witness, exactly the
-  postings-index ``docs`` argument.
+- ``benchmarks``: (bench_id, h) — every indexed benchmark doc, gram-less
+  (< 5 words) included: the retry-idempotency witness (exactly the
+  postings-index ``docs`` argument), plus the md5 of the text it was
+  indexed under — the reference the revision guard compares a
+  re-presented bench_id against.
 - ``meta``: the layout marker.
 
 Gram rows are disjoint per bench_id, so ``extend_decontam_index``
 (index the delta, union) is EXACTLY equivalent to rebuilding from the
 full benchmark list, at delta cost, and idempotent under retried
-appends (``fresh_only``); re-adding a known bench_id with different
-text is a revision and needs a rebuild — ignored consistently in both
-tables.
+appends (``fresh_only``); re-adding a known bench_id with DIFFERENT
+text is a revision — REFUSED loudly (a silently-dropped revision would
+leave grams unique to the revised text unindexed, and contamination
+against them unreported — the one store where a silent miss is most
+costly), mirroring ingest_batch's revision refusal.
 
 ``decontaminate`` is DC1's contaminated-pair kernel over the persisted
 index — which is why the DC4 gate's oracle is DC1's SQL verbatim:
@@ -45,7 +49,10 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-DECONTAM_LAYOUT = "gp_v1"  # meta marker: grams/ partitioned by gp
+# meta marker: grams/ partitioned by gp; v2 = benchmarks carries the
+# content hash ``h`` (the revision guard's witness) — v1 stores lack it
+# and must be rebuilt, not misread as all-null hashes
+DECONTAM_LAYOUT = "gp_v2"
 
 NGRAM = 5  # DC1's gram length — one definition, imported by the gates
 
@@ -70,7 +77,7 @@ class DecontamIndex:
     """The persisted benchmark gram index (see module doc)."""
 
     grams: DataFrame  # (bench_id, g, gp)
-    benchmarks: DataFrame  # (bench_id): every indexed benchmark doc
+    benchmarks: DataFrame  # (bench_id, h): indexed docs + content hash
 
 
 def _distinct_grams(docs: DataFrame, key: str) -> DataFrame:
@@ -88,19 +95,54 @@ def build_decontam_index(bench_docs: DataFrame) -> DecontamIndex:
     grams = _distinct_grams(bench_docs, "bench_id").withColumn(
         "gp", F.substring(F.md5("g"), 1, 2)
     )
-    return DecontamIndex(grams=grams, benchmarks=bench_docs.select("bench_id"))
+    return DecontamIndex(
+        grams=grams,
+        benchmarks=bench_docs.select("bench_id", F.md5("text").alias("h")),
+    )
+
+
+def decontam_delta(index: DecontamIndex, new_bench: DataFrame) -> DecontamIndex:
+    """The revision-guarded DELTA index for newly-released benchmark docs
+    — what ``extend_decontam_index`` unions in, exposed separately so the
+    nightly fold can retroactively probe the existing corpus against
+    exactly the new grams (plans/nightly.py) at delta cost.
+
+    A known bench_id re-presented with DIFFERENT text is a REVISION and
+    is refused loudly (the stored ``h`` is the witness): silently
+    dropping it would leave grams unique to the revised text unindexed
+    and contamination against them unreported.  A revision needs an
+    index rebuild from the corrected benchmark list.  Identical
+    re-presentation is a retry and drops out via ``fresh_only`` — both
+    probes are broadcast delta-keyed semis; the index side is scanned,
+    never shuffled."""
+    from oc_meta_spark.plans.incremental import fresh_only
+
+    hashed = new_bench.select("bench_id", "text", F.md5("text").alias("nh"))
+    drift = (
+        index.benchmarks.join(
+            F.broadcast(hashed.select("bench_id", "nh").dropDuplicates(["bench_id"])),
+            "bench_id",
+        )
+        .filter(F.col("nh") != F.col("h"))
+    )
+    first_drift = drift.take(1)
+    if first_drift:
+        raise ValueError(
+            f"bench_id {first_drift[0]['bench_id']} was already indexed with "
+            "different text — a benchmark revision needs an index rebuild, "
+            "not an append (grams unique to the revised text would go "
+            "unindexed); refusing the extend"
+        )
+    fresh = fresh_only(hashed.select("bench_id", "text"), index.benchmarks, "bench_id")
+    return build_decontam_index(fresh)
 
 
 def extend_decontam_index(index: DecontamIndex, new_bench: DataFrame) -> DecontamIndex:
     """Append newly-released benchmark docs: gram rows are per-doc
-    disjoint, so indexing the genuinely-new docs and unioning EXACTLY
-    equals a rebuild from the full list, at delta cost; idempotent under
-    a retried append (``fresh_only``'s broadcast probe — the index side
-    is scanned, never shuffled)."""
-    from oc_meta_spark.plans.incremental import fresh_only
-
-    fresh = fresh_only(new_bench.select("bench_id", "text"), index.benchmarks, "bench_id")
-    delta = build_decontam_index(fresh)
+    disjoint, so indexing the genuinely-new docs (``decontam_delta`` —
+    revision-refusing, retry-idempotent) and unioning EXACTLY equals a
+    rebuild from the full list, at delta cost."""
+    delta = decontam_delta(index, new_bench)
     return DecontamIndex(
         grams=index.grams.unionByName(delta.grams),
         benchmarks=index.benchmarks.unionByName(delta.benchmarks),
@@ -130,7 +172,7 @@ def read_decontam_index(spark: SparkSession, path: str) -> DecontamIndex:
     check_meta(meta, {"layout": DECONTAM_LAYOUT}, path, "decontamination index")
     return DecontamIndex(
         grams=read_table(spark, path, "grams", "bench_id bigint, g string, gp string"),
-        benchmarks=read_table(spark, path, "benchmarks", None),
+        benchmarks=read_table(spark, path, "benchmarks", "bench_id bigint, h string"),
     )
 
 

@@ -44,8 +44,26 @@ def test_extend_equals_rebuild_and_is_idempotent(spark):
     replayed = extend_decontam_index(extended, b1.unionByName(b0))
     assert _rows(replayed.grams) == _rows(rebuilt.grams)
     assert _rows(replayed.benchmarks) == _rows(rebuilt.benchmarks)
-    assert (3,) in _rows(rebuilt.benchmarks)
+    assert 3 in [r[0] for r in _rows(rebuilt.benchmarks)]
     assert not [r for r in _rows(rebuilt.grams) if r[0] == 3]
+
+
+def test_extend_refuses_a_text_revision(spark):
+    """A known bench_id arriving with DIFFERENT text is a revision:
+    silently dropping it (the old fresh_only-only behavior) would leave
+    grams unique to the revised text unindexed and contamination against
+    them unreported — the extend must refuse loudly, mirroring
+    ingest_batch's revision refusal."""
+    idx = build_decontam_index(spark.createDataFrame(B0, BENCH_SCHEMA))
+    revised = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon REVISED tail")], BENCH_SCHEMA
+    )
+    with pytest.raises(ValueError, match="bench_id 1 .*different text"):
+        extend_decontam_index(idx, revised)
+    # identical re-presentation is a retry, not a revision — still fine
+    same = extend_decontam_index(idx, spark.createDataFrame(B0[:1], BENCH_SCHEMA))
+    assert _rows(same.grams) == _rows(idx.grams)
+    assert _rows(same.benchmarks) == _rows(idx.benchmarks)
 
 
 def test_probe_plan_broadcasts_the_benchmark_side(spark):
@@ -94,4 +112,7 @@ def test_roundtrip_layout_guard_and_probe(spark, tmp_path):
     ).parquet(f"{bad}/meta")
     with pytest.raises(ValueError, match="layout=other_v3"):
         read_decontam_index(spark, bad)
-    assert DECONTAM_LAYOUT == "gp_v1"
+    # v2 = benchmarks carries the revision guard's content hash; a v1
+    # store must be refused by the layout check above, never read with
+    # all-null hashes
+    assert DECONTAM_LAYOUT == "gp_v2"
