@@ -175,3 +175,118 @@ def nightly_fold(
             domains=extended.domains,
         )
     return reduce(lambda a, b: a.unionByName(b), outs), stores
+
+
+def nightly_decontam_fold(
+    corpus: DataFrame,
+    events: list[tuple[str, DataFrame]],
+    stores: NightlyStores,
+    dec_index,
+):
+    """The nightly fold with the DECONTAMINATION composition: interleave
+    corpus micro-batches with benchmark (eval-set) releases — two
+    cadences, one contamination ledger.
+
+    ``events`` is the arrival order: ``("batch", df)`` ingests a
+    (doc_id, text, domain) micro-batch exactly as :func:`nightly_fold`
+    (classify → extend every store) and additionally probes its
+    SURVIVORS against the benchmark gram index as it stands;
+    ``("bench", df)`` extends the index with a newly-released
+    (bench_id, text) eval set and RETROACTIVELY probes the
+    corpus-so-far against exactly the NEW grams.
+
+    The two probe directions partition the pair space by arrival order —
+    a (doc, benchmark) pair where the benchmark arrived first is caught
+    by the doc's batch probe, one where the doc arrived first by the
+    benchmark's retroactive probe — so the final ledger equals the
+    from-scratch DC1 report over (final corpus × final benchmark list),
+    each pair EXACTLY once.  The IN3 gate pins that equality with DC1's
+    SQL; the persisted form is streaming/ingest.py's ``nightly=True``
+    batch probe + ``ingest_benchmarks``.
+
+    Returns ``(verdicts, stores, dec_index, contam)`` where contam is
+    (doc_id, bench_id, n_shared_grams, batch) — batch = −1 for the
+    bootstrap probe of the founding corpus, the batch position for
+    survivor probes, BENCH_RELEASE_BATCH (−2) for retroactive probes.
+
+    Scale shape: the benchmark index is release-sized and BROADCASTS
+    into every probe (DC1's shape); a release's retroactive probe scans
+    the corpus once against only the delta grams; batch probes touch
+    survivors only.  No corpus shuffle in any probe."""
+    from oc_meta_spark.plans.decontam_index import (
+        DecontamIndex,
+        decontam_delta,
+        decontaminate,
+    )
+    from oc_meta_spark.streaming.ingest import BENCH_RELEASE_BATCH
+
+    if not any(kind == "batch" for kind, _ in events):
+        raise ValueError("nightly_decontam_fold needs at least one corpus batch")
+    stores = NightlyStores(
+        index=_checkpointed_index(stores.index),
+        postings=stores.postings,
+        lm=stores.lm,
+        domains=stores.domains,
+    )
+    # the index is probed by the bootstrap pass and every batch — same
+    # materialization rationale as _checkpointed_index
+    dec_index = DecontamIndex(
+        grams=dec_index.grams.localCheckpoint(),
+        benchmarks=dec_index.benchmarks.localCheckpoint(),
+    )
+    corpus_docs = corpus.select("doc_id", "text")
+    verdict_outs: list[DataFrame] = []
+    contam_outs = [
+        decontaminate(corpus_docs, dec_index).withColumn(
+            "batch", F.lit(-1).cast("long")
+        )
+    ]
+    pos = 0
+    for kind, df in events:
+        if kind == "batch":
+            verdicts, survivors = ingest_step(
+                df.select("doc_id", "text"), stores.index
+            )
+            verdict_outs.append(
+                verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+            )
+            surv = (
+                df.join(survivors.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id", "text", "domain")
+                .localCheckpoint()
+            )
+            contam_outs.append(
+                decontaminate(surv.select("doc_id", "text"), dec_index).withColumn(
+                    "batch", F.lit(pos).cast("long")
+                )
+            )
+            extended = extend_nightly_stores(stores, surv)
+            stores = NightlyStores(
+                index=_checkpointed_index(extended.index),
+                postings=extended.postings,
+                lm=extended.lm,
+                domains=extended.domains,
+            )
+            corpus_docs = corpus_docs.unionByName(surv.select("doc_id", "text"))
+            pos += 1
+        elif kind == "bench":
+            delta = decontam_delta(dec_index, df)
+            grams = delta.grams.localCheckpoint()
+            bdocs = delta.benchmarks.localCheckpoint()
+            contam_outs.append(
+                decontaminate(
+                    corpus_docs, DecontamIndex(grams=grams, benchmarks=bdocs)
+                ).withColumn("batch", F.lit(BENCH_RELEASE_BATCH).cast("long"))
+            )
+            dec_index = DecontamIndex(
+                grams=dec_index.grams.unionByName(grams),
+                benchmarks=dec_index.benchmarks.unionByName(bdocs),
+            )
+        else:
+            raise ValueError(f"unknown nightly_decontam_fold event kind {kind!r}")
+    return (
+        reduce(lambda a, b: a.unionByName(b), verdict_outs),
+        stores,
+        dec_index,
+        reduce(lambda a, b: a.unionByName(b), contam_outs),
+    )

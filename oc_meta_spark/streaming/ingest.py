@@ -55,6 +55,20 @@ domain-stat deltas (plans/nightly.py is the bounded in-memory form; the
 IN2 gate pins the composition's values), all landing under the ONE
 manifest swap — corpus, index and derived stores update together or not
 at all, and the verdict-log replay guard protects every table at once.
+The DECONTAMINATION composition rides the same commits at two cadences:
+each batch's survivors are probed against the persisted benchmark gram
+index (contamination verdicts land with the batch), and
+``ingest_benchmarks`` extends the index on eval-set releases with a
+retroactive probe of the existing corpus — every (doc, benchmark)
+collision recorded exactly once however the cadences interleave
+(plans/nightly.py::nightly_decontam_fold is the bounded form; the IN3
+gate pins the values against DC1's from-scratch SQL).
+
+The manifest records the store's MODE (plain | nightly) at its first
+commit; every ingest/read call checks it (``check_store_mode`` /
+``_require_nightly``) — mixing modes would maintain the derived tables
+for only some commits, silently under-counting the other mode's
+documents.
 """
 
 from __future__ import annotations
@@ -107,7 +121,22 @@ STORE_SCHEMAS = {
     "lm_bigrams": "w1 string, w2 string, c12 bigint, gp string",
     "domain_stats": "domain string, n_docs bigint, sum_uniq bigint, sum_words bigint",
     "prefix_domain": "prefix5 string, domain string, n_docs bigint, pp string",
+    # the decontamination composition (nightly mode): the benchmark gram
+    # index (extended by ingest_benchmarks at eval-release cadence, read
+    # by every batch's survivor probe) and the contamination verdict log
+    # — batch >= 0 rows from survivor probes, batch = -2 rows from the
+    # retroactive probe a benchmark release runs over the existing corpus
+    # (together: every (corpus doc, benchmark) gram collision exactly
+    # once, however their arrivals interleave)
+    "bench_grams": "bench_id bigint, g string, gp string",
+    "bench_docs": "bench_id bigint, h string",
+    "contam": "doc_id bigint, bench_id bigint, n_shared_grams bigint, batch bigint",
 }
+
+# contamination rows recorded by a benchmark release's retroactive probe
+# of the already-ingested corpus (vs batch >= 0 for survivor probes and
+# -1 for bootstrap rows in the verdict log)
+BENCH_RELEASE_BATCH = -2
 
 # leading sort key per table: delta files and compacted snapshots are
 # laid out so row-group min/max stats prune the probe joins
@@ -122,7 +151,40 @@ _STORE_SORT = {
     "lm_bigrams": ["gp", "w1", "w2"],
     "domain_stats": ["domain"],
     "prefix_domain": ["pp", "prefix5"],
+    "bench_grams": ["gp", "g"],
+    "bench_docs": ["bench_id"],
+    "contam": ["doc_id"],
 }
+
+
+def check_store_mode(manifest: dict, nightly: bool, store_dir: str) -> str:
+    """The manifest records the store's MODE (``plain`` | ``nightly``) at
+    its first commit; every later call must match — mixing modes on one
+    store would extend the derived tables for only some commits, leaving
+    postings/LM/domain views whose docs witness is the full corpus but
+    whose counts silently miss the other mode's documents (the
+    check-meta-or-refuse discipline of plans/store_contract.py, applied
+    to the manifest).  Returns the mode string for the caller's commit.
+    A versioned store with NO recorded mode predates the marker and must
+    be rebuilt, not guessed at."""
+    mode = "nightly" if nightly else "plain"
+    if manifest["version"] == 0:
+        return mode
+    stored = manifest.get("mode")
+    if stored is None:
+        raise ValueError(
+            f"ingest store at {store_dir} predates mode recording (no 'mode' "
+            "in its manifest) — rebuild it; guessing would risk derived "
+            "tables that cover only part of the corpus"
+        )
+    if stored != mode:
+        raise ValueError(
+            f"ingest store at {store_dir} was committed with mode={stored}; "
+            f"this call requests mode={mode} — mixing modes would leave the "
+            "derived stores covering only part of the corpus; use one mode "
+            "per store (rebuild to switch)"
+        )
+    return mode
 
 
 def ingest_step(batch: DataFrame, index: SignatureIndex) -> tuple[DataFrame, DataFrame]:
@@ -287,6 +349,7 @@ def load_nightly_stores(spark: SparkSession, store_dir: str):
     from oc_meta_spark.plans.postings_index import PostingsIndex
 
     manifest = read_manifest(store_dir)
+    _require_nightly(manifest, store_dir, "load_nightly_stores")
     corpus_ids = _store_df(spark, store_dir, manifest, "corpus").select("doc_id")
     heads = (
         _store_df(spark, store_dir, manifest, "lm_heads")
@@ -325,6 +388,99 @@ def load_nightly_stores(spark: SparkSession, store_dir: str):
     )
 
 
+def _require_nightly(manifest: dict, store_dir: str, caller: str) -> None:
+    """Refuse a non-nightly (or empty/pre-mode) store: its manifest has
+    never committed the derived tables this caller is about to read —
+    returning empty postings/LM/domain/benchmark views over a full docs
+    witness would be silently wrong, not merely incomplete."""
+    mode = manifest.get("mode")
+    if mode != "nightly":
+        raise ValueError(
+            f"{caller} needs a nightly-mode ingest store; {store_dir} has "
+            f"mode={mode!r} (version {manifest['version']}) — its derived "
+            "tables were never maintained, so the views would be silently "
+            "empty for a fully-populated corpus"
+        )
+
+
+def _load_bench_index(spark: SparkSession, store_dir: str, manifest: dict):
+    """The persisted benchmark gram index as a DecontamIndex view (empty
+    frames before the first ingest_benchmarks call)."""
+    from oc_meta_spark.plans.decontam_index import DecontamIndex
+
+    return DecontamIndex(
+        grams=_store_df(spark, store_dir, manifest, "bench_grams"),
+        benchmarks=_store_df(spark, store_dir, manifest, "bench_docs"),
+    )
+
+
+def load_decontam_view(spark: SparkSession, store_dir: str):
+    """(DecontamIndex, contamination log) as of the last committed
+    manifest — the benchmark index plus every recorded (doc_id, bench_id,
+    n_shared_grams, batch) collision; batch >= 0 rows came from survivor
+    probes, BENCH_RELEASE_BATCH rows from retroactive release probes."""
+    manifest = read_manifest(store_dir)
+    _require_nightly(manifest, store_dir, "load_decontam_view")
+    return (
+        _load_bench_index(spark, store_dir, manifest),
+        _store_df(spark, store_dir, manifest, "contam"),
+    )
+
+
+def ingest_benchmarks(
+    spark: SparkSession, bench_df: DataFrame, store_dir: str
+) -> None:
+    """Extend the store's benchmark gram index with a newly-released eval
+    set — the OTHER cadence of the decontamination composition: corpus
+    batches probe survivors against the index as it stands; this call
+    indexes the new benchmarks AND retroactively probes the existing
+    corpus against exactly the NEW grams, so every (corpus doc,
+    benchmark) collision is recorded exactly once no matter how corpus
+    batches and benchmark releases interleave.
+
+    Same commit discipline as ingest_batch: gram rows, benchmark
+    witnesses and retroactive contamination rows land under ONE manifest
+    swap.  Replay-idempotent via the benchmark witness (``decontam_delta``
+    drops known bench_ids, so a retried release indexes nothing and
+    probes nothing); a known bench_id with REVISED text is refused loudly
+    (decontam_delta's guard — the one store where a silent miss is most
+    costly).  Nightly-mode stores only.
+
+    Scale shape: the delta index is release-sized and BROADCASTS into the
+    corpus probe (DC1's documented shape); the corpus is scanned once per
+    release, never shuffled."""
+    os.makedirs(store_dir, exist_ok=True)
+    manifest = read_manifest(store_dir)
+    _require_nightly(manifest, store_dir, "ingest_benchmarks")
+    from oc_meta_spark.plans.decontam_index import (
+        DecontamIndex,
+        decontam_delta,
+        decontaminate,
+    )
+
+    index = _load_bench_index(spark, store_dir, manifest)
+    delta = decontam_delta(index, bench_df.select("bench_id", "text"))
+    # materialized ONCE: the gram delta feeds its own write AND the
+    # retroactive probe (lazily each would re-run the delta derivation)
+    grams = delta.grams.localCheckpoint()
+    bdocs = delta.benchmarks.localCheckpoint()
+    if not bdocs.take(1):
+        return  # fully-replayed release: nothing new, store untouched
+    corpus = _store_df(spark, store_dir, manifest, "corpus")
+    retro = decontaminate(
+        corpus, DecontamIndex(grams=grams, benchmarks=bdocs)
+    ).withColumn("batch", F.lit(BENCH_RELEASE_BATCH).cast("long"))
+    version = manifest["version"] + 1
+    tables = {k: list(v) for k, v in manifest["tables"].items()}
+    for kind, df in (("bench_grams", grams), ("bench_docs", bdocs), ("contam", retro)):
+        rel = os.path.join(kind, f"d{version:06d}")
+        _normalize(df, kind).write.mode("overwrite").parquet(
+            os.path.join(store_dir, rel)
+        )
+        tables.setdefault(kind, []).append(rel)
+    commit_manifest(store_dir, {"version": version, "tables": tables, "mode": "nightly"})
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -352,9 +508,12 @@ def ingest_batch(
     swap leaves the previous commit fully intact.
 
     The classification is materialized ONCE (``localCheckpoint``) before
-    the guard and the five delta writes — lazily, each write would re-run
+    the guard and the delta writes — lazily, each write would re-run
     the whole ingest_step plan (~6× the intended per-batch cost)."""
     os.makedirs(store_dir, exist_ok=True)
+    # mode guard FIRST (check_store_mode): a plain call on a nightly
+    # store (or vice versa) must refuse before anything is spent
+    mode = check_store_mode(read_manifest(store_dir), nightly, store_dir)
     if nightly and "domain" not in batch_df.columns:
         # fail before the classification spends anything (_nightly_deltas
         # re-checks as a backstop for direct callers)
@@ -415,16 +574,26 @@ def ingest_batch(
     if nightly:
         # the composed tables ride the SAME manifest swap: one atomic
         # commit updates corpus + index + postings + LM counts + domain
-        # stats together or not at all (the reference's meta_process
-        # discipline: data, provenance and counters land as one unit)
+        # stats + contamination verdicts together or not at all (the
+        # reference's meta_process discipline: data, provenance and
+        # counters land as one unit)
         deltas.update(_nightly_deltas(survivors, batch_df))
+        # probe the batch's survivors against the CURRENT benchmark gram
+        # index (extended by ingest_benchmarks at its own cadence);
+        # pairs whose benchmark arrives later are caught by that
+        # release's retroactive probe — together, exactly once each
+        from oc_meta_spark.plans.decontam_index import decontaminate
+
+        deltas["contam"] = decontaminate(
+            survivors, _load_bench_index(spark, store_dir, manifest)
+        ).withColumn("batch", F.lit(batch_id).cast("long"))
     for kind, df in deltas.items():
         rel = os.path.join(kind, f"d{version:06d}")
         _normalize(df, kind).write.mode("overwrite").parquet(
             os.path.join(store_dir, rel)
         )
         tables.setdefault(kind, []).append(rel)
-    commit_manifest(store_dir, {"version": version, "tables": tables})
+    commit_manifest(store_dir, {"version": version, "tables": tables, "mode": mode})
 
 
 def bootstrap_store(
@@ -473,7 +642,12 @@ def bootstrap_store(
             os.path.join(store_dir, rel)
         )
         tables[kind] = [rel]
-    commit_manifest(store_dir, {"version": 1, "tables": tables})
+    # the mode marker is born with the store: every later ingest_batch /
+    # ingest_benchmarks / load_nightly_stores call checks it
+    commit_manifest(
+        store_dir,
+        {"version": 1, "tables": tables, "mode": "nightly" if nightly else "plain"},
+    )
 
 
 def compact_ingest_store(spark: SparkSession, store_dir: str) -> int:

@@ -91,5 +91,8 @@ def compact_tables(
         tables[kind] = [rel]
         rewritten += 1
     if rewritten:
-        commit_manifest(store_dir, {"version": version, "tables": tables})
+        # spread the OLD manifest first: fields beyond version/tables
+        # (e.g. the ingest store's mode marker) must survive compaction —
+        # dropping them would strip the very guards they carry
+        commit_manifest(store_dir, {**manifest, "version": version, "tables": tables})
     return rewritten

@@ -1,12 +1,14 @@
 """The composed nightly pipeline (plans/nightly.py + streaming/ingest.py's
 nightly=True path): every persisted store fed from one fold's survivor
 sets, replay idempotency across ALL stores in one commit, compaction of
-the additive tables, and the literal constants the IN2 gate restates.
+the additive tables, and the manifest's store-mode guard.
 
 The VALUE semantics of the composition (verdicts + per-store outputs vs
 a from-scratch oracle) are gated by IN2 in plans/nightly_queries.py +
 tests/test_correctness.py; these tests pin the persisted-store behavior
-the oracle cannot see."""
+the oracle cannot see.  The decontamination composition's persisted
+behavior is pinned in tests/test_streaming_ingest.py; its values by the
+IN3 gate."""
 
 from __future__ import annotations
 
@@ -66,27 +68,40 @@ def _corpus_final(spark):
     return _mk(spark, keep)
 
 
-def test_in2_restated_constants_match_the_originals(spark):
-    """IN2 restates IR1's query, DR1's thresholds and the synthetic
-    domain as literals (importing the registering modules would perturb
-    rotation order) — pin them equal to the originals."""
-    from oc_meta_spark.plans import nightly_queries as nq
-    from oc_meta_spark.plans import quality_queries as qq
-    from oc_meta_spark.plans import retrieval_queries as rq
+def test_store_mode_is_recorded_and_guarded(spark, tmp_path):
+    """The manifest records the store's mode at bootstrap, and every
+    mixed-mode call refuses loudly — a nightly ingest into a plain store
+    (or vice versa) would maintain the derived tables for only some
+    commits, silently under-counting (round-11 ADVICE)."""
+    plain = str(tmp_path / "plain")
+    bootstrap_store(spark, _mk(spark, BASE).select("doc_id", "text"), plain)
+    assert _manifest(plain)["mode"] == "plain"
+    with pytest.raises(ValueError, match="mode=plain.*mode=nightly"):
+        ingest_batch(spark, _mk(spark, B0), plain, 0, nightly=True)
+    with pytest.raises(ValueError, match="load_nightly_stores needs a nightly"):
+        load_nightly_stores(spark, plain)
 
-    assert nq._IN2_TERMS == rq._IR1_TERMS
-    assert nq._IN2_K == rq._IR1_K
-    assert nq._IN2_PREFIX_WORDS == qq._DR1_PREFIX_WORDS
-    assert nq._IN2_QUALITY_FLOOR_PPM == qq._DR1_QUALITY_FLOOR_PPM
-    df = spark.createDataFrame([(7, "src")], "doc_id long, source string")
-    restated = F.concat(
-        F.col("source"),
-        F.lit("-"),
-        F.expr("cast((doc_id div 20) % 5 as string)"),
-        F.lit(".example.org"),
-    )
-    got = df.select(restated.alias("a"), qq._dr_domain().alias("b")).first()
-    assert got["a"] == got["b"]
+    night = str(tmp_path / "night")
+    bootstrap_store(spark, _mk(spark, BASE), night, nightly=True)
+    assert _manifest(night)["mode"] == "nightly"
+    with pytest.raises(ValueError, match="mode=nightly.*mode=plain"):
+        ingest_batch(spark, _mk(spark, B0).select("doc_id", "text"), night, 0)
+
+    # a store with committed state but no recorded mode predates the
+    # marker: refused, never guessed
+    m = _manifest(night)
+    del m["mode"]
+    with open(os.path.join(night, "MANIFEST.json"), "w", encoding="utf-8") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="predates mode recording"):
+        ingest_batch(spark, _mk(spark, B0), night, 0, nightly=True)
+
+    # compaction must carry the mode marker through its manifest rewrite
+    night2 = str(tmp_path / "night2")
+    bootstrap_store(spark, _mk(spark, BASE), night2, nightly=True)
+    ingest_batch(spark, _mk(spark, B0), night2, 0, nightly=True)
+    assert compact_ingest_store(spark, night2) > 0
+    assert _manifest(night2)["mode"] == "nightly"
 
 
 def test_fold_stores_equal_from_scratch_builds(spark):
@@ -174,7 +189,8 @@ def test_persisted_nightly_store_replay_and_compaction(spark, tmp_path):
 
 def test_plain_store_has_no_nightly_tables(spark, tmp_path):
     """nightly=False stores never grow the composed tables, and a
-    domain-less feed into nightly=True is refused loudly."""
+    domain-less feed into nightly=True is refused loudly (on a fresh
+    store, where the mode guard does not fire first)."""
     store = str(tmp_path / "plain_store")
     bootstrap_store(spark, _mk(spark, BASE).select("doc_id", "text"), store)
     ingest_batch(spark, _mk(spark, B0).select("doc_id", "text"), store, 0)
@@ -182,5 +198,9 @@ def test_plain_store_has_no_nightly_tables(spark, tmp_path):
     assert "postings" not in tables and "lm_heads" not in tables
     with pytest.raises(ValueError, match="domain column"):
         ingest_batch(
-            spark, _mk(spark, B1).select("doc_id", "text"), store, 1, nightly=True
+            spark,
+            _mk(spark, B1).select("doc_id", "text"),
+            str(tmp_path / "fresh_store"),
+            0,
+            nightly=True,
         )

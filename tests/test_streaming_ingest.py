@@ -231,3 +231,94 @@ def test_fold_empty_batches_raises(spark):
         ingest_fold([], build_signature_index(
             spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
         ))
+
+
+# ---------------------------------------------------------------------------
+# The persisted decontamination composition (ingest_benchmarks + the
+# nightly batch probe): interleave semantics, replay idempotency at both
+# cadences, the revision refusal, and the mode guard.  The bounded-fold
+# VALUES are gated by IN3 (plans/nightly_queries.py) against DC1's SQL.
+# ---------------------------------------------------------------------------
+NSCHEMA = "doc_id long, text string, domain string"
+DBASE = [(100, "alpha beta gamma delta epsilon zeta", "a.org")]
+DB0 = [
+    (1, "alpha beta gamma delta epsilon completely new", "a.org"),
+    (2, "nothing in common with benchmarks here", "b.org"),
+]
+DB1 = [(11, "xx1 xx2 xx3 nothing in common with benchmarks yy1 yy2", "b.org")]
+BSCHEMA = "bench_id long, text string"
+BENCH1 = [(500, "alpha beta gamma delta epsilon shared tail")]
+BENCH2 = [(600, "nothing in common with benchmarks here")]
+
+
+def test_decontam_composition_interleaved_cadences(spark, tmp_path):
+    """Corpus batches and benchmark releases interleave; the ledger must
+    equal the from-scratch DC1 report over (store corpus × all
+    benchmarks), with each pair recorded by the correct cadence: batch
+    tags for benchmark-first pairs, BENCH_RELEASE_BATCH for corpus-first
+    (retroactive) pairs.  Replays of either cadence commit nothing."""
+    from oc_meta_spark.plans.decontam_index import build_decontam_index, decontaminate
+    from oc_meta_spark.streaming.ingest import (
+        BENCH_RELEASE_BATCH,
+        compact_ingest_store,
+        ingest_benchmarks,
+        load_decontam_view,
+    )
+
+    store = str(tmp_path / "night")
+    bootstrap_store(spark, spark.createDataFrame(DBASE, NSCHEMA), store, nightly=True)
+    ingest_benchmarks(spark, spark.createDataFrame(BENCH1, BSCHEMA), store)
+    ingest_batch(spark, spark.createDataFrame(DB0, NSCHEMA), store, 0, nightly=True)
+    ingest_benchmarks(spark, spark.createDataFrame(BENCH2, BSCHEMA), store)
+    ingest_batch(spark, spark.createDataFrame(DB1, NSCHEMA), store, 1, nightly=True)
+    v = _manifest(store)["version"]
+
+    _, corpus, _ = load_ingest_store(spark, store)
+    idx, contam = load_decontam_view(spark, store)
+    # ledger == from-scratch over the store's ACTUAL corpus — robust to
+    # whatever the dedup classification admitted
+    scratch = decontaminate(
+        corpus, build_decontam_index(spark.createDataFrame(BENCH1 + BENCH2, BSCHEMA))
+    )
+    got = sorted(tuple(r) for r in contam.select("doc_id", "bench_id", "n_shared_grams").collect())
+    assert got == sorted(tuple(r) for r in scratch.collect())
+    # cadence tags: bench 500 predates doc 1 (batch probe, tag 0); base
+    # doc 100 predates bench 500 and doc 2 predates bench 600 (both
+    # retroactive); doc 11 arrives after bench 600 (batch probe, tag 1)
+    tags = {(r["doc_id"], r["bench_id"]): r["batch"] for r in contam.collect()}
+    assert tags[(100, 500)] == BENCH_RELEASE_BATCH
+    assert tags[(1, 500)] == 0
+    assert tags[(2, 600)] == BENCH_RELEASE_BATCH
+    assert tags[(11, 600)] == 1
+
+    # replayed release and replayed batch: nothing committed
+    ingest_benchmarks(spark, spark.createDataFrame(BENCH1, BSCHEMA), store)
+    ingest_batch(spark, spark.createDataFrame(DB1, NSCHEMA), store, 1, nightly=True)
+    assert _manifest(store)["version"] == v
+    _, contam2 = load_decontam_view(spark, store)
+    assert sorted(map(tuple, contam2.collect())) == sorted(map(tuple, contam.collect()))
+
+    # a revised benchmark refuses; compaction preserves the ledger
+    with pytest.raises(ValueError, match="bench_id 500 .*different text"):
+        ingest_benchmarks(
+            spark,
+            spark.createDataFrame([(500, "revised benchmark body text here")], BSCHEMA),
+            store,
+        )
+    assert compact_ingest_store(spark, store) > 0
+    _, contam3 = load_decontam_view(spark, store)
+    assert sorted(map(tuple, contam3.collect())) == sorted(map(tuple, contam.collect()))
+
+
+def test_ingest_benchmarks_refuses_plain_stores(spark, tmp_path):
+    """The benchmark index tables exist only under nightly mode — a
+    plain store's batches never probe them, so extending one would
+    record an index no commit consults (silently missing verdicts)."""
+    from oc_meta_spark.streaming.ingest import ingest_benchmarks
+
+    store = str(tmp_path / "plain")
+    bootstrap_store(
+        spark, spark.createDataFrame(DBASE, NSCHEMA).select("doc_id", "text"), store
+    )
+    with pytest.raises(ValueError, match="ingest_benchmarks needs a nightly"):
+        ingest_benchmarks(spark, spark.createDataFrame(BENCH1, BSCHEMA), store)
