@@ -49,6 +49,8 @@ HEADLINE = [
     "PX3_incremental_lm_scoring",
     "HS3_composed_holdout_growth",
     "IN2_composed_nightly_fold",
+    "IN3_nightly_decontam_fold",
+    "RL1_corpus_release",
     "QT1_exact_group_quantiles",
     "P1_corpus_prep_pipeline",
     "X7_semantic_dedup",
@@ -141,6 +143,59 @@ def main() -> None:
         t.count()
     extra["merge_hub_sec"] = round(time.perf_counter() - t0, 4)
     extra["merge_hub_rows"] = n_moved
+
+    # The aggregate-on-read knob (SCALING.md): a nightly store's additive
+    # tables pay a read-side groupBy that grows with the delta-dir count
+    # between compactions.  Time a FULL store read (all five derived
+    # views forced) at 1 delta dir, 8 delta dirs, and after compaction —
+    # the number behind the compaction-cadence advice.  Outside the
+    # headline total: synthetic store build, not an sf-scaled query.
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oc_meta_spark.sources.tables import load_table
+    from oc_meta_spark.streaming.ingest import (
+        bootstrap_store,
+        compact_ingest_store,
+        ingest_batch,
+        load_nightly_stores,
+    )
+
+    def read_all(store: str) -> int:
+        postings, lm, doms = load_nightly_stores(spark, store)
+        return (
+            postings.postings.count()
+            + lm.heads.count()
+            + lm.bigrams.count()
+            + doms.domain_stats.count()
+            + doms.prefix_domain.count()
+        )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", F.col("source").alias("domain")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_nightly_")
+    try:
+        store = os.path.join(tmp, "store")
+        bootstrap_store(spark, docs.filter(F.col("doc_id") % 10 >= 7), store, nightly=True)
+        t0 = time.perf_counter()
+        read_all(store)
+        extra["nightly_read_1x_sec"] = round(time.perf_counter() - t0, 4)
+        for b in range(7):
+            ingest_batch(
+                spark, docs.filter(F.col("doc_id") % 10 == b), store, b, nightly=True
+            )
+        t0 = time.perf_counter()
+        read_all(store)
+        extra["nightly_read_8x_sec"] = round(time.perf_counter() - t0, 4)
+        compact_ingest_store(spark, store)
+        t0 = time.perf_counter()
+        read_all(store)
+        extra["nightly_read_compacted_sec"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -55,14 +55,22 @@ from oc_meta_spark.plans.ingest_fold_oracle import IN_FOLD_CTES
 from oc_meta_spark.plans.registry import register
 from oc_meta_spark.sources.tables import load_table
 
-# IR1's query and DR1's thresholds, restated as literals here rather than
-# imported: retrieval_queries/quality_queries register gates, and
-# importing them at decoration time would perturb the registry's rotation
-# order.  tests/test_nightly.py asserts these equal the originals.
-_IN2_TERMS = ("vector", "merge", "window")
-_IN2_K = 10
-_IN2_PREFIX_WORDS = 5
-_IN2_QUALITY_FLOOR_PPM = 380
+# IR1's query and DR1's thresholds, imported DIRECTLY from their owning
+# modules: the registry's explicit ROTATION list (round-12) decoupled the
+# externally-sampled gate order from module import order, so importing a
+# registering module for its constants no longer perturbs anything — the
+# round-11 restated-literals workaround (and its equality-pin test) is
+# gone.
+from oc_meta_spark.plans.quality_queries import (  # noqa: E402
+    _DR1_PREFIX_WORDS as _IN2_PREFIX_WORDS,
+    _DR1_QUALITY_FLOOR_PPM as _IN2_QUALITY_FLOOR_PPM,
+    _dr_domain,
+)
+from oc_meta_spark.plans.retrieval_queries import (  # noqa: E402
+    _IR1_K as _IN2_K,
+    _IR1_TERMS as _IN2_TERMS,
+)
+
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _IN2_TERMS)
 
 _IN2_ORACLE = f"""
@@ -181,15 +189,9 @@ def in2_composed_nightly_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.postings_index import search_postings
 
     docs = load_table(spark, "documents", sf_dir)
-    # the UF1/DR1 synthetic host — restated like the thresholds above;
-    # pinned equal to quality_queries._dr_domain by tests/test_nightly.py
-    domain = F.concat(
-        F.col("source"),
-        F.lit("-"),
-        F.expr("cast((doc_id div 20) % 5 as string)"),
-        F.lit(".example.org"),
-    )
-    doms = docs.select("doc_id", domain.alias("domain"))
+    # the UF1/DR1 synthetic host — imported, not restated (see the
+    # constants block above)
+    doms = docs.select("doc_id", _dr_domain().alias("domain"))
     base = (
         docs.filter(~(F.col("doc_id") % 10).isin(0, 1))
         .select("doc_id", "text")
@@ -250,4 +252,96 @@ def in2_composed_nightly_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bigram_rows)
         .unionByName(domain_rows)
         .orderBy("component", "key", "val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN3 — the nightly fold WITH the decontamination composition: the same
+# two-batch ingest fold as IN2, interleaved with a MID-FOLD benchmark
+# release — batch 0 probes its survivors against the founding benchmark
+# index, the release indexes the remaining eval sets and retroactively
+# probes the corpus-so-far, batch 1 probes against the full index.  The
+# oracle is DC1's from-scratch contamination report over (final corpus ×
+# final benchmark list) — the gram CTEs below are DC1's decomposition
+# (hygiene_queries._DC1_ORACLE) applied to the fold's corpus_final, so a
+# pair missed, doubled, or probed against stale grams by the interleaved
+# cadences diverges the hash.
+#
+# Benchmark set: the documents at doc_id % _BENCH_MOD == 0 with their
+# ORIGINAL texts (eval sets are released, never derived from the planted
+# corpus); founding slice = % 100 == 0, mid-fold release = % 100 == 50.
+# Those doc_ids all fall in batch 0's residue (%50==0 ⇒ %10==0), where
+# IN1's plant replaces their text with an exact-dup donor — so they are
+# classified away and the corpus/benchmark sides stay disjoint on both
+# engines by construction.
+# ---------------------------------------------------------------------------
+from oc_meta_spark.plans.hygiene_queries import _BENCH_MOD  # noqa: E402
+
+
+def _in3_grams_sql(src: str, key: str, alias: str) -> str:
+    """DC1's N-gram decomposition as a CTE body over ``src`` — the DuckDB
+    mirror of decontam_index.GRAMS_EXPR (sub-N-word rows yield no grams:
+    the range is empty), parameterized by the shared NGRAM constant."""
+    from oc_meta_spark.plans.decontam_index import NGRAM
+
+    g = " || ' ' || ".join(f"ws[i+{j}]" for j in range(NGRAM))
+    return (
+        f"SELECT DISTINCT {key} AS {alias}, {g} AS g "
+        f"FROM (SELECT {key}, ws, unnest(range(1, len(ws) - {NGRAM - 2})) AS i "
+        f"FROM (SELECT {key}, string_split(text, ' ') AS ws FROM {src}))"
+    )
+
+
+_IN3_ORACLE = f"""
+    WITH {IN_FOLD_CTES},
+    corpus_final AS (
+      SELECT doc_id, text FROM corpus1 UNION ALL SELECT doc_id, text FROM surv1
+    ),
+    cgrams AS ({_in3_grams_sql("corpus_final", "doc_id", "doc_id")}),
+    bench_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    bgrams AS ({_in3_grams_sql("bench_docs", "doc_id", "bench_id")})
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_grams
+    FROM cgrams c JOIN bgrams b ON c.g = b.g
+    GROUP BY c.doc_id, b.bench_id
+    ORDER BY c.doc_id, b.bench_id
+"""
+
+
+@register(
+    "IN3_nightly_decontam_fold",
+    _IN3_ORACLE,
+    doc="Nightly fold with the decontamination composition: corpus batches probe survivors against the benchmark gram index, a mid-fold eval-set release extends the index and retroactively probes the corpus — the final ledger must equal DC1's from-scratch report over (final corpus × final benchmarks).",
+)
+def in3_nightly_decontam_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oc_meta_spark.plans.decontam_index import build_decontam_index
+    from oc_meta_spark.plans.incremental_queries import in1_planted_batches
+    from oc_meta_spark.plans.nightly import build_nightly_stores, nightly_decontam_fold
+
+    docs = load_table(spark, "documents", sf_dir)
+    doms = docs.select("doc_id", _dr_domain().alias("domain"))
+    base = (
+        docs.filter(~(F.col("doc_id") % 10).isin(0, 1))
+        .select("doc_id", "text")
+        .join(doms, "doc_id")
+    )
+    batches = [
+        b.join(doms, "doc_id").select("doc_id", "text", "domain")
+        for b in in1_planted_batches(docs.select("doc_id", "text"))
+    ]
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    founding = build_decontam_index(bench.filter(F.col("bench_id") % 100 == 0))
+    events = [
+        ("batch", batches[0]),
+        ("bench", bench.filter(F.col("bench_id") % 100 != 0)),
+        ("batch", batches[1]),
+    ]
+    _verdicts, _stores, _idx, contam = nightly_decontam_fold(
+        base, events, build_nightly_stores(base), founding
+    )
+    return contam.select("doc_id", "bench_id", "n_shared_grams").orderBy(
+        "doc_id", "bench_id"
     )

@@ -46,49 +46,210 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return deco
 
 
-def load_all() -> dict[str, OracleQuery]:
-    """Import every plan module so their @register decorators run.
+# ---------------------------------------------------------------------------
+# ROTATION — the EXPLICIT gate order load_all() returns (round-11 verdict
+# "What's wrong #1": order was previously module-import-order × decorator
+# order, which coupled the externally-sampled evidence window to import
+# side effects and made cross-module constant imports hazardous).
+#
+# External correctness harnesses sample a bounded PREFIX of this list (in
+# order), so the front of the list is the round's evidence window: gates
+# whose code changed this round, then the gates whose last recorded
+# driver evidence is oldest — the standing two-round freshness contract.
+#
+# Round-12 window (first 50): the new/touched gates (decontam revision
+# guard, nightly-mode manifest recording) lead; then the 32 gates whose
+# latest driver evidence dates to r9; then 12 r10 gates from the
+# persisted-store/consumption family RL1 composes (proactive freshening —
+# they would head the r13 stale list otherwise).  Everything after spills
+# on untouched code with r10/r11 evidence, grouped by module.
+#
+# The list is validated against QUERIES inside load_all() (complete, no
+# duplicates, no unknowns) — an unregistered name or a forgotten entry
+# fails every caller loudly, never silently narrows the window.
+# ---------------------------------------------------------------------------
+ROTATION: list[str] = [
+    # -- round-12 new / touched code --
+    "RL1_corpus_release",
+    "IN3_nightly_decontam_fold",
+    "DC4_persisted_decontamination",
+    "DC1_benchmark_decontamination",
+    "IN2_composed_nightly_fold",
+    "IN1_streaming_ingest_dedup",
+    # -- the 32 r9-stale gates (rotation contract, round-11 verdict #1) --
+    "A1_pricing_summary",
+    "A2_grouped_distinct_counts",
+    "A5_group_statistics",
+    "DC3_fuzzy_decontamination",
+    "ED1_editor_update_property",
+    "F1_validity_filter",
+    "G1_connected_components",
+    "G2_bounded_bfs",
+    "G3_merge_chain_resolution",
+    "J1_batch_key_resolution",
+    "J3_composite_key_join",
+    "J6_hierarchy_revenue",
+    "J10_counter_reconciliation",
+    "J11_multi_assignment_check",
+    "MA1_merge_audit",
+    "MRG1_apply_merges_invariants",
+    "PT1_duplicate_part_of_repair",
+    "PV1_provenance_backfill",
+    "SO3_anti_join_unprocessed",
+    "SO5_semi_join_active",
+    "W1_sequence_positions",
+    "W2_sequence_anomalies",
+    "W4_latest_event_per_user",
+    "W5_first_non_null_propagation",
+    "X1_vector_norms",
+    "X2_cosine_topk_bruteforce",
+    "X3_lsh_bucketed_nn",
+    "X4_embedding_neardup_pairs",
+    "X5_ivf_ann",
+    "X6_embedding_neardup_planted",
+    "X7_semantic_dedup",
+    "X8_incremental_ivf_ann",
+    # -- 12 r10 gates: the store/consumption family RL1 composes --
+    "PX3_incremental_lm_scoring",
+    "QB1_token_budget_selection",
+    "HS2_incremental_holdout_stability",
+    "SH1_seeded_corpus_shuffle",
+    "HS1_leakage_safe_holdout",
+    "HS3_composed_holdout_growth",
+    "ID1_incremental_corpus_dedup",
+    "SD1_corpus_snapshot_diff",
+    "IR2_persisted_postings_search",
+    "PX1_lm_bits_per_token_filter",
+    "PX2_perplexity_tertile_split",
+    "DR2_incremental_domain_reputation",
+    # ---- window boundary (position 50) ----
+    # -- r11-witnessed, untouched: corpus stats, curation, dedup, text,
+    #    temporal, hygiene remainder --
+    "SK1_kmv_distinct_sketch",
+    "SK2_mergeable_kmv_sketch",
+    "VB1_bpe_pair_stats",
+    "J8_citation_resolution",
+    "J7_publisher_inheritance",
+    "J9_merge_neighborhood",
+    "A3_table_counts",
+    "A4_max_counter_per_kind",
+    "SO1_idset_algebra",
+    "CUR1_curation_end_to_end",
+    "CUR2_curation_update_scenario",
+    "RT1_rdf_csv_round_trip",
+    "RT2_round_trip_fixpoint",
+    "RT3_round_trip_venue_name",
+    "VR1_check_results_report",
+    "VR2_check_results_planted",
+    "CUR3_curation_invariants",
+    "CUR4_curation_update_invariants",
+    "VD2_export_check_planted",
+    "EQ1_equalizer_field_precedence",
+    "D8_exact_dedup",
+    "D9_duplicate_key_groups",
+    "D2_resolution_decision",
+    "D14_conditional_distinct_key",
+    "D15_fuzzy_weighted_match",
+    "D16_minhash_lsh_near_dup",
+    "D17_simhash_signature",
+    "D18_jaccard_similarity_join",
+    "D19_prefix_filtered_jaccard",
+    "A8_processing_report",
+    "D20_simhash_hamming_neardup",
+    "D21_neardup_cluster_collapse",
+    "D22_bibliographic_match_score",
+    "C1_normalize_hyphens_spaces",
+    "C3_title_case_acronyms",
+    "C4_partial_date_parse",
+    "C8_issn_checksum_validation",
+    "C10_split_name_and_ids",
+    "T1_token_stats",
+    "T2_language_id_heuristic",
+    "T3_quality_score",
+    "T4_document_fingerprint",
+    "T5_bpe_token_count",
+    "T6_repetition_signals",
+    "AS1_asof_attribution_join",
+    "RJ1_incident_window_join",
+    "DC2_pii_redaction",
+    # -- r10-witnessed, untouched: retrieval/quality/pipeline/sampling
+    #    remainder, fidelity, sources, multimodal, streaming --
+    "IR1_keyword_search_topk",
+    "DR1_domain_reputation",
+    "QT1_exact_group_quantiles",
+    "P1_corpus_prep_pipeline",
+    "D23_cross_doc_span_dedup",
+    "T7_quality_classifier",
+    "CH1_token_window_chunking",
+    "TF1_tfidf_top_terms",
+    "MX1_stratified_source_sample",
+    "MX2_token_budget_packing",
+    "MX3_mixture_epoch_upsampling",
+    "MX4_exact_quota_stratified_sample",
+    "UF1_domain_filter",
+    "F3_type_aliasing",
+    "F4_vol_issue_invalidation",
+    "F7_temp_id_suppression",
+    "W3_numeric_file_ordering",
+    "C7_ra_name_normalization",
+    "C11_remove_ascii",
+    "C14_venue_type_inference",
+    "C15_date_typed_literal",
+    "D6_agent_list_cleaning",
+    "VD1_literal_datatype_audit",
+    "C9_volume_issue_repair",
+    "OX1_orcid_xml_extraction",
+    "AP1_api_enrichment_join",
+    "Z1_zip_jsonld_round_trip",
+    "CS1_csv_sink_round_trip",
+    "NQ1_nquads_round_trip",
+    "JL1_jsonld_layout_sink",
+    "FO1_foreign_ocdm_import",
+    "M1_media_exact_dedup",
+    "M2_video_frame_sampling",
+    "ST1_windowed_event_counts",
+    "ST2_sessionization",
+    "ST3_stream_dedup",
+]
 
-    Import order is deliberate: external correctness harnesses that sample a
-    bounded prefix of the registry (in registration order) should see the
-    gates whose code most recently changed, or whose last recorded pass
-    predates a code change, first.  Round-11 order: nightly leads
-    (position 1 — IN2, the composed nightly-fold gate, is NEW);
-    corpus_stats (2-4 — SK2 was the one gate with no driver row,
-    promised front this round; its parity split moved to pmod);
-    then every family whose latest recorded rows date to round 8 on
-    untouched code: curation (5-21 — the CUR/RT/VR suite, EQ1, SO1,
-    J7-J9, A3/A4), dedup (22-34 — D19's vocabulary window was removed
-    this round; the D2/D8/D9/D14-D22/A8 family), text (35-45 — T1-T6,
-    C1/C3/C4/C8/C10), temporal (46-47 — AS1/RJ1); hygiene (48-51 —
-    DC4, the NEW persisted-decontamination gate, registers first in its
-    module and lands at 48; DC1/DC2 follow inside the window, DC3 at 51
-    spills on its r9 evidence).  Everything after spills on untouched
-    code, all witnessed r9/r10: editor, analytics, graph, similarity,
-    audit (r9), then retrieval, quality (via quality-buckets' import of
-    the shared scorer), pipeline, sampling, incremental, fidelity,
-    multimodal, stream (r10).
-    """
-    import oc_meta_spark.plans.nightly_queries  # noqa: F401
+
+def load_all() -> dict[str, OracleQuery]:
+    """Import every plan module so their @register decorators run, then
+    return the registry in ROTATION order.  Module import order below is
+    ALPHABETICAL and carries no meaning — the externally-sampled gate
+    order is ROTATION's alone, so modules may freely import each other's
+    constants without perturbing the evidence window."""
+    import oc_meta_spark.plans.analytics  # noqa: F401
+    import oc_meta_spark.plans.audit_queries  # noqa: F401
     import oc_meta_spark.plans.corpus_stats_queries  # noqa: F401
     import oc_meta_spark.plans.curation_queries  # noqa: F401
     import oc_meta_spark.plans.dedup_queries  # noqa: F401
-    import oc_meta_spark.plans.text_queries  # noqa: F401
-    import oc_meta_spark.plans.temporal_queries  # noqa: F401
-    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
     import oc_meta_spark.plans.editor_queries  # noqa: F401
-    import oc_meta_spark.plans.analytics  # noqa: F401
+    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
     import oc_meta_spark.plans.graph_queries  # noqa: F401
-    import oc_meta_spark.plans.similarity_queries  # noqa: F401
-    import oc_meta_spark.plans.audit_queries  # noqa: F401
-    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
+    import oc_meta_spark.plans.hygiene_queries  # noqa: F401
+    import oc_meta_spark.plans.incremental_queries  # noqa: F401
+    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.nightly_queries  # noqa: F401
+    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
     import oc_meta_spark.plans.quality_buckets_queries  # noqa: F401
     import oc_meta_spark.plans.quality_queries  # noqa: F401
-    import oc_meta_spark.plans.pipeline_queries  # noqa: F401
+    import oc_meta_spark.plans.release_queries  # noqa: F401
+    import oc_meta_spark.plans.retrieval_queries  # noqa: F401
     import oc_meta_spark.plans.sampling_queries  # noqa: F401
-    import oc_meta_spark.plans.incremental_queries  # noqa: F401
-    import oc_meta_spark.plans.fidelity_queries  # noqa: F401
-    import oc_meta_spark.plans.multimodal_queries  # noqa: F401
+    import oc_meta_spark.plans.similarity_queries  # noqa: F401
     import oc_meta_spark.plans.stream_queries  # noqa: F401
+    import oc_meta_spark.plans.temporal_queries  # noqa: F401
+    import oc_meta_spark.plans.text_queries  # noqa: F401
 
-    return QUERIES
+    seen = set()
+    dups = [n for n in ROTATION if n in seen or seen.add(n)]
+    missing = [n for n in ROTATION if n not in QUERIES]
+    extra = [n for n in QUERIES if n not in seen]
+    if dups or missing or extra:
+        raise RuntimeError(
+            "registry ROTATION is out of sync with the registered gates: "
+            f"duplicates={dups}, rotation-only={missing}, registered-only={extra} "
+            "— every @register'd gate needs exactly one ROTATION entry"
+        )
+    return {name: QUERIES[name] for name in ROTATION}

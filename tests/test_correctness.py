@@ -55,6 +55,15 @@ def test_registry_counts():
     if m:  # header added round 7; keep the assert once present
         assert (int(m.group(1)), int(m.group(2))) == (total, oracled)
 
+    # the explicit ROTATION list (round-12: gate order decoupled from
+    # module import order) must be complete, duplicate-free, and the
+    # exact order load_all returns — load_all itself refuses a drifted
+    # list, so this is the readable restatement of that contract
+    from oc_meta_spark.plans.registry import ROTATION
+
+    assert list(_QUERIES) == ROTATION
+    assert len(ROTATION) == len(set(ROTATION))
+
 
 def test_dc3_detects_most_planted_pairs(spark, sf_dir):
     """The planted perturbed copies (shingle Jaccard ~0.65) must be found
