@@ -73,7 +73,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from oc_meta_spark.session import get_spark
+    from oc_meta_spark.session import get_spark, release_session_state
     from oc_meta_spark.plans.registry import load_all
 
     spark = get_spark("oc-meta-spark-bench")
@@ -113,10 +113,20 @@ def main() -> None:
             df = queries[n].builder(spark, sf_dir)
         rowcounts[n] = len(df.collect())
         t1 = time.perf_counter() - t0
+        # release this run's leftover checkpoint/cache blocks BEFORE the
+        # next timed run (r12, guide §5): without it the session
+        # accumulates every prior query's blocks and later queries pay
+        # the heap pressure — measured up to 40x inflation on the bench
+        # tail.  Each timed run still rebuilds its whole plan from the
+        # parquet inputs (the builder call below is fresh), so this only
+        # removes garbage, never work.
+        df = None
+        release_session_state(spark)
         if t1 < 10.0 and n not in single_run:
             t0 = time.perf_counter()
             len(queries[n].builder(spark, sf_dir).collect())
             t1 = min(t1, time.perf_counter() - t0)
+            release_session_state(spark)
         timings[n] = round(t1, 4)
     # the headline metric sums the RECORDED (best) per-query times — stable
     # under session contention; raw wall-clock is reported as wall_sec
@@ -143,6 +153,8 @@ def main() -> None:
         t.count()
     extra["merge_hub_sec"] = round(time.perf_counter() - t0, 4)
     extra["merge_hub_rows"] = n_moved
+    res = None
+    release_session_state(spark)
 
     # The aggregate-on-read knob (SCALING.md): a nightly store's additive
     # tables pay a read-side groupBy that grows with the delta-dir count

@@ -293,6 +293,84 @@ def extend_signature_index(index: SignatureIndex, new_docs: DataFrame) -> Signat
     )
 
 
+def materialized_signature_index(docs: DataFrame) -> SignatureIndex:
+    """``build_signature_index`` with every table ``localCheckpoint``-ed
+    in DEPENDENCY order, for callers that are about to probe the index
+    repeatedly (the ingest folds).
+
+    The point of the ordering: ``bands`` is derived from the
+    CHECKPOINTED signatures frame, so the shingle-explode + 8-way MinHash
+    pass — the expensive part of the build — runs exactly once.
+    Checkpointing a lazily-built index table-by-table instead runs that
+    pass twice, because the bands plan embeds its own copy of the minhash
+    subtree (r12 measurement: the double pass was ~40% of the fold's
+    index-bootstrap cost).  Frames are tagged so the folds'
+    ``_checkpointed_index`` wrapper can skip re-materializing them."""
+    sigs = minhash_signature(docs).localCheckpoint()
+    idx = SignatureIndex(
+        hashes=content_hashes(docs).localCheckpoint(),
+        signatures=sigs,
+        bands=band_buckets(sigs).localCheckpoint(),
+    )
+    for df in (idx.hashes, idx.signatures, idx.bands):
+        df._ocms_materialized = True  # type: ignore[attr-defined]
+    return idx
+
+
+def extend_signature_index_delta_cp(
+    index: SignatureIndex, new_docs: DataFrame
+) -> SignatureIndex:
+    """``extend_signature_index`` with only the DELTA materialized — the
+    in-memory fold's extend step (plans/nightly.py, streaming/ingest.py).
+
+    ``extend_signature_index`` is lazy; the folds used to materialize its
+    whole OUTPUT per batch, re-writing the corpus-sized hashes/signatures/
+    bands tables every step.  This variant checkpoints the delta-sized
+    pieces only (the fresh docs' signatures, bands, hashes, and the
+    re-aggregated touched-hash rows) and leaves the unions lazy over the
+    already-checkpointed base — exactly what the persisted path does
+    structurally (``ingest_batch`` appends O(batch) delta files and never
+    rewrites the snapshot).  Probe cost over the result is unchanged:
+    ``dedup_against_index`` scans the union pieces with the same
+    broadcast semi-prefilters; plan depth grows one thin union/anti layer
+    per batch (linear, over shallow LogicalRDD bases — not the
+    combinatorial growth the materialization guards against).
+
+    Value-equivalence with ``extend_signature_index`` is pinned by
+    tests/test_incremental.py::test_extend_delta_cp_equals_extend.
+
+    The MinHash pass over the delta runs once (bands derive from the
+    checkpointed delta signatures — same dependency-order rationale as
+    :func:`materialized_signature_index`)."""
+    known = index.signatures.select("doc_id").unionByName(
+        index.hashes.select(F.col("idx_id").alias("doc_id"))
+    )
+    fresh = fresh_only(new_docs, known, "doc_id")
+    d_sigs = minhash_signature(fresh).localCheckpoint()
+    d_bands = band_buckets(d_sigs).localCheckpoint()
+    d_hashes = content_hashes(fresh).localCheckpoint()
+
+    probe = d_hashes.select("hp", "h")
+    touched = index.hashes.join(F.broadcast(probe), ["hp", "h"], "left_semi").select(
+        "h", "idx_id", "hp"
+    )
+    untouched = index.hashes.join(F.broadcast(probe), ["hp", "h"], "left_anti").select(
+        "h", "idx_id", "hp"
+    )
+    merged = (
+        touched.unionByName(d_hashes)
+        .groupBy("h")
+        .agg(F.min("idx_id").alias("idx_id"))
+        .withColumn("hp", F.substring("h", 1, 2))
+        .localCheckpoint()
+    )
+    return SignatureIndex(
+        hashes=untouched.unionByName(merged),
+        signatures=index.signatures.unionByName(d_sigs),
+        bands=index.bands.unionByName(d_bands),
+    )
+
+
 def dedup_against_index(
     batch: DataFrame, index: SignatureIndex, max_bucket_width: int | None = None
 ) -> DataFrame:

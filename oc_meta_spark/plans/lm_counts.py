@@ -84,15 +84,21 @@ def _train_pairs(train_docs: DataFrame) -> DataFrame:
 
 
 def build_lm_counts(train_docs: DataFrame) -> LmCounts:
-    """Count a (doc_id, text) training slice into the persisted shape."""
+    """Count a (doc_id, text) training slice into the persisted shape.
+
+    ``heads`` DERIVES from ``bigrams`` (r12): a head's count is the sum
+    of its bigram family's counts — value-identical to counting the
+    pairs directly, but the two tables share ONE explode+shuffle of the
+    training slice (the bigram exchange is reused by the head rollup;
+    two independent aggregations each re-exploded the corpus)."""
     pairs = _train_pairs(train_docs)
-    heads = (
-        pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumn("gp", _gp("w1"))
-    )
     bigrams = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .withColumn("gp", _gp("w1"))
+    )
+    heads = (
+        bigrams.groupBy("w1").agg(F.sum("c12").alias("c1")).withColumn("gp", _gp("w1"))
     )
     return LmCounts(heads=heads, bigrams=bigrams, docs=train_docs.select("doc_id"))
 

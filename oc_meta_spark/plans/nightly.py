@@ -60,8 +60,9 @@ from oc_meta_spark.plans.domain_stats import (
 )
 from oc_meta_spark.plans.incremental import (
     SignatureIndex,
-    build_signature_index,
     extend_signature_index,
+    extend_signature_index_delta_cp,
+    materialized_signature_index,
 )
 from oc_meta_spark.plans.lm_counts import LmCounts, build_lm_counts, extend_lm_counts
 from oc_meta_spark.plans.postings_index import (
@@ -84,10 +85,16 @@ class NightlyStores:
 
 def build_nightly_stores(corpus: DataFrame) -> NightlyStores:
     """Found every store from one (doc_id, text, domain) corpus — the
-    composed form of the four isolated builds."""
+    composed form of the four isolated builds.
+
+    The signature index is built MATERIALIZED (r12): the folds checkpoint
+    it immediately anyway (it is probed by every batch), and the
+    dependency-ordered build runs the shingle/minhash pass once instead
+    of twice (see ``materialized_signature_index``).  The other three
+    stores stay lazy — nothing probes them inside a fold."""
     docs = corpus.select("doc_id", "text")
     return NightlyStores(
-        index=build_signature_index(docs),
+        index=materialized_signature_index(docs),
         postings=build_postings_index(docs),
         lm=build_lm_counts(docs),
         domains=build_domain_stats(corpus.select("doc_id", "domain", "text")),
@@ -124,11 +131,21 @@ def _checkpointed_index(index: SignatureIndex) -> SignatureIndex:
     per batch that nothing probes — a per-batch tax that grows linearly
     with batch count (measured small at the two-batch gate scale, where
     the classification itself dominates; the gate's cost is ~IN1 + the
-    O(delta) extends + the component reads)."""
+    O(delta) extends + the component reads).
+
+    Frames already materialized by ``materialized_signature_index`` are
+    passed through untouched (r12) — re-checkpointing a LogicalRDD is a
+    pointless copy job per table."""
+
+    def _cp(df: DataFrame) -> DataFrame:
+        if getattr(df, "_ocms_materialized", False):
+            return df
+        return df.localCheckpoint()
+
     return SignatureIndex(
-        hashes=index.hashes.localCheckpoint(),
-        signatures=index.signatures.localCheckpoint(),
-        bands=index.bands.localCheckpoint(),
+        hashes=_cp(index.hashes),
+        signatures=_cp(index.signatures),
+        bands=_cp(index.bands),
     )
 
 
@@ -154,25 +171,40 @@ def nightly_fold(
     )
     outs = []
     for pos, batch in enumerate(batches):
-        verdicts, survivors = ingest_step(batch.select("doc_id", "text"), stores.index)
-        outs.append(
-            verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
-        )
+        # the classification plan is evaluated EXACTLY once per batch —
+        # at the verdict checkpoint; survivors are recovered from the
+        # checkpointed verdicts (survivor set ≡ the 'unique' verdicts by
+        # construction: only in-batch holders can be classified unique,
+        # and every unique holder survives), so the old second
+        # classification pass under the survivor checkpoint is gone (r12)
+        verdicts, _ = ingest_step(batch.select("doc_id", "text"), stores.index)
+        v = verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+        outs.append(v)
         # survivors re-attach their domain from the batch (classification
-        # runs on (doc_id, text) only), then every store extends from the
-        # one survivor set — materialized first so neither the index
-        # checkpoint nor the lazy store chains re-run the classification
+        # runs on (doc_id, text) only) — materialized so the index delta
+        # and the lazy store chains share one survivor frame
         surv = (
-            batch.join(survivors.select("doc_id"), "doc_id", "left_semi")
+            batch.join(
+                v.filter(F.col("verdict") == "unique").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
             .select("doc_id", "text", "domain")
             .localCheckpoint()
         )
-        extended = extend_nightly_stores(stores, surv)
+        # the index extend materializes its DELTA only (the corpus-sized
+        # union stays lazy over checkpointed pieces — the in-memory
+        # analog of the persisted path's append-only delta files); the
+        # other stores' extends stay fully lazy as before
         stores = NightlyStores(
-            index=_checkpointed_index(extended.index),
-            postings=extended.postings,
-            lm=extended.lm,
-            domains=extended.domains,
+            index=extend_signature_index_delta_cp(
+                stores.index, surv.select("doc_id", "text")
+            ),
+            postings=extend_postings_index(stores.postings, surv.select("doc_id", "text")),
+            lm=extend_lm_counts(stores.lm, surv.select("doc_id", "text")),
+            domains=extend_domain_stats(
+                stores.domains, surv.select("doc_id", "domain", "text")
+            ),
         )
     return reduce(lambda a, b: a.unionByName(b), outs), stores
 
@@ -244,14 +276,17 @@ def nightly_decontam_fold(
     pos = 0
     for kind, df in events:
         if kind == "batch":
-            verdicts, survivors = ingest_step(
-                df.select("doc_id", "text"), stores.index
-            )
-            verdict_outs.append(
-                verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
-            )
+            # same one-classification / delta-only-extend discipline as
+            # nightly_fold (r12) — see the comments there
+            verdicts, _ = ingest_step(df.select("doc_id", "text"), stores.index)
+            v = verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+            verdict_outs.append(v)
             surv = (
-                df.join(survivors.select("doc_id"), "doc_id", "left_semi")
+                df.join(
+                    v.filter(F.col("verdict") == "unique").select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
                 .select("doc_id", "text", "domain")
                 .localCheckpoint()
             )
@@ -260,12 +295,17 @@ def nightly_decontam_fold(
                     "batch", F.lit(pos).cast("long")
                 )
             )
-            extended = extend_nightly_stores(stores, surv)
             stores = NightlyStores(
-                index=_checkpointed_index(extended.index),
-                postings=extended.postings,
-                lm=extended.lm,
-                domains=extended.domains,
+                index=extend_signature_index_delta_cp(
+                    stores.index, surv.select("doc_id", "text")
+                ),
+                postings=extend_postings_index(
+                    stores.postings, surv.select("doc_id", "text")
+                ),
+                lm=extend_lm_counts(stores.lm, surv.select("doc_id", "text")),
+                domains=extend_domain_stats(
+                    stores.domains, surv.select("doc_id", "domain", "text")
+                ),
             )
             corpus_docs = corpus_docs.unionByName(surv.select("doc_id", "text"))
             pos += 1

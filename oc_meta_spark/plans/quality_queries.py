@@ -154,8 +154,15 @@ def lm_bits_scores(docs: DataFrame) -> DataFrame:
         .select("b.w1", "b.w2")
     )
     c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = train.agg((F.countDistinct("w1") + 1).alias("v"))
+    # c1 and vocab DERIVE from c12 (r12): a head's count is the sum of its
+    # bigram family's counts, and the vocabulary is c1's row count — value-
+    # identical to counting the train pairs directly, but the three count
+    # tables now share ONE explode+shuffle of the training slice (the
+    # c12 exchange is reused by the derived aggregations; the previous
+    # three independent branches each re-exploded the train corpus —
+    # guide §2.4's shared-exchange rule)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c1.agg((F.count(F.lit(1)) + 1).alias("v"))
     score = words.select(
         "doc_id", "lang", F.explode(F.expr(_PX1_BIGRAMS)).alias("b")
     ).select("doc_id", "lang", "b.w1", "b.w2")

@@ -165,6 +165,7 @@ def rl1_released_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_holdout_assignments,
     )
     from oc_meta_spark.plans.lm_counts import (
+        LmCounts,
         build_lm_counts,
         extend_lm_counts,
         score_with_counts,
@@ -173,14 +174,39 @@ def rl1_released_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
 
-    # 1. scoring — PX3's persisted-count path: founding slice + extend
+    # 1. scoring — PX3's persisted-count path: founding slice + extend.
+    #    The count tables are materialized ONCE at each stage (r12): they
+    #    are VOCABULARY-sized, and score_with_counts references heads
+    #    three times (vocab agg + c1 join) and bigrams once — left lazy,
+    #    every reference re-ran the founding slice's bigram explode+agg
+    #    (~6 training-corpus passes measured; now exactly one per table).
+    #    In the persisted pipeline this materialization is the store
+    #    itself (write_lm_counts → read_lm_counts); the in-memory gate
+    #    mirrors it with checkpoints.
     train = docs.filter(F.col("lang") == _PX1_REF_LANG).select("doc_id", "text")
     founding = build_lm_counts(train.filter(F.col("doc_id") % 10 != 0))
+    founding = LmCounts(
+        heads=founding.heads.localCheckpoint(),
+        bigrams=founding.bigrams.localCheckpoint(),
+        docs=founding.docs,
+    )
     extended = extend_lm_counts(founding, train.filter(F.col("doc_id") % 10 == 0))
+    extended = LmCounts(
+        heads=extended.heads.localCheckpoint(),
+        bigrams=extended.bigrams.localCheckpoint(),
+        docs=extended.docs,
+    )
     scored = score_with_counts(docs, extended)
 
     # 2. budget selection — QB1's kernel, quality = −milli_bits so the
-    #    cheapest (most reference-like) bits fill the budget first
+    #    cheapest (most reference-like) bits fill the budget first.
+    #    t is materialized before the kernel (r12): budget_select
+    #    references its input ~4 times (budget agg, score rollup, kept
+    #    semi-join, boundary join) — fine for QB1's narrow TTR map, but
+    #    here every reference re-ran the whole LM scoring chain.  t is the
+    #    lightweight per-doc proxy (doc_id, q_ppm, n_tok, skey — guide
+    #    §8's decide-with-small-rows discipline), so one materialization
+    #    is O(corpus doc count), not O(corpus text).
     t = scored.join(
         docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")), "doc_id"
     ).select(
@@ -190,7 +216,7 @@ def rl1_released_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(F.lit(_RL1_SEL_SEED), F.lit(":"), F.col("doc_id").cast("string"))
         ).alias("skey"),
-    )
+    ).localCheckpoint()
     selected = budget_select(t).select(
         "doc_id", (-F.col("q_ppm")).alias("milli_bits"), "n_tok"
     )

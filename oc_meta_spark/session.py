@@ -42,6 +42,36 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc._oc_meta_pkg_added = True
 
 
+def release_session_state(spark: SparkSession) -> None:
+    """Drop every leftover persisted RDD and cached relation from the
+    session — the measurement-isolation / long-session hygiene hook.
+
+    ``localCheckpoint`` pins its RDD in the block manager until the
+    driver-side reference is GC'd; a session that runs many independent
+    queries (the bench, a nightly driver looping over jobs) therefore
+    accumulates each query's checkpoint + cache blocks and pays for them
+    as heap pressure in every LATER query (guide §5: cached data competes
+    with execution memory; unpersist when done).  Calling this between
+    queries releases the blocks immediately instead of waiting for the
+    periodic GC.  It never touches data a future query could reuse: every
+    query plan in this repo is built fresh from the parquet inputs, so
+    nothing here is result caching — only garbage disposal.
+    """
+    jsc = spark.sparkContext._jsc
+    try:
+        for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+            try:
+                jsc.sc().persistentRdds().get(rid).get().unpersist(False)
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
+
 def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
@@ -71,6 +101,20 @@ def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ContextCleaner only frees shuffle files, broadcast blocks and
+        # checkpointed RDDs when the driver GCs their references; the JVM
+        # default interval (30 min) is longer than a whole bench/ingest
+        # session, so a long-lived session accumulates every gate's
+        # broadcast + localCheckpoint blocks until the heap chokes
+        # (measured r12: the 46-query bench degraded its tail queries up
+        # to 40x — CUR1 221 s polluted vs 58 s clean).  90 s keeps cleanup
+        # inside the lifetime of even a single composed gate; on a real
+        # cluster the same setting bounds executor shuffle-dir growth for
+        # long-running drivers (guide §5: unpersist when done).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
         # Deliberate one-group windows (small-batch minting) use a literal
         # partition key; this rule would fold it away and degrade them to
         # warned-about no-partition global windows.  Excluding it keeps the

@@ -85,7 +85,7 @@ from oc_meta_spark.plans.incremental import (
     build_signature_index,
     content_hashes,
     dedup_against_index,
-    extend_signature_index,
+    extend_signature_index_delta_cp,
     fresh_only,
     minhash_signature,
 )
@@ -249,19 +249,22 @@ def ingest_fold(
     )
     outs = []
     for pos, batch in enumerate(batches):
-        verdicts, survivors = ingest_step(batch, index)
-        outs.append(
-            verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
-        )
+        # one classification evaluation per batch (r12): survivors are
+        # recovered from the CHECKPOINTED verdicts (survivor set ≡ the
+        # 'unique' verdicts by construction), and the extend materializes
+        # its delta only — the corpus-sized index union stays lazy over
+        # checkpointed pieces, mirroring the persisted path's append-only
+        # delta files (see extend_signature_index_delta_cp)
+        verdicts, _ = ingest_step(batch, index)
+        v = verdicts.withColumn("batch", F.lit(pos).cast("long")).localCheckpoint()
+        outs.append(v)
         if pos + 1 < len(batches):
-            # survivors first: the three index-table checkpoints would
-            # otherwise each re-run the classification plan under them
-            nxt = extend_signature_index(index, survivors.localCheckpoint())
-            index = SignatureIndex(
-                hashes=nxt.hashes.localCheckpoint(),
-                signatures=nxt.signatures.localCheckpoint(),
-                bands=nxt.bands.localCheckpoint(),
+            survivors = batch.join(
+                v.filter(F.col("verdict") == "unique").select("doc_id"),
+                "doc_id",
+                "left_semi",
             )
+            index = extend_signature_index_delta_cp(index, survivors)
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 

@@ -167,6 +167,42 @@ def test_extend_index_equals_rebuild(spark, docs):
         assert anti and all("BroadcastHashJoin" in l for l in anti), (attr, plan[:2000])
 
 
+def test_extend_delta_cp_equals_extend(spark, docs):
+    """The folds' delta-materialized extend (r12) must be value-identical
+    to the lazy extend_signature_index on every table — the checkpoints
+    may only change WHAT is materialized, never what is computed."""
+    from oc_meta_spark.plans.incremental import (
+        extend_signature_index,
+        extend_signature_index_delta_cp,
+        materialized_signature_index,
+    )
+
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+
+    base = materialized_signature_index(old)
+    # the materialized build equals the lazy build table-for-table
+    lazy_base = build_signature_index(old)
+    for attr in ("hashes", "signatures", "bands"):
+        m = sorted(tuple(r) for r in getattr(base, attr).collect())
+        l = sorted(tuple(r) for r in getattr(lazy_base, attr).collect())
+        assert m == l, f"materialized build diverged on {attr}"
+
+    via_cp = extend_signature_index_delta_cp(base, delta)
+    via_lazy = extend_signature_index(base, delta)
+    for attr in ("hashes", "signatures", "bands"):
+        c = sorted(tuple(r) for r in getattr(via_cp, attr).collect())
+        l = sorted(tuple(r) for r in getattr(via_lazy, attr).collect())
+        assert c == l, f"delta-cp extend diverged on {attr}"
+
+    # idempotent like the lazy extend: re-appending the same delta is a no-op
+    again = extend_signature_index_delta_cp(via_cp, delta)
+    for attr in ("hashes", "signatures", "bands"):
+        c = sorted(tuple(r) for r in getattr(via_cp, attr).collect())
+        a = sorted(tuple(r) for r in getattr(again, attr).collect())
+        assert c == a, f"re-append changed {attr}"
+
+
 def test_incremental_holdout_never_reassigns(spark):
     """The HS2 stability contract, on an explicit bridge: yesterday doc 1
     (train, epoch 0) and doc 2 (test, epoch 1) were in SEPARATE clusters;
