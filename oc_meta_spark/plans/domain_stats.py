@@ -88,6 +88,36 @@ def build_domain_stats(docs: DataFrame) -> DomainStats:
     )
 
 
+def materialized_domain_stats(docs: DataFrame) -> DomainStats:
+    """``build_domain_stats`` with every table ``localCheckpoint``-ed in
+    DEPENDENCY order — the fold-bootstrap form (plans/nightly.py); the
+    persisted path gets this materialization for free from
+    ``write_domain_stats`` → ``read_domain_stats``.  The per-doc evidence
+    pass is checkpointed first so the corpus is scanned ONCE for both
+    output aggregates (left lazy, the two checkpoint jobs each re-run
+    the split/distinct projection; and without any checkpoint, the
+    folds' semi/anti extend splits re-evaluate the founding subtree up
+    to 2^batches times at read time — r12 measurement: IN2's domain
+    component read ran ~4× a single build's cost at two batches)."""
+    ev = _evidence(docs).localCheckpoint()
+    domain_stats = ev.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_uniq").alias("sum_uniq"),
+        F.sum("n_words").alias("sum_words"),
+    ).localCheckpoint()
+    prefix_domain = (
+        ev.groupBy("prefix5", "domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("pp", F.substring(F.md5("prefix5"), 1, 2))
+        .localCheckpoint()
+    )
+    return DomainStats(
+        domain_stats=domain_stats,
+        prefix_domain=prefix_domain,
+        docs=docs.select("doc_id").localCheckpoint(),
+    )
+
+
 def extend_domain_stats(stats: DomainStats, new_docs: DataFrame) -> DomainStats:
     """The nightly append: accumulate the genuinely-new documents and
     merge per key.  Additive accumulators make this EXACTLY a rebuild at

@@ -103,6 +103,37 @@ def build_lm_counts(train_docs: DataFrame) -> LmCounts:
     return LmCounts(heads=heads, bigrams=bigrams, docs=train_docs.select("doc_id"))
 
 
+def materialized_lm_counts(train_docs: DataFrame) -> LmCounts:
+    """``build_lm_counts`` with every table ``localCheckpoint``-ed in
+    DEPENDENCY order — the fold-bootstrap form (plans/nightly.py).
+
+    The persisted pipeline materializes the founding tables for free
+    (``write_lm_counts`` → ``read_lm_counts``); the in-memory fold must
+    do it explicitly, or every downstream reference — each batch's
+    semi/anti extend split references the prior tables twice, so the
+    founding subtree is re-evaluated up to 2^batches times at read time
+    (r12 measurement: the IN2 gate's lm component reads ran ~4× the
+    single-build cost at two batches).  Ordering matters: ``heads``
+    derives from the CHECKPOINTED bigrams, so the train-pair explode —
+    the corpus-sized pass — runs exactly once."""
+    pairs = _train_pairs(train_docs)
+    bigrams = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("gp", _gp("w1"))
+        .localCheckpoint()
+    )
+    heads = (
+        bigrams.groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+        .withColumn("gp", _gp("w1"))
+        .localCheckpoint()
+    )
+    return LmCounts(
+        heads=heads, bigrams=bigrams, docs=train_docs.select("doc_id").localCheckpoint()
+    )
+
+
 def extend_lm_counts(counts: LmCounts, new_train_docs: DataFrame) -> LmCounts:
     """The nightly append: count the genuinely-new training docs and merge
     per gram.  Counts are additive, so this EXACTLY equals a rebuild from

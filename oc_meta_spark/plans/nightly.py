@@ -55,8 +55,8 @@ from pyspark.sql import DataFrame
 
 from oc_meta_spark.plans.domain_stats import (
     DomainStats,
-    build_domain_stats,
     extend_domain_stats,
+    materialized_domain_stats,
 )
 from oc_meta_spark.plans.incremental import (
     SignatureIndex,
@@ -64,7 +64,11 @@ from oc_meta_spark.plans.incremental import (
     extend_signature_index_delta_cp,
     materialized_signature_index,
 )
-from oc_meta_spark.plans.lm_counts import LmCounts, build_lm_counts, extend_lm_counts
+from oc_meta_spark.plans.lm_counts import (
+    LmCounts,
+    extend_lm_counts,
+    materialized_lm_counts,
+)
 from oc_meta_spark.plans.postings_index import (
     PostingsIndex,
     build_postings_index,
@@ -87,17 +91,27 @@ def build_nightly_stores(corpus: DataFrame) -> NightlyStores:
     """Found every store from one (doc_id, text, domain) corpus — the
     composed form of the four isolated builds.
 
-    The signature index is built MATERIALIZED (r12): the folds checkpoint
-    it immediately anyway (it is probed by every batch), and the
-    dependency-ordered build runs the shingle/minhash pass once instead
-    of twice (see ``materialized_signature_index``).  The other three
-    stores stay lazy — nothing probes them inside a fold."""
+    ALL founding tables are built MATERIALIZED (r12), in dependency
+    order, mirroring what the persisted path gets for free from its
+    write→read round trip.  The index is probed by every batch, so its
+    materialization was always paid; the other three stores' founding
+    subtrees, left lazy, were re-evaluated at gate-read time once per
+    semi/anti reference of every batch's extend split — up to 2^batches
+    evaluations (measured ~4× the single-build cost per component at the
+    two-batch gates).  Materializing them converts every read-time chain
+    into thin lazy splits over LogicalRDD leaves.  The extends stay lazy:
+    their deltas are batch-sized frames over already-checkpointed
+    survivor sets."""
     docs = corpus.select("doc_id", "text")
+    p0 = build_postings_index(docs)
     return NightlyStores(
         index=materialized_signature_index(docs),
-        postings=build_postings_index(docs),
-        lm=build_lm_counts(docs),
-        domains=build_domain_stats(corpus.select("doc_id", "domain", "text")),
+        postings=PostingsIndex(
+            postings=p0.postings.localCheckpoint(),
+            docs=p0.docs.localCheckpoint(),
+        ),
+        lm=materialized_lm_counts(docs),
+        domains=materialized_domain_stats(corpus.select("doc_id", "domain", "text")),
     )
 
 

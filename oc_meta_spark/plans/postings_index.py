@@ -144,9 +144,19 @@ def search_postings(index: PostingsIndex, terms: list[str], k: int) -> DataFrame
         F.col("tp").isin(prefixes) & F.col("term").isin(list(terms))
     )
     n = index.docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df as a term-partitioned window COUNT over the one hits pass (r12):
+    # postings rows are unique per (doc_id, term) — the build aggregates
+    # by that pair and extends are fresh_only-disjoint — so COUNT(*) per
+    # term ≡ COUNT(DISTINCT doc_id).  The former two-reference shape
+    # (separate df aggregate + broadcast join back onto hits) traversed
+    # the postings source twice; on a persisted store that is two pruned
+    # scans, but on an in-memory store chain (the nightly fold's
+    # IN2/IN3 reads) each traversal re-ran the corpus-sized postings
+    # build.  The window costs one query-cardinality exchange on term —
+    # rows that were already being shuffled for the old df aggregate.
+    w_term = Window.partitionBy("term")
     scored = (
-        hits.join(F.broadcast(df), "term")  # df is query-cardinality rows
+        hits.withColumn("df", F.count(F.lit(1)).over(w_term))
         .join(F.broadcast(n))
         .groupBy("doc_id")
         .agg(

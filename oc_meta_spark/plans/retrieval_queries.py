@@ -88,9 +88,16 @@ def ir1_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df via a term-partitioned window over the ONE tf pass (r12): tf is
+    # unique per (doc_id, term) (the groupBy above), so COUNT(*) per term
+    # ≡ COUNT(DISTINCT doc_id).  The former separate-aggregate shape
+    # referenced tf twice, and each reference re-ran the full corpus
+    # explode — two corpus scans per query; now one, plus a
+    # query-cardinality window exchange (same rows the old df aggregate
+    # already shuffled).  Same rewrite as search_postings.
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(df), "term")  # df is query-cardinality rows
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .join(F.broadcast(n))
         .groupBy("doc_id")
         .agg(

@@ -130,3 +130,22 @@ def test_retroactive_dup_charges_founding_holder(spark):
     # both domains' single docs share the 5-word prefix → both charged
     assert rep["a.org"][1] == 1 and rep["b.org"][1] == 1
     assert rep["a.org"][2] == "quarantine" and rep["b.org"][2] == "quarantine"
+
+
+def test_materialized_domain_stats_equals_build(spark):
+    """The fold-bootstrap materialized build (r12) must be value-identical
+    to build_domain_stats table-for-table."""
+    from oc_meta_spark.plans.domain_stats import materialized_domain_stats
+    from oc_meta_spark.sources.tables import load_table
+    from oc_meta_spark.plans.quality_queries import _dr_domain
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _dr_domain().alias("domain"), "text"
+    )
+    lazy = build_domain_stats(docs)
+    mat = materialized_domain_stats(docs)
+    for attr in ("domain_stats", "prefix_domain", "docs"):
+        l = sorted(tuple(r) for r in getattr(lazy, attr).collect())
+        m = sorted(tuple(r) for r in getattr(mat, attr).collect())
+        assert l == m, f"materialized build diverged on {attr}"

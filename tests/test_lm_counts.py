@@ -120,3 +120,17 @@ def test_extend_lm_counts_equals_rebuild_and_never_doubles(spark, train):
     plan = extended.heads._jdf.queryExecution().executedPlan().toString()
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and all("BroadcastHashJoin" in ln for ln in anti), plan[:2000]
+
+
+def test_materialized_lm_counts_equals_build(spark, train):
+    """The fold-bootstrap materialized build (r12) must be value-identical
+    to build_lm_counts table-for-table — the checkpoints may only change
+    WHAT is materialized, never what is computed."""
+    from oc_meta_spark.plans.lm_counts import materialized_lm_counts
+
+    lazy = build_lm_counts(train)
+    mat = materialized_lm_counts(train)
+    for attr in ("heads", "bigrams", "docs"):
+        l = sorted(tuple(r) for r in getattr(lazy, attr).collect())
+        m = sorted(tuple(r) for r in getattr(mat, attr).collect())
+        assert l == m, f"materialized build diverged on {attr}"
