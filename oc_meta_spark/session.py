@@ -56,20 +56,50 @@ def release_session_state(spark: SparkSession) -> None:
     periodic GC.  It never touches data a future query could reuse: every
     query plan in this repo is built fresh from the parquet inputs, so
     nothing here is result caching — only garbage disposal.
+
+    PRECONDITION — no live checkpointed frame may outlive the call: a
+    ``localCheckpoint``-ed DataFrame's lineage is TRUNCATED, so once its
+    blocks are unpersisted here the frame is unrecomputable — its next
+    action fails with a "locally checkpointed ... cannot be recomputed"
+    error.  Drop every reference to checkpoint-bearing results (query
+    outputs, ``NightlyStores``, ``SignatureIndex``, curation catalogs)
+    BEFORE calling; plain ``persist()``-ed frames merely lose their cache
+    and recompute.  ``tests/test_io_streaming.py::
+    test_release_session_state_invalidates_checkpoints`` pins both the
+    release (blocks freed) and the loud failure mode.
     """
+    import sys
+
+    failed = 0
     jsc = spark.sparkContext._jsc
     try:
-        for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+        # py4j exposes the Java map as a dict-like view — iterate its
+        # values directly, one unpersist round-trip per RDD instead of the
+        # keySet + scala Option.get chain
+        for jrdd in list(jsc.getPersistentRDDs().values()):
             try:
-                jsc.sc().persistentRdds().get(rid).get().unpersist(False)
+                jrdd.unpersist(False)
             except Exception:
-                pass
+                failed += 1
     except Exception:
-        pass
+        failed = -1
     try:
         spark.catalog.clearCache()
     except Exception:
-        pass
+        print(
+            "release_session_state: catalog.clearCache() failed — cached "
+            "relations may linger",
+            file=sys.stderr,
+        )
+    if failed:
+        # a silent no-op release would quietly reintroduce the r12 bench-tail
+        # heap inflation (up to 40x) with no signal — make it visible
+        print(
+            f"release_session_state: {failed if failed > 0 else 'all'} RDD "
+            "unpersist(s) failed (py4j/Spark API drift?) — leaked blocks "
+            "will only be freed by periodic GC",
+            file=sys.stderr,
+        )
 
 
 def get_spark(app_name: str = "oc-meta-spark", cpus: int | None = None) -> SparkSession:

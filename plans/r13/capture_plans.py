@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named gates into plans/r12/<name>_<tag>.txt.
+"""Capture .explain("formatted") for named gates into plans/r13/<name>_<tag>.txt.
 
-Usage: python plans/r12/capture_plans.py <tag> [gate ...]
+Usage: python plans/r13/capture_plans.py <tag> [gate ...]
 With no gates listed, captures the default expensive set.
 """
 

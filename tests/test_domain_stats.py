@@ -104,10 +104,16 @@ def test_extend_domain_stats_equals_rebuild_and_never_doubles(spark, docs):
     assert prows(again) == prows(extended)
     assert again.docs.count() == docs.count()
 
-    # delta-keyed merge: broadcast semi/anti probes, no full-width shuffle
+    # r13 merge shape: ONE full-outer equi-join per table — the store and
+    # the delta are each referenced exactly once (no semi probe + anti
+    # complement double scan, no re-aggregation union).  The only anti
+    # join left is the fresh_only doc-witness guard (broadcast); the
+    # merge join must be keyed, never a nested-loop.
     plan = extended.domain_stats._jdf.queryExecution().executedPlan().toString()
-    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert anti and all("BroadcastHashJoin" in ln for ln in anti), plan[:2000]
+    assert "FullOuter" in plan, plan[:2000]
+    probes = [ln for ln in plan.splitlines() if "LeftAnti" in ln or "LeftSemi" in ln]
+    assert all("BroadcastHashJoin" in ln for ln in probes), plan[:2000]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
 
 
 def test_retroactive_dup_charges_founding_holder(spark):

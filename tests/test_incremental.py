@@ -203,6 +203,37 @@ def test_extend_delta_cp_equals_extend(spark, docs):
         assert c == a, f"re-append changed {attr}"
 
 
+def test_delta_cp_chain_compaction(spark, monkeypatch):
+    """Every K batches the delta-cp extend fully checkpoints the hashes
+    union (r13, r12 ADVICE: the anti-join chain otherwise grows without
+    bound on long streams).  Compaction must be value-neutral and must
+    actually reset the chain: depth returns to 0 at the compaction batch
+    and counts from 1 afterwards."""
+    from oc_meta_spark.plans import incremental as inc
+
+    monkeypatch.setattr(inc, "HASH_CHAIN_COMPACT_EVERY", 2)
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(i * 10 + j, f"doc {i} row {j} words alpha beta gamma delta") for j in range(3)],
+            schema="doc_id long, text string",
+        )
+
+    idx_cp = inc.materialized_signature_index(batch(0))
+    idx_lazy = inc.build_signature_index(batch(0))
+    depths = []
+    for i in range(1, 4):
+        idx_cp = inc.extend_signature_index_delta_cp(idx_cp, batch(i))
+        idx_lazy = inc.extend_signature_index(idx_lazy, batch(i))
+        depths.append(getattr(idx_cp.hashes, "_ocms_chain_depth", None))
+    # K=2: batch1 depth 1, batch2 compacts to 0, batch3 depth 1
+    assert depths == [1, 0, 1], depths
+    for attr in ("hashes", "signatures", "bands"):
+        c = sorted(tuple(r) for r in getattr(idx_cp, attr).collect())
+        l = sorted(tuple(r) for r in getattr(idx_lazy, attr).collect())
+        assert c == l, f"compacting extend diverged on {attr}"
+
+
 def test_incremental_holdout_never_reassigns(spark):
     """The HS2 stability contract, on an explicit bridge: yesterday doc 1
     (train, epoch 0) and doc 2 (test, epoch 1) were in SEPARATE clusters;

@@ -288,3 +288,32 @@ def test_preprocess_filter_dedup_report(spark):
     rep = r.report.first()
     assert (rep["total_rows"], rep["existing_ids_rows"], rep["duplicate_rows"], rep["written_rows"]) == (5, 1, 1, 3)
     assert rep["written_pct"] == 60.0
+
+
+def test_release_session_state_invalidates_checkpoints(spark):
+    """Pin release_session_state's contract (r12 ADVICE / r13 verdict #8):
+    it frees EVERY persisted RDD block — so leftover checkpoint blocks stop
+    taxing later queries (the bench/nightly hygiene use) — and any LIVE
+    localCheckpointed frame held across the call is unrecomputable and must
+    fail LOUDLY on its next action, never silently recompute stale data.
+    Plain persist()-ed frames keep their lineage and just recompute."""
+    import pyspark.sql.functions as F
+
+    from oc_meta_spark.session import release_session_state
+
+    jsc = spark.sparkContext._jsc
+
+    # a plain persisted frame survives the release (lineage intact)
+    persisted = spark.range(100).withColumn("v", F.col("id") * 2).persist()
+    assert persisted.count() == 100
+    # a checkpointed frame's blocks are pinned until released
+    cp = spark.range(50).withColumn("v", F.col("id") + 1).localCheckpoint()
+    assert cp.count() == 50
+    assert jsc.getPersistentRDDs().size() > 0
+
+    release_session_state(spark)
+
+    assert jsc.getPersistentRDDs().size() == 0, "release must free every block"
+    assert persisted.count() == 100  # recomputed from lineage, still correct
+    with pytest.raises(Exception, match="(?i)checkpoint|block|recomput"):
+        cp.count()  # truncated lineage -> loud failure, not silent wrong data

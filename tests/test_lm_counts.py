@@ -115,11 +115,15 @@ def test_extend_lm_counts_equals_rebuild_and_never_doubles(spark, train):
     assert bigrams(again) == bigrams(extended)
     assert again.docs.count() == extended.docs.count() == train.count()
 
-    # the merge is delta-keyed: broadcast semi/anti probes of the
-    # vocabulary-sized tables, never a full-width re-aggregation
+    # r13 merge shape: ONE keyed full-outer join — store and delta each
+    # referenced exactly once (no semi probe + anti complement double
+    # scan).  The only semi/anti joins left are the fresh_only doc-witness
+    # guard (broadcast); never a nested-loop.
     plan = extended.heads._jdf.queryExecution().executedPlan().toString()
-    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert anti and all("BroadcastHashJoin" in ln for ln in anti), plan[:2000]
+    assert "FullOuter" in plan, plan[:2000]
+    probes = [ln for ln in plan.splitlines() if "LeftAnti" in ln or "LeftSemi" in ln]
+    assert all("BroadcastHashJoin" in ln for ln in probes), plan[:2000]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
 
 
 def test_materialized_lm_counts_equals_build(spark, train):
