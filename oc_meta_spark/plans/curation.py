@@ -2026,7 +2026,10 @@ def curate(
     # --- curated CSV rows (enrich, curator.py:969-1011) -------------------
     # id column: batch tokens in first-occurrence order, then catalog-only
     # ids (sorted), then the omid last.
-    cat_ids_of = _cp(
+    # single consumer (the final `curated` join) — no _cp: materializing
+    # it separately paid a full extra pass + job for a frame nothing else
+    # references (r13 site audit)
+    cat_ids_of = (
         final_existing.join(
             cat_ids_all, final_existing.omid == cat_ids_all.entity_omid, "inner"
         )
@@ -2107,7 +2110,7 @@ def curate(
         .join(ven_batch_title.dropDuplicates(["venue_omid"]), "venue_omid", "left")
         .join(ven_batch_toks.dropDuplicates(["venue_omid"]), "venue_omid", "left")
     )
-    ent_v = _cp(ent_v)
+    # single consumer (the final `curated` join) — no _cp (r13 site audit)
     v_batch_toks = F.coalesce(F.col("v_ent_toks"), arr_empty)
     venue_string = F.when(
         F.col("has_venue") & F.col("venue_omid").isNotNull(),

@@ -475,6 +475,16 @@ def rt2_round_trip_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oc_meta_spark.plans.check_results import check_export_consistency
 
     curated, dumped = _rt_trip(spark, sf_dir, constant_venue=True)
+    # The fixpoint projection references `curated` twice (row count +
+    # consistency scan) and `dumped` three times (row count + both sides
+    # of the discrepancy join) — left lazy, every reference re-ran the
+    # whole export→parse→dump chain over the catalog (r13 measurement:
+    # the gate collected in ~237 s at sf0.001 while one trip builds in
+    # ~44 s).  Cut the chain ONCE per side; value-neutral, inside this
+    # single gate's execution (guide §5 / §3.3 — materialize an
+    # intermediate a huge plan references repeatedly).
+    curated = curated.localCheckpoint()
+    dumped = dumped.localCheckpoint()
     disc = check_export_consistency(curated, dumped)
     kinds = (
         "extra_in_export",

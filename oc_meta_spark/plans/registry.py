@@ -57,26 +57,87 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 # whose code changed this round, then the gates whose last recorded
 # driver evidence is oldest — the standing two-round freshness contract.
 #
-# Round-12 window (first 50): the new/touched gates (decontam revision
-# guard, nightly-mode manifest recording) lead; then the 32 gates whose
-# latest driver evidence dates to r9; then 12 r10 gates from the
-# persisted-store/consumption family RL1 composes (proactive freshening —
-# they would head the r13 stale list otherwise).  Everything after spills
-# on untouched code with r10/r11 evidence, grouped by module.
+# Round-13 window (first 50): the 18 gates whose executed plans this
+# round's optimizations touch (full-outer store merges, D18 prefilter,
+# curate checkpoint-site drops) lead — these include the CUR/RT/VR
+# family the r12 verdict ordered to the front (their last fully-green
+# driver evidence predates r11); then the 32 heaviest-stale r10 gates.
+# Everything after spills on untouched code with r11/r12 evidence.
 #
 # The list is validated against QUERIES inside load_all() (complete, no
 # duplicates, no unknowns) — an unregistered name or a forgotten entry
 # fails every caller loudly, never silently narrows the window.
 # ---------------------------------------------------------------------------
 ROTATION: list[str] = [
-    # -- round-12 new / touched code --
+    # -- round-13 window (first 50): touched gates lead --------------------
+    # r13 plan-level changes: D18's df>=2 posting prefilter; the
+    # full-outer additive store merges (DR2/PX3/RL1 + the IN folds);
+    # curate()'s dropped single-consumer checkpoint sites and RT2's
+    # materialized trip (every curate-driven gate: CUR*/RT*/VR*/EQ1/VD2
+    # — which are also exactly the gates the r12 verdict ordered to the
+    # front: their last fully-green driver evidence predates r11).
+    "D18_jaccard_similarity_join",
+    "DR2_incremental_domain_reputation",
+    "PX3_incremental_lm_scoring",
     "RL1_corpus_release",
+    "IN1_streaming_ingest_dedup",
+    "IN2_composed_nightly_fold",
     "IN3_nightly_decontam_fold",
+    "CUR1_curation_end_to_end",
+    "CUR2_curation_update_scenario",
+    "CUR3_curation_invariants",
+    "CUR4_curation_update_invariants",
+    "RT1_rdf_csv_round_trip",
+    "RT2_round_trip_fixpoint",
+    "RT3_round_trip_venue_name",
+    "VR1_check_results_report",
+    "VR2_check_results_planted",
+    "EQ1_equalizer_field_precedence",
+    "VD2_export_check_planted",
+    # -- the r10-stale gates (r12 verdict #3: freshen oldest evidence) ----
+    "IR1_keyword_search_topk",
+    "DR1_domain_reputation",
+    "QT1_exact_group_quantiles",
+    "P1_corpus_prep_pipeline",
+    "D23_cross_doc_span_dedup",
+    "T7_quality_classifier",
+    "CH1_token_window_chunking",
+    "TF1_tfidf_top_terms",
+    "MX1_stratified_source_sample",
+    "MX2_token_budget_packing",
+    "MX3_mixture_epoch_upsampling",
+    "MX4_exact_quota_stratified_sample",
+    "UF1_domain_filter",
+    "F3_type_aliasing",
+    "F4_vol_issue_invalidation",
+    "F7_temp_id_suppression",
+    "W3_numeric_file_ordering",
+    "D6_agent_list_cleaning",
+    "VD1_literal_datatype_audit",
+    "C9_volume_issue_repair",
+    "OX1_orcid_xml_extraction",
+    "AP1_api_enrichment_join",
+    "Z1_zip_jsonld_round_trip",
+    "CS1_csv_sink_round_trip",
+    "NQ1_nquads_round_trip",
+    "JL1_jsonld_layout_sink",
+    "FO1_foreign_ocdm_import",
+    "M1_media_exact_dedup",
+    "M2_video_frame_sampling",
+    "ST1_windowed_event_counts",
+    "ST2_sessionization",
+    "ST3_stream_dedup",
+    # ---- window boundary (position 50) ----
+    # four r10-stale cell-grammar gates spill just past the boundary
+    # (window budget; they are the most heavily property-test-covered
+    # gates in the registry and head the r14 stale list)
+    "C7_ra_name_normalization",
+    "C11_remove_ascii",
+    "C14_venue_type_inference",
+    "C15_date_typed_literal",
+    # -- r11/r12-witnessed, untouched: previous order preserved -----------
     "DC4_persisted_decontamination",
     "DC1_benchmark_decontamination",
-    "IN2_composed_nightly_fold",
-    "IN1_streaming_ingest_dedup",
-    # -- the 32 r9-stale gates (rotation contract, round-11 verdict #1) --
     "A1_pricing_summary",
     "A2_grouped_distinct_counts",
     "A5_group_statistics",
@@ -109,8 +170,6 @@ ROTATION: list[str] = [
     "X6_embedding_neardup_planted",
     "X7_semantic_dedup",
     "X8_incremental_ivf_ann",
-    # -- 12 r10 gates: the store/consumption family RL1 composes --
-    "PX3_incremental_lm_scoring",
     "QB1_token_budget_selection",
     "HS2_incremental_holdout_stability",
     "SH1_seeded_corpus_shuffle",
@@ -121,10 +180,6 @@ ROTATION: list[str] = [
     "IR2_persisted_postings_search",
     "PX1_lm_bits_per_token_filter",
     "PX2_perplexity_tertile_split",
-    "DR2_incremental_domain_reputation",
-    # ---- window boundary (position 50) ----
-    # -- r11-witnessed, untouched: corpus stats, curation, dedup, text,
-    #    temporal, hygiene remainder --
     "SK1_kmv_distinct_sketch",
     "SK2_mergeable_kmv_sketch",
     "VB1_bpe_pair_stats",
@@ -134,17 +189,6 @@ ROTATION: list[str] = [
     "A3_table_counts",
     "A4_max_counter_per_kind",
     "SO1_idset_algebra",
-    "CUR1_curation_end_to_end",
-    "CUR2_curation_update_scenario",
-    "RT1_rdf_csv_round_trip",
-    "RT2_round_trip_fixpoint",
-    "RT3_round_trip_venue_name",
-    "VR1_check_results_report",
-    "VR2_check_results_planted",
-    "CUR3_curation_invariants",
-    "CUR4_curation_update_invariants",
-    "VD2_export_check_planted",
-    "EQ1_equalizer_field_precedence",
     "D8_exact_dedup",
     "D9_duplicate_key_groups",
     "D2_resolution_decision",
@@ -152,7 +196,6 @@ ROTATION: list[str] = [
     "D15_fuzzy_weighted_match",
     "D16_minhash_lsh_near_dup",
     "D17_simhash_signature",
-    "D18_jaccard_similarity_join",
     "D19_prefix_filtered_jaccard",
     "A8_processing_report",
     "D20_simhash_hamming_neardup",
@@ -172,44 +215,6 @@ ROTATION: list[str] = [
     "AS1_asof_attribution_join",
     "RJ1_incident_window_join",
     "DC2_pii_redaction",
-    # -- r10-witnessed, untouched: retrieval/quality/pipeline/sampling
-    #    remainder, fidelity, sources, multimodal, streaming --
-    "IR1_keyword_search_topk",
-    "DR1_domain_reputation",
-    "QT1_exact_group_quantiles",
-    "P1_corpus_prep_pipeline",
-    "D23_cross_doc_span_dedup",
-    "T7_quality_classifier",
-    "CH1_token_window_chunking",
-    "TF1_tfidf_top_terms",
-    "MX1_stratified_source_sample",
-    "MX2_token_budget_packing",
-    "MX3_mixture_epoch_upsampling",
-    "MX4_exact_quota_stratified_sample",
-    "UF1_domain_filter",
-    "F3_type_aliasing",
-    "F4_vol_issue_invalidation",
-    "F7_temp_id_suppression",
-    "W3_numeric_file_ordering",
-    "C7_ra_name_normalization",
-    "C11_remove_ascii",
-    "C14_venue_type_inference",
-    "C15_date_typed_literal",
-    "D6_agent_list_cleaning",
-    "VD1_literal_datatype_audit",
-    "C9_volume_issue_repair",
-    "OX1_orcid_xml_extraction",
-    "AP1_api_enrichment_join",
-    "Z1_zip_jsonld_round_trip",
-    "CS1_csv_sink_round_trip",
-    "NQ1_nquads_round_trip",
-    "JL1_jsonld_layout_sink",
-    "FO1_foreign_ocdm_import",
-    "M1_media_exact_dedup",
-    "M2_video_frame_sampling",
-    "ST1_windowed_event_counts",
-    "ST2_sessionization",
-    "ST3_stream_dedup",
 ]
 
 

@@ -271,16 +271,32 @@ def test_no_cartesian_in_any_gate_plan(spark, sf_dir):
     """Blanket scale invariant (round-6): NO registered gate's physical
     plan may contain a CartesianProduct — bounded 1-row crossJoins (the
     invariant-projection gates) compile to BroadcastNestedLoopJoin, which
-    is allowed.  The whole-pipeline curation/round-trip gates are skipped
-    here: their builders pay the full curate() dispatch floor per call
-    and their constituent plans are asserted individually above and in
-    test_correctness."""
+    is allowed.  Whole-pipeline gates are skipped here (r13 audit:
+    retrieving their "plan" EXECUTES the pipeline — eager checkpoints —
+    so the six worst cost 145 s of the test's 190 s to grep a
+    checkpoint-TRUNCATED tail plan, i.e. most of their operators are not
+    even visible to this scan).  Their constituent plan shapes are pinned
+    by the named tests above and by the component suites
+    (test_domain_stats/test_lm_counts assert the extend merges are keyed
+    full-outer joins with no NestedLoop/Cartesian; test_incremental pins
+    the fold probes); their values run against oracles in
+    test_correctness.  The skip list is EXPLICIT so a new gate cannot
+    silently join it."""
     from oc_meta_spark.plans.registry import load_all
 
-    heavy = ("CUR", "RT", "VR1")
+    heavy_prefixes = ("CUR", "RT", "VR")
+    heavy_names = {
+        "EQ1_equalizer_field_precedence",  # curate() against preloaded catalog
+        "IN1_streaming_ingest_dedup",  # ingest fold, eager verdict checkpoints
+        "IN2_composed_nightly_fold",  # nightly fold, eager store checkpoints
+        "IN3_nightly_decontam_fold",  # decontam fold, eager checkpoints
+        "RL1_corpus_release",  # release pipeline, eager count/proxy checkpoints
+        "NQ1_nquads_round_trip",  # sink round trip: builder writes+reads files
+        "DC4_persisted_decontamination",  # builder writes+reads a store
+    }
     offenders = []
     for name, q in load_all().items():
-        if name.startswith(heavy):
+        if name.startswith(heavy_prefixes) or name in heavy_names:
             continue
         plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:

@@ -95,7 +95,25 @@ def test_sessionize_stateful_stream(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # applyInPandasWithState holds a processing-time timeout per user, so
+    # the availableNow query does NOT self-terminate after draining the
+    # backlog (it idles waiting for state timeouts to come due) — a plain
+    # awaitTermination(180) therefore always burned its full 180 s (r13
+    # suite audit: the test took 181.3 s, i.e. timeout + startup; a
+    # processAllAvailable() drain blocks forever for the same reason).
+    # Poll the drained condition instead, then stop: identical emitted
+    # rows, seconds instead of the full timeout.
+    import time as _time
+
+    expected_inputs = events.count()
+    deadline = _time.time() + 150
+    while _time.time() < deadline:
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if done >= expected_inputs:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
     got = spark.sql("select * from sessions_stream").collect()
     bounded = sessionize(events, gap_minutes=30).collect()
     # the stream emits exactly the bounded sessions MINUS each user's last
