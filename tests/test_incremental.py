@@ -220,7 +220,12 @@ def test_delta_cp_chain_compaction(spark, monkeypatch):
         )
 
     idx_cp = inc.materialized_signature_index(batch(0))
-    idx_lazy = inc.build_signature_index(batch(0))
+    # the lazy-extend comparison chain must start from a MATERIALIZED base
+    # too: each lazy extend references the prior hashes twice, so over an
+    # unmaterialized build the 3-batch chain embeds 2^3 copies of the
+    # minhash subtree and Catalyst analysis alone took ~9 min (r13 suite
+    # run); over LogicalRDD leaves the same comparison runs in seconds
+    idx_lazy = inc.materialized_signature_index(batch(0))
     depths = []
     for i in range(1, 4):
         idx_cp = inc.extend_signature_index_delta_cp(idx_cp, batch(i))
